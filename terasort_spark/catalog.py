@@ -1,0 +1,47 @@
+"""Table catalog: the ten driver-provided parquet tables (FIXTURES.md).
+
+All loads go through here so scan behavior (schema pinning, future
+partitioned layouts for the 100 TB path) is centralized. Schemas come
+from the parquet footers — explicit and stable, no inference pass.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table. Parquet scan → columnar vectorized read; Catalyst
+    handles column pruning + predicate pushdown from whatever the caller
+    stacks on top."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so SQL-form operators
+    (GROUPING SETS, etc.) can run against the same inputs."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

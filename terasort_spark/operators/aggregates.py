@@ -1,0 +1,265 @@
+"""Aggregation operators (SURVEY.md §2b — agg_* family).
+
+All pure-DataFrame: Catalyst plans partial (map-side) + final hash
+aggregates automatically, so every query here shuffles only the grouped
+partials, not raw rows. Scale note: group-by keys in this corpus are
+low-cardinality (flag/status/priority), so the shuffle payload is tiny
+regardless of input size — the 100 TB cost is the scan, which parquet
+column pruning keeps to the referenced columns only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from terasort_spark.catalog import table
+from terasort_spark.operators._util import dsum, o_dsum, ravg
+from terasort_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# agg_group — flagship (TPC-H Q1 pricing summary shape). Reference parity:
+# the reference (terasort) has no aggregation surface; this is the
+# BASELINE.json north-star flagship.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_group",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {o_dsum("l_quantity", "sum_qty")},
+       {o_dsum("l_extendedprice", "sum_base_price")},
+       {o_dsum("l_extendedprice*(1-l_discount)", "sum_disc_price")},
+       {o_dsum("l_extendedprice*(1-l_discount)*(1+l_tax)", "sum_charge")},
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def agg_group(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), "sum_qty"),
+            dsum(F.col("l_extendedprice"), "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            ravg(F.col("l_quantity"), "avg_qty"),
+            ravg(F.col("l_extendedprice"), "avg_price"),
+            ravg(F.col("l_discount"), "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_global",
+    oracle=f"""
+SELECT count(*) AS n_rows,
+       {o_dsum("o_totalprice", "sum_price")},
+       round(min(o_totalprice), 4) AS min_price,
+       round(max(o_totalprice), 4) AS max_price,
+       count(DISTINCT o_custkey) AS n_customers
+FROM orders
+""",
+)
+def agg_global(spark, sf_dir):
+    return table(spark, sf_dir, "orders").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(F.col("o_totalprice"), "sum_price"),
+        F.round(F.min("o_totalprice"), 4).alias("min_price"),
+        F.round(F.max("o_totalprice"), 4).alias("max_price"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+@register(
+    "agg_distinct",
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_distinct(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "agg_multidistinct",
+    oracle=f"""
+SELECT o_orderstatus,
+       count(DISTINCT o_custkey) AS n_cust,
+       count(DISTINCT o_orderpriority) AS n_prio,
+       {o_dsum("o_totalprice", "sum_price")},
+       count(*) AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def agg_multidistinct(spark, sf_dir):
+    # Two DISTINCT aggs + plain aggs in one pass: Spark plans an Expand
+    # (one replica per distinct set) + two-stage agg — no row explosion
+    # beyond 3x, map-side partials still apply.
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_cust"),
+            F.countDistinct("o_orderpriority").alias("n_prio"),
+            dsum(F.col("o_totalprice"), "sum_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+SELECT c_mktsegment,
+       round(stddev_samp(c_acctbal), 4) AS sd_bal,
+       round(var_samp(c_acctbal), 4) AS var_bal,
+       round(min(c_acctbal), 4) AS min_bal,
+       round(max(c_acctbal), 4) AS max_bal,
+       count(*) AS n
+FROM customer
+GROUP BY c_mktsegment
+""",
+)
+def agg_stats(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.stddev_samp("c_acctbal"), 4).alias("sd_bal"),
+            F.round(F.var_samp("c_acctbal"), 4).alias("var_bal"),
+            F.round(F.min("c_acctbal"), 4).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 4).alias("max_bal"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+SELECT r_name, n_name,
+       CAST(grouping(r_name) AS INTEGER) AS g_region,
+       CAST(grouping(n_name) AS INTEGER) AS g_nation,
+       count(*) AS n
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+)
+def agg_rollup(spark, sf_dir):
+    j = table(spark, sf_dir, "nation").join(
+        table(spark, sf_dir, "region"),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    return j.rollup("r_name", "n_name").agg(
+        F.grouping("r_name").cast("int").alias("g_region"),
+        F.grouping("n_name").cast("int").alias("g_nation"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_cube",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag) AS INTEGER) AS g_rf,
+       CAST(grouping(l_linestatus) AS INTEGER) AS g_ls,
+       count(*) AS n,
+       {o_dsum("l_quantity", "sum_qty")}
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def agg_cube(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_rf"),
+            F.grouping("l_linestatus").cast("int").alias("g_ls"),
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("l_quantity"), "sum_qty"),
+        )
+    )
+
+
+@register(
+    "agg_gsets",
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n,
+       {o_dsum("o_totalprice", "sum_price")}
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+)
+def agg_gsets(spark, sf_dir):
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(1) AS n,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE), 4) AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "agg_collect",
+    oracle="""
+SELECT o_orderstatus,
+       list_sort(array_agg(DISTINCT o_orderpriority)) AS priorities,
+       count(*) AS n
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def agg_collect(spark, sf_dir):
+    # D5: collected arrays sorted (and DISTINCT for set semantics) so the
+    # result is independent of row arrival order on any cluster size.
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register("agg_approx")  # sketch-based → no cross-engine oracle; rows-only
+def agg_approx(spark, sf_dir):
+    # HyperLogLog++ — mergeable sketch, constant memory per group at any
+    # scale. DuckDB's approx sketch differs, so only row shape is checked;
+    # accuracy asserted in tests/test_aggregates.py vs exact counts.
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"))
+    )

@@ -1,0 +1,54 @@
+"""SparkSession factory for the engine.
+
+Defaults are tuned so the same code is correct on local[32] test runs and
+sane on a 1000-executor cluster:
+
+- UTC session timezone (determinism rule D2, SURVEY.md §2b).
+- AQE on (runtime partition coalescing, skew-join splitting, broadcast
+  demotion) — the 100 TB path relies on AQE rather than hand-tuned
+  partition counts.
+- ``spark.sql.shuffle.partitions`` is only the *initial* number; AQE
+  coalesces small post-shuffle partitions, so a value sized for the big
+  end (cluster) does not hurt the small end (local tests).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "terasort-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    return builder.getOrCreate()
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply the engine's session-level settings to an externally provided
+    SparkSession (the driver constructs its own and calls ``entry(spark)``)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    except Exception:  # pragma: no cover - conf may be static
+        pass
+    return spark

@@ -1,0 +1,42 @@
+"""Local twin of the driver's t2 gate: every registered query with an
+oracle is compared against DuckDB at sf0.001 (fast; the driver re-runs
+the same comparison at sf0.01)."""
+
+from __future__ import annotations
+
+import pytest
+
+from terasort_spark.compare import compare_query, duck_connection
+from terasort_spark.registry import oracle_sql, queries
+
+_QUERIES = queries()
+_ORACLES = oracle_sql()
+_NAMES = sorted(n for n in _QUERIES if n in _ORACLES)
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duck_connection(sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", _NAMES)
+def test_oracle_match(name, spark, sf_dir, duck):
+    res = compare_query(name, _QUERIES[name], _ORACLES[name], spark, sf_dir, duck)
+    assert res.ok, str(res)
+
+
+def test_rows_only_queries_run(spark, sf_dir):
+    """Queries without an oracle still execute and return a stable schema."""
+    for name in sorted(set(_QUERIES) - set(_ORACLES)):
+        df = _QUERIES[name](spark, sf_dir)
+        assert df.columns, name
+        assert df.count() >= 0, name
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
