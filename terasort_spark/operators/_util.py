@@ -1,13 +1,20 @@
 """Shared determinism helpers (SURVEY.md §2b rules D1–D6).
 
-Money-scale doubles summed in floating point are order-sensitive: at
-sf0.1 ``sum(l_extendedprice*(1-l_discount))`` ≈ 3e10, where summation
-order perturbs the result by more than the 1e-4 the round(,4) contract
-can absorb. Both engines therefore sum through an exact DECIMAL cast
-(input values are ≤6dp decimals, so the cast is lossless), then convert
-the exact sum to double and round. Cheap JVM-side, deterministic at any
-scale and any partitioning — this is what makes the same query
-hash-stable on local[32] and on a 1000-executor cluster.
+Two cross-engine hazards, two fixes:
+
+1. ``round(double, 4)`` differs between engines on exact half-way
+   values: Spark rounds the double's shortest decimal representation
+   (HALF_UP on "x.60995"), DuckDB rounds the binary value
+   (x.6094999…→down). Fix: round as ``floor(x*10000 + 0.5)/10000`` —
+   pure IEEE arithmetic, bit-identical on both engines for identical
+   input doubles (verified).
+
+2. Money-scale doubles summed in floating point are order-sensitive: at
+   sf0.1 ``sum(l_extendedprice*(1-l_discount))`` ≈ 3e10, where partial
+   summation order perturbs the result beyond 1e-4. Fix: sum through an
+   exact DECIMAL cast (inputs are ≤6dp decimals → lossless), convert
+   the exact sum to double, floor-round. This keeps the same query
+   hash-stable on local[32] and on a 1000-executor cluster.
 """
 
 from __future__ import annotations
@@ -18,18 +25,31 @@ from pyspark.sql import functions as F
 DEC = "decimal(25,6)"
 
 
-def dsum(col: Column, alias: str, ndigits: int = 4) -> Column:
-    """Exact decimal sum of a money-scale double → rounded double."""
-    return F.round(F.sum(col.cast(DEC)).cast("double"), ndigits).alias(alias)
+def rnd(col: Column, alias: str | None = None, nd: int = 4) -> Column:
+    """Engine-portable rounding: floor(x*10^nd + 0.5)/10^nd."""
+    s = 10**nd
+    out = F.floor(col * s + F.lit(0.5)) / F.lit(s)
+    return out.alias(alias) if alias else out
 
 
-def o_dsum(expr: str, alias: str, ndigits: int = 4) -> str:
-    return f"round(CAST(sum(CAST({expr} AS DECIMAL(25,6))) AS DOUBLE), {ndigits}) AS {alias}"
+def o_rnd(expr: str, alias: str | None = None, nd: int = 4) -> str:
+    s = 10**nd
+    sql = f"floor(({expr}) * {s} + 0.5) / {s}"
+    return f"{sql} AS {alias}" if alias else sql
 
 
-def ravg(col: Column, alias: str, ndigits: int = 4) -> Column:
-    return F.round(F.avg(col), ndigits).alias(alias)
+def dsum(col: Column, alias: str, nd: int = 4) -> Column:
+    """Exact decimal sum of a money-scale double → floor-rounded double."""
+    return rnd(F.sum(col.cast(DEC)).cast("double"), alias, nd)
 
 
-def rnd(col: Column, alias: str, ndigits: int = 4) -> Column:
-    return F.round(col, ndigits).alias(alias)
+def o_dsum(expr: str, alias: str, nd: int = 4) -> str:
+    return o_rnd(f"CAST(sum(CAST({expr} AS DECIMAL(25,6))) AS DOUBLE)", alias, nd)
+
+
+def ravg(col: Column, alias: str, nd: int = 4) -> Column:
+    return rnd(F.avg(col), alias, nd)
+
+
+def o_ravg(expr: str, alias: str, nd: int = 4) -> str:
+    return o_rnd(f"avg({expr})", alias, nd)

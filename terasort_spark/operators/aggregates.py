@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from terasort_spark.catalog import table
-from terasort_spark.operators._util import dsum, o_dsum, ravg
+from terasort_spark.operators._util import dsum, o_dsum, o_ravg, o_rnd, ravg, rnd
 from terasort_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -31,9 +31,9 @@ SELECT l_returnflag, l_linestatus,
        {o_dsum("l_extendedprice", "sum_base_price")},
        {o_dsum("l_extendedprice*(1-l_discount)", "sum_disc_price")},
        {o_dsum("l_extendedprice*(1-l_discount)*(1+l_tax)", "sum_charge")},
-       round(avg(l_quantity), 4) AS avg_qty,
-       round(avg(l_extendedprice), 4) AS avg_price,
-       round(avg(l_discount), 4) AS avg_disc,
+       {o_ravg("l_quantity", "avg_qty")},
+       {o_ravg("l_extendedprice", "avg_price")},
+       {o_ravg("l_discount", "avg_disc")},
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -65,8 +65,8 @@ def agg_group(spark, sf_dir):
     oracle=f"""
 SELECT count(*) AS n_rows,
        {o_dsum("o_totalprice", "sum_price")},
-       round(min(o_totalprice), 4) AS min_price,
-       round(max(o_totalprice), 4) AS max_price,
+       {o_rnd("min(o_totalprice)", "min_price")},
+       {o_rnd("max(o_totalprice)", "max_price")},
        count(DISTINCT o_custkey) AS n_customers
 FROM orders
 """,
@@ -75,8 +75,8 @@ def agg_global(spark, sf_dir):
     return table(spark, sf_dir, "orders").agg(
         F.count(F.lit(1)).alias("n_rows"),
         dsum(F.col("o_totalprice"), "sum_price"),
-        F.round(F.min("o_totalprice"), 4).alias("min_price"),
-        F.round(F.max("o_totalprice"), 4).alias("max_price"),
+        rnd(F.min("o_totalprice"), "min_price"),
+        rnd(F.max("o_totalprice"), "max_price"),
         F.countDistinct("o_custkey").alias("n_customers"),
     )
 
@@ -134,12 +134,12 @@ def agg_multidistinct(spark, sf_dir):
 
 @register(
     "agg_stats",
-    oracle="""
+    oracle=f"""
 SELECT c_mktsegment,
-       round(stddev_samp(c_acctbal), 4) AS sd_bal,
-       round(var_samp(c_acctbal), 4) AS var_bal,
-       round(min(c_acctbal), 4) AS min_bal,
-       round(max(c_acctbal), 4) AS max_bal,
+       {o_rnd("stddev_samp(c_acctbal)", "sd_bal")},
+       {o_rnd("var_samp(c_acctbal)", "var_bal")},
+       {o_rnd("min(c_acctbal)", "min_bal")},
+       {o_rnd("max(c_acctbal)", "max_bal")},
        count(*) AS n
 FROM customer
 GROUP BY c_mktsegment
@@ -150,10 +150,10 @@ def agg_stats(spark, sf_dir):
         table(spark, sf_dir, "customer")
         .groupBy("c_mktsegment")
         .agg(
-            F.round(F.stddev_samp("c_acctbal"), 4).alias("sd_bal"),
-            F.round(F.var_samp("c_acctbal"), 4).alias("var_bal"),
-            F.round(F.min("c_acctbal"), 4).alias("min_bal"),
-            F.round(F.max("c_acctbal"), 4).alias("max_bal"),
+            rnd(F.stddev_samp("c_acctbal"), "sd_bal"),
+            rnd(F.var_samp("c_acctbal"), "var_bal"),
+            rnd(F.min("c_acctbal"), "min_bal"),
+            rnd(F.max("c_acctbal"), "max_bal"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -223,7 +223,7 @@ def agg_gsets(spark, sf_dir):
         """
         SELECT o_orderstatus, o_orderpriority,
                count(1) AS n,
-               round(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE), 4) AS sum_price
+               floor(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) * 10000 + 0.5) / 10000 AS sum_price
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """

@@ -1,1 +1,106 @@
-"""Placeholder — operators land in a later milestone (SURVEY.md §7)."""
+"""Scan / source / sink operators (SURVEY.md §2b).
+
+Reference parity: the reference's only source/sink is the fixed-width
+TeraGen record format (see ``terasort_spark/sources/teragen.py``); the
+general engine reads columnar parquet so Catalyst can push filters and
+prune columns into the scan itself — verified by plan assertions in
+``tests/test_plans.py`` (PushedFilters / ReadSchema).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from terasort_spark.catalog import table
+from terasort_spark.registry import register
+
+
+@register("scan_full", oracle="SELECT * FROM nation")
+def scan_full(spark, sf_dir):
+    return table(spark, sf_dir, "nation")
+
+
+@register(
+    "scan_project",
+    oracle="SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
+)
+def scan_project(spark, sf_dir):
+    # Column pruning: ReadSchema must contain exactly these three columns —
+    # at 100 TB this is the difference between scanning 3 columns and 11.
+    return table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+@register(
+    "scan_pushdown",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+FROM lineitem
+WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-03-31'
+  AND l_quantity > 45
+""",
+)
+def scan_pushdown(spark, sf_dir):
+    # Predicate pushdown: both conjuncts reach the parquet reader
+    # (row-group statistics skip non-matching groups before decode).
+    return (
+        table(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_shipdate").between(
+                F.lit("1997-01-01").cast("timestamp"),
+                F.lit("1997-03-31").cast("timestamp"),
+            )
+            & (F.col("l_quantity") > 45)
+        )
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+    )
+
+
+@register(
+    "source_json",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS props_k
+FROM events
+""",
+)
+def source_json(spark, sf_dir):
+    # JSON-in-string → typed column, JVM-side (from_json, no Python UDF).
+    return (
+        table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.from_json(F.col("props"), "k INT").getField("k").alias("props_k"),
+        )
+    )
+
+
+@register("sink_parquet")  # round-trip; rows-only check by the driver
+def sink_parquet(spark, sf_dir):
+    """Write + re-read round-trip. Scale note: output is partitioned by a
+    low-cardinality column — the layout a 100 TB pipeline would use for
+    partition pruning on later reads."""
+    out = os.path.join(tempfile.gettempdir(), "terasort_spark_sink_parquet")
+    shutil.rmtree(out, ignore_errors=True)
+    (
+        table(spark, sf_dir, "orders")
+        .write.mode("overwrite")
+        .partitionBy("o_orderstatus")
+        .parquet(out)
+    )
+    df = spark.read.parquet(out)
+    # partitionBy reads the partition column back as string; restore type
+    # and original column order for a stable schema.
+    return df.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderstatus").cast("string").alias("o_orderstatus"),
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
