@@ -1,1 +1,254 @@
-"""Placeholder — operators land in a later milestone (SURVEY.md §7)."""
+"""Similarity-search operators for LLM data pipelines (north-star
+extension): exact n-gram Jaccard pairs, brute-force cosine top-k, and
+kNN majority-label classification.
+
+Scale design: the declared queries are the exact baselines at corpus
+scale; the 100 TB path swaps the all-pairs step for the banded
+MinHash-LSH candidate join (llm_dedup.dedup_minhash) or an IVF-style
+bucketed cosine (coarse quantizer key → per-bucket brute force) — both
+equi-key joins, no cartesian product. See tests/test_llm.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from terasort_spark.catalog import table
+from terasort_spark.operators._util import o_rnd, rnd
+from terasort_spark.registry import register
+
+TAU = 0.9  # Jaccard threshold (p95 of the corpus pair distribution)
+
+
+@register(
+    "sim_jaccard",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks
+  FROM documents WHERE doc_id < 200
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       {o_rnd("CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / len(list_distinct(a.toks || b.toks))", "jaccard")}
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      / len(list_distinct(a.toks || b.toks)) >= {TAU}
+""",
+)
+def sim_jaccard(spark, sf_dir):
+    # Exact all-pairs Jaccard on a bounded slice (200 docs → 19,900
+    # pairs). Above ~1e5 docs this becomes the LSH verify step instead.
+    t = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", F.array_distinct(F.split(F.lower("text"), " ")).alias("toks"))
+    )
+    a = t.select(F.col("doc_id").alias("a_id"), F.col("toks").alias("a_toks"))
+    b = t.select(F.col("doc_id").alias("b_id"), F.col("toks").alias("b_toks"))
+    jacc = F.size(F.array_intersect("a_toks", "b_toks")).cast("double") / F.size(
+        F.array_union("a_toks", "b_toks")
+    )
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .withColumn("jaccard", rnd(jacc))
+        .filter(F.col("jaccard") >= TAU)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+def _dot_sql(a, b):
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+
+
+def _norm_sql(a):
+    return f"sqrt({_dot_sql(a, a)})"
+
+
+_COSINE_SQL = f"{_dot_sql('q.embedding', 'c.embedding')} / ({_norm_sql('q.embedding')} * {_norm_sql('c.embedding')})"
+
+
+@register(
+    "sim_cosine_topk",
+    oracle=f"""
+SELECT q_id, c_id, cosine, rn
+FROM (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         {o_rnd(_COSINE_SQL, "cosine")},
+         CAST(row_number() OVER (
+              PARTITION BY q.vec_id
+              ORDER BY {o_rnd(_COSINE_SQL)} DESC, c.vec_id) AS INTEGER) AS rn
+  FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+  JOIN embeddings c ON c.vec_id != q.vec_id
+)
+WHERE rn <= 5
+""",
+)
+def sim_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for 10 query vectors.
+
+    Dot products via JVM higher-order functions (zip_with + aggregate)
+    over double-cast elements — identical sequential fold order on both
+    engines, floor-rounded. The broadcast of the tiny query side means
+    the candidate scan is a single pass, embarrassingly parallel; at
+    1000× scale the same plan holds (queries broadcast, candidates
+    partition-local top-k via the rn<=5 window group limit)."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+        )
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("emb").alias("c_emb"))
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    cosine = dot(F.col("q_emb"), F.col("c_emb")) / (
+        F.sqrt(dot(F.col("q_emb"), F.col("q_emb")))
+        * F.sqrt(dot(F.col("c_emb"), F.col("c_emb")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        q.join(c, F.col("c_id") != F.col("q_id"))
+        .withColumn("cosine", rnd(cosine))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "c_id", "cosine", "rn")
+    )
+
+
+@register(
+    "knn_label",
+    oracle=f"""
+WITH topk AS (
+  SELECT q_id, c_id, label, rn FROM (
+    SELECT q.vec_id AS q_id, c.vec_id AS c_id, c.label AS label,
+           CAST(row_number() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY {o_rnd(_COSINE_SQL)} DESC, c.vec_id) AS INTEGER) AS rn
+    FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+    JOIN embeddings c ON c.vec_id != q.vec_id
+  ) WHERE rn <= 5
+),
+votes AS (
+  SELECT q_id, label, count(*) AS n_votes
+  FROM topk GROUP BY q_id, label
+)
+SELECT q_id, label AS knn_label, n_votes FROM (
+  SELECT q_id, label, n_votes,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY n_votes DESC, label) AS vr
+  FROM votes
+) WHERE vr = 1
+""",
+)
+def knn_label(spark, sf_dir):
+    # Majority label among the 5 nearest neighbors; ties broken by the
+    # smaller label id (explicit window, never mode() whose tie choice
+    # is engine-arbitrary).
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+        )
+    )
+    c = e.select(
+        F.col("vec_id").alias("c_id"), F.col("label"), F.col("emb").alias("c_emb")
+    )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
+        )
+
+    cosine = dot(F.col("q_emb"), F.col("c_emb")) / (
+        F.sqrt(dot(F.col("q_emb"), F.col("q_emb")))
+        * F.sqrt(dot(F.col("c_emb"), F.col("c_emb")))
+    )
+    w = Window.partitionBy("q_id").orderBy(rnd(cosine).desc(), F.asc("c_id"))
+    topk = (
+        q.join(c, F.col("c_id") != F.col("q_id"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+    )
+    votes = topk.groupBy("q_id", "label").agg(F.count(F.lit(1)).alias("n_votes"))
+    vw = Window.partitionBy("q_id").orderBy(F.desc("n_votes"), F.asc("label"))
+    return (
+        votes.withColumn("vr", F.row_number().over(vw))
+        .filter(F.col("vr") == 1)
+        .select("q_id", F.col("label").alias("knn_label"), "n_votes")
+    )
+
+
+@register(
+    "sim_cosine_ivf",
+    oracle=None,  # bucketed ANN: recall asserted vs exact top-k in tests
+)
+def sim_cosine_ivf(spark, sf_dir):
+    """IVF-style approximate nearest neighbor: coarse-quantize vectors by
+    the sign pattern of 4 fixed pseudo-random hyperplanes (deterministic
+    seeded projection), then brute-force cosine only within the probe's
+    bucket. The bucket key turns the all-pairs scan into an equi-join —
+    the shape that scales; recall vs the exact top-k is measured in
+    tests/test_llm.py."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    # deterministic hyperplane h_j[i] = sin(j*1000 + i) — fixed, seedless
+    def bucket(emb):
+        bits = []
+        for j in range(4):
+            proj = F.aggregate(
+                F.zip_with(
+                    emb,
+                    F.transform(emb, lambda _, i: F.sin(F.lit(j * 1000) + i)),
+                    lambda a, h: a * h,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bits.append(F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out
+
+    eb = e.withColumn("bucket", bucket(F.col("emb")))
+    q = eb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb"), "bucket"
+    )
+    c = eb.select(
+        F.col("vec_id").alias("c_id"), F.col("emb").alias("c_emb"), "bucket"
+    )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
+        )
+
+    cosine = dot(F.col("q_emb"), F.col("c_emb")) / (
+        F.sqrt(dot(F.col("q_emb"), F.col("q_emb")))
+        * F.sqrt(dot(F.col("c_emb"), F.col("c_emb")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        q.join(c, "bucket")
+        .filter(F.col("c_id") != F.col("q_id"))
+        .withColumn("cosine", rnd(cosine))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "c_id", "cosine", "rn")
+    )

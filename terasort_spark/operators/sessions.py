@@ -1,1 +1,127 @@
-"""Placeholder — operators land in a later milestone (SURVEY.md §7)."""
+"""Event-time windowing and sessionization — batch twins of the
+streaming surface (SURVEY.md §2b stream_* / sessionize).
+
+Spark's unified API: the same ``window()`` / aggregation expressions run
+unchanged under Structured Streaming (see terasort_spark/streaming/),
+where a watermark bounds state. The declared queries here are the batch
+forms the driver can oracle-check; streaming equivalence is asserted in
+tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from terasort_spark.catalog import table
+from terasort_spark.registry import register
+
+GAP_MIN = 30  # session gap
+
+
+@register(
+    "stream_tumbling",
+    oracle="""
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+       time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       count(*) AS n_events
+FROM events
+GROUP BY 1, 2, 3
+""",
+)
+def stream_tumbling(spark, sf_dir):
+    # Tumbling 1h windows: window() assigns exactly one bucket per row
+    # (a projection — no row expansion), then an ordinary hash agg.
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+@register(
+    "stream_sliding",
+    oracle="""
+SELECT ws AS window_start,
+       ws + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       count(*) AS n_events
+FROM (
+  SELECT unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                 time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS ws,
+         event_type
+  FROM events
+)
+GROUP BY 1, 2, 3
+""",
+)
+def stream_sliding(spark, sf_dir):
+    # Sliding 1h/30m: each event belongs to size/slide = 2 windows; the
+    # oracle replicates Spark's expansion explicitly with unnest.
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+@register(
+    "sessionize",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {GAP_MIN} * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts, event_id,
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       count(*) AS n_events,
+       epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+FROM sessions
+GROUP BY user_id, session_id
+""",
+)
+def sessionize(spark, sf_dir):
+    """Gaps-and-islands sessionization: a new session starts when the gap
+    to the previous event of the same user exceeds 30 minutes (strict >,
+    microsecond-exact). One shuffle by user_id; per-user state is a
+    single running counter — linear at any scale."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            gap_us.isNull() | (gap_us > GAP_MIN * 60 * 1_000_000), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = flagged.withColumn(
+        "session_id", F.sum("new_session").over(run).cast("long")
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+    )

@@ -1,0 +1,60 @@
+"""Multimodal decode layer.
+
+The container has no image/audio codecs, so ``decode_image`` is a
+deterministic fake for ``media_type='fake/raw'`` and raises
+``NotImplementedError`` for real formats — the Spark-side plumbing
+(Arrow batches, schemas, partitioning) in
+``terasort_spark/operators/multimodal.py`` is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+REAL_FORMATS = ("image/jpeg", "image/png", "audio/wav", "video/mp4")
+
+
+def decode_image(payload: bytes, media_type: str) -> np.ndarray:
+    """Return a 4x4 grayscale 'thumbnail' for the fake format.
+
+    Real codecs would go here (PIL/ffmpeg); they are intentionally
+    stubbed — the engine's contract is the distributed plumbing, not the
+    codec."""
+    if media_type in REAL_FORMATS:
+        raise NotImplementedError(
+            f"no codec for {media_type} in this environment; "
+            "install PIL/ffmpeg and replace this stub"
+        )
+    if media_type != "fake/raw":
+        raise ValueError(f"unknown media_type {media_type!r}")
+    # deterministic fake decode: 16 bytes of the blob's sha256 as pixels
+    digest = hashlib.sha256(payload).digest()[:16]
+    return np.frombuffer(digest, dtype=np.uint8).reshape(4, 4).astype(np.float64)
+
+
+def extract_features_batched(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: vectorized per-batch feature extraction.
+    Operates on whatever batch sizes Arrow hands over — never
+    materializes the whole partition."""
+    for pdf in batches:
+        payloads = pdf["payload"]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "n_bytes": payloads.map(len).astype("int64"),
+                "sha1_8": payloads.map(
+                    lambda b: hashlib.sha1(bytes(b)).hexdigest()[:8]
+                ),
+                "thumb_mean": payloads.combine(
+                    pdf["media_type"],
+                    lambda b, mt: float(decode_image(bytes(b), mt).mean()),
+                ),
+            }
+        )
