@@ -45,6 +45,7 @@ _OPERATOR_MODULES = (
     "terasort_spark.functions.scalar",
     "terasort_spark.functions.collections",
     "terasort_spark.functions.udfs",
+    "terasort_spark.sources.tera_queries",
 )
 
 _loaded = False

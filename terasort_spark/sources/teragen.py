@@ -1,0 +1,139 @@
+"""TeraGen / TeraSort / TeraValidate — the reference pipeline, re-expressed
+Spark-first (SURVEY.md §2a R1–R5).
+
+Reference parity (reconstructed public semantics — /root/reference is
+empty; see SURVEY.md §0):
+- R1 source: fixed 100-byte records = 10-byte key + 90-byte value
+  (GraySort spec, Hadoop TeraInputFormat). Here the generator is native:
+  ``spark.range`` + per-id seeded hashing — no RNG state, so any retry or
+  repartitioning reproduces identical data.
+- R2 key normalization (``OptimizedText`` 10-byte prefix): built into
+  Tungsten's UnsafeRow binary prefix comparator — nothing to write.
+- R3 range partitioning (the reference's contribution — a custom
+  Partitioner / Flink DataDistribution): ``repartitionByRange`` plans an
+  Exchange(RangePartitioning) whose RangePartitioner reservoir-samples
+  boundaries — the same "range partitioner with sampling" design, built
+  in.
+- R4 per-partition sort: ``sortWithinPartitions`` fuses into the shuffle
+  (SortExec after the range exchange), spill-safe.
+- R5 sink: partition-indexed files are Spark's default part-NNNNN
+  naming, so concatenating part files in index order yields a globally
+  sorted dataset.
+- TeraValidate: order-within + order-between partitions, row count, and
+  an order-insensitive content checksum — invariants, not golden files.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+KEY_LEN = 10
+VALUE_LEN = 90
+DEFAULT_SEED = 42
+
+
+def teragen(
+    spark: SparkSession,
+    n_rows: int,
+    n_partitions: int = 32,
+    seed: int = DEFAULT_SEED,
+) -> DataFrame:
+    """Deterministic TeraGen: 10-byte printable-ASCII key (uniform per
+    byte — the distribution the reference's closed-form partitioner
+    exploits) + 90-byte value carrying the zero-padded row id.
+
+    All JVM-side expressions; ~1M rows/s/core locally, embarrassingly
+    parallel at any cluster size."""
+    ids = spark.range(0, n_rows, numPartitions=n_partitions)
+    key_chars = [
+        F.chr(F.lit(32) + F.pmod(F.xxhash64(F.col("id"), F.lit(seed), F.lit(i)), F.lit(95)))
+        for i in range(KEY_LEN)
+    ]
+    key = F.encode(F.concat(*key_chars), "utf-8").alias("key")
+    value = F.encode(
+        F.rpad(F.lpad(F.col("id").cast("string"), 32, "0"), VALUE_LEN, "X"), "utf-8"
+    ).alias("value")
+    return ids.select(key, value)
+
+
+def terasort(df: DataFrame, n_partitions: int = 32) -> DataFrame:
+    """Total-order sort: range-exchange on sampled boundaries, then
+    partition-local sort — partition i's keys all precede partition
+    i+1's, so output files concatenate to a sorted whole.
+
+    BinaryType ordering is unsigned-byte lexicographic, exactly the
+    GraySort comparator; Tungsten compares via the 8-byte key prefix
+    (the built-in equivalent of the reference's OptimizedText)."""
+    return df.repartitionByRange(n_partitions, "key").sortWithinPartitions("key")
+
+
+def _summarize_partitions(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-partition TeraValidate summary. mapInPandas hands batches in
+    partition order, so cross-batch ordering is checked too. Only one
+    tiny summary row per partition leaves the executor."""
+    first = last = None
+    n = 0
+    sorted_ok = True
+    for pdf in batches:
+        keys = pdf["key"]
+        if len(keys) == 0:
+            continue
+        kb = [bytes(k) for k in keys]
+        if first is None:
+            first = kb[0]
+        if last is not None and kb[0] < last:
+            sorted_ok = False
+        if any(kb[i] > kb[i + 1] for i in range(len(kb) - 1)):
+            sorted_ok = False
+        last = kb[-1]
+        n += len(kb)
+    yield pd.DataFrame(
+        {
+            "n": [n],
+            "first_key": [first.hex() if first is not None else None],
+            "last_key": [last.hex() if last is not None else None],
+            "sorted_ok": [sorted_ok],
+        }
+    )
+
+
+def checksum(df: DataFrame) -> int:
+    """Order-insensitive content checksum, computed distributed: sum of
+    per-record 48-bit md5 prefixes, accumulated in DECIMAL(38,0) so the
+    sum is exact at any row count (a long would overflow past ~2^15
+    records x 48 bits)."""
+    h = F.substring(F.md5(F.concat(F.col("key"), F.lit(b"\x00"), F.col("value"))), 1, 12)
+    per_record = F.conv(h, 16, 10).cast("decimal(20,0)")
+    total = df.select(
+        F.sum(per_record.cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
+    return int(total)
+
+
+def teravalidate(sorted_df: DataFrame) -> dict:
+    """TeraValidate invariants on a sorted DataFrame:
+    (a) keys non-decreasing within every partition,
+    (b) last key of partition i <= first key of partition i+1,
+    (c) row count preserved (caller compares),
+    Returns a dict with counts and booleans; raises nothing itself."""
+    schema = "n long, first_key string, last_key string, sorted_ok boolean"
+    # mapInPandas runs on the sorted partitions directly (no extra shuffle)
+    summaries = sorted_df.mapInPandas(_summarize_partitions, schema=schema).collect()
+    summaries = [r for r in summaries if r["n"] > 0]
+    summaries.sort(key=lambda r: bytes.fromhex(r["first_key"]))
+    within = all(r["sorted_ok"] for r in summaries)
+    between = all(
+        bytes.fromhex(summaries[i]["last_key"])
+        <= bytes.fromhex(summaries[i + 1]["first_key"])
+        for i in range(len(summaries) - 1)
+    )
+    return {
+        "n_rows": sum(r["n"] for r in summaries),
+        "n_partitions": len(summaries),
+        "sorted_within": within,
+        "sorted_between": between,
+    }
