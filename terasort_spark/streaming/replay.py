@@ -1,0 +1,89 @@
+"""Streaming replay harness: feed the ``events`` table through a file
+source incrementally, so Structured Streaming queries can be asserted
+equivalent to their batch twins (SURVEY.md §2b streaming surface).
+
+The same DataFrame expressions run in both modes — Spark's unified
+API — so each streaming test builds its query from the identical
+building blocks the batch operator uses.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from terasort_spark.catalog import table
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def stage_chunks(spark: SparkSession, sf_dir: str, out_dir: str, n_chunks: int = 4):
+    """Split events into n_chunks files by event_id range (ts is roughly
+    increasing with event_id, so chunks arrive in near-time-order like a
+    real stream). Returns the list of chunk-staging callables so tests
+    control arrival order."""
+    ev = table(spark, sf_dir, "events").orderBy("event_id").collect()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    per = (len(ev) + n_chunks - 1) // n_chunks
+    stagers = []
+    for i in range(n_chunks):
+        chunk = ev[i * per : (i + 1) * per]
+
+        def stage(i=i, chunk=chunk):
+            df = spark.createDataFrame(chunk, schema=EVENTS_SCHEMA)
+            df.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"chunk{i}")
+            )
+            # move part file up so the stream source (flat dir glob) sees it
+            cdir = os.path.join(out_dir, f"chunk{i}")
+            for f in os.listdir(cdir):
+                if f.endswith(".parquet"):
+                    os.rename(
+                        os.path.join(cdir, f),
+                        os.path.join(out_dir, f"data-{i}.parquet"),
+                    )
+            shutil.rmtree(cdir, ignore_errors=True)
+
+        stagers.append(stage)
+    return stagers
+
+
+def read_stream(spark: SparkSession, dir_: str) -> DataFrame:
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir_)
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str,
+    stagers,
+    spark: SparkSession,
+):
+    """Start the query on a memory sink, release chunks one at a time
+    (processing all available work between arrivals so watermarks advance
+    deterministically), then stop and return the sink table."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        for stage in stagers:
+            stage()
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -1,0 +1,178 @@
+"""Streaming ≡ batch equivalence tests (SURVEY.md §5b #4): the same
+expressions run through Structured Streaming over a chunked file replay
+of ``events`` must reproduce the batch answers after all data arrives.
+Covers: tumbling windows, session windows, watermark dedup, arbitrary
+state (applyInPandasWithState), and late-data drop semantics."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from terasort_spark.catalog import table
+from terasort_spark.registry import queries
+from terasort_spark.streaming.replay import (
+    EVENTS_SCHEMA,
+    read_stream,
+    run_to_memory,
+    stage_chunks,
+)
+
+
+@pytest.fixture()
+def replay_dir():
+    d = tempfile.mkdtemp(prefix="ts_stream_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_tumbling_equals_batch(spark, sf_dir, replay_dir):
+    stagers = stage_chunks(spark, sf_dir, replay_dir, n_chunks=3)
+    agg = (
+        read_stream(spark, replay_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+    got = run_to_memory(agg, "tumbling_sink", "complete", stagers, spark)
+    want = queries()["stream_tumbling"](spark, sf_dir)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_stream_session_window_equals_sessionize(spark, sf_dir, replay_dir):
+    stagers = stage_chunks(spark, sf_dir, replay_dir, n_chunks=3)
+    agg = (
+        read_stream(spark, replay_dir)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", "n_events")
+    )
+    got = run_to_memory(agg, "session_sink", "complete", stagers, spark)
+    # batch twin: per-(user, session) event counts from gaps-and-islands
+    want = queries()["sessionize"](spark, sf_dir).select("user_id", "n_events")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_stream_dedup_within_watermark(spark, sf_dir, replay_dir):
+    # duplicate every event across two chunks: dedup must keep one each
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    base = ev.collect()
+    os.makedirs(replay_dir, exist_ok=True)
+
+    def stage(i):
+        def go():
+            spark.createDataFrame(base, schema=EVENTS_SCHEMA).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(replay_dir, f"c{i}"))
+            src = os.path.join(replay_dir, f"c{i}")
+            for f in os.listdir(src):
+                if f.endswith(".parquet"):
+                    os.rename(
+                        os.path.join(src, f),
+                        os.path.join(replay_dir, f"data-{i}.parquet"),
+                    )
+            shutil.rmtree(src, ignore_errors=True)
+
+        return go
+
+    dedup = (
+        read_stream(spark, replay_dir)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id")
+    )
+    got = run_to_memory(dedup, "dedup_sink", "append", [stage(0), stage(1)], spark)
+    assert got.count() == len(base)  # each duplicate suppressed
+
+
+def test_stream_stateful_running_count(spark, sf_dir, replay_dir):
+    stagers = stage_chunks(spark, sf_dir, replay_dir, n_chunks=3)
+
+    def count_per_user(key, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    counted = (
+        read_stream(spark, replay_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            count_per_user,
+            outputStructType="user_id bigint, n_events bigint",
+            stateStructType="n bigint",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    got = run_to_memory(counted, "stateful_sink", "update", stagers, spark)
+    # the last emission per user is the total
+    final = (
+        got.groupBy("user_id").agg(F.max("n_events").alias("n_events")).collect()
+    )
+    want = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    )
+    assert sorted(map(tuple, final)) == sorted(map(tuple, want))
+
+
+def test_late_data_dropped_after_watermark(spark, sf_dir, replay_dir):
+    """Rows older than watermark - delay must be excluded once their
+    window is closed (append mode emits closed windows only)."""
+    os.makedirs(replay_dir, exist_ok=True)
+    rows1 = [
+        (1, "2024-01-01 10:05:00", 1, "click", 1.0, "{}"),
+        (2, "2024-01-01 12:00:00", 1, "click", 1.0, "{}"),  # advances watermark
+    ]
+    late = [(3, "2024-01-01 10:10:00", 1, "click", 1.0, "{}")]  # closed window
+
+    def stage(i, rows):
+        def go():
+            pdf = pd.DataFrame(
+                rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+            )
+            pdf["ts"] = pd.to_datetime(pdf["ts"])
+            df = spark.createDataFrame(pdf)
+            df.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(replay_dir, f"c{i}")
+            )
+            src = os.path.join(replay_dir, f"c{i}")
+            for f in os.listdir(src):
+                if f.endswith(".parquet"):
+                    os.rename(
+                        os.path.join(src, f),
+                        os.path.join(replay_dir, f"data-{i}.parquet"),
+                    )
+            shutil.rmtree(src, ignore_errors=True)
+
+        return go
+
+    agg = (
+        read_stream(spark, replay_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    got = run_to_memory(
+        agg, "late_sink", "append", [stage(0, rows1), stage(1, late)], spark
+    )
+    out = {r["ws"].isoformat(): r["n"] for r in got.collect()}
+    # the 10:00 window was closed by the 12:00 event advancing the
+    # watermark; the late 10:10 row must NOT appear in it
+    assert out.get("2024-01-01T10:00:00") == 1, out
