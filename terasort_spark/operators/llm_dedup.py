@@ -78,16 +78,14 @@ def dedup_minhash(spark, sf_dir):
     d = table(spark, sf_dir, "documents").select(
         "doc_id", F.array_distinct(F.split(F.lower("text"), " ")).alias("toks")
     )
-    sig = d.select(
-        "doc_id",
-        "toks",
-        *[
-            F.array_min(
-                F.transform(F.col("toks"), lambda t, i=i: F.xxhash64(t, F.lit(i)))
-            ).alias(f"mh{i}")
-            for i in range(N_HASHES)
-        ],
-    )
+    def minhash(i):
+        # 1-ary lambda: a 2-ary one would receive the array INDEX as its
+        # second argument, silently replacing the seed
+        return F.array_min(
+            F.transform(F.col("toks"), lambda t: F.xxhash64(t, F.lit(i)))
+        ).alias(f"mh{i}")
+
+    sig = d.select("doc_id", "toks", *[minhash(i) for i in range(N_HASHES)])
     rows_per_band = N_HASHES // N_BANDS
     bands = sig.select(
         "doc_id",

@@ -1,0 +1,81 @@
+"""Plan-shape tests: the scale-critical optimizer behaviors actually
+happen (pushdown, pruning, broadcast, no cartesian in equi joins,
+whole-stage codegen). These guard the 100 TB properties the small-SF
+correctness suite can't observe."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from terasort_spark.catalog import table
+from terasort_spark.plans.checks import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_pushed_filters,
+    assert_read_schema_only,
+    assert_whole_stage_codegen,
+    executed_plan,
+)
+from terasort_spark.registry import queries
+
+_Q = queries()
+
+
+def test_scan_pushdown_reaches_parquet(spark, sf_dir):
+    df = _Q["scan_pushdown"](spark, sf_dir)
+    assert_pushed_filters(df, "l_shipdate", "l_quantity")
+
+
+def test_scan_project_prunes_columns(spark, sf_dir):
+    df = _Q["scan_project"](spark, sf_dir)
+    assert_read_schema_only(
+        df, "lineitem", "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+def test_agg_group_reads_only_needed_columns(spark, sf_dir):
+    df = _Q["agg_group"](spark, sf_dir)
+    assert_read_schema_only(
+        df,
+        "lineitem",
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_shipdate",
+    )
+
+
+def test_join_broadcast_uses_broadcast_hash_join(spark, sf_dir):
+    df = _Q["join_broadcast"](spark, sf_dir)
+    assert_broadcast_join(df, n_expected=2)
+
+
+def test_equi_joins_never_cartesian(spark, sf_dir):
+    for name in ("join_inner", "join_left", "join_semi", "join_anti", "join_theta"):
+        assert_no_cartesian(_Q[name](spark, sf_dir))
+
+
+def test_flagship_uses_whole_stage_codegen(spark, sf_dir):
+    assert_whole_stage_codegen(_Q["agg_group"](spark, sf_dir))
+
+
+def test_topk_plans_take_ordered(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    df = o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(100)
+    assert "TakeOrderedAndProject" in executed_plan(df)
+
+
+def test_partial_aggregation_before_shuffle(spark, sf_dir):
+    # two HashAggregate nodes (partial + final) around one Exchange:
+    # map-side combine is what keeps the shuffle payload small at scale
+    plan = executed_plan(_Q["agg_group"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_topk_pergroup_uses_window_group_limit(spark, sf_dir):
+    plan = executed_plan(_Q["topk_pergroup"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
