@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark harness (BASELINE.md §2 protocol).
+
+Runs every declared query at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], 3 repetitions after a
+discarded warm-up, and prints ONE JSON line:
+  {"metric": "suite_median_total_s", "value": N, "unit": "sec",
+   "queries": {name: median_sec, ...}, "sf": 0.1}
+
+Each timing materializes the full result (collect) so the measured cost
+includes the whole plan, not just planning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from terasort_spark.registry import queries  # noqa: E402
+from terasort_spark.session import get_spark  # noqa: E402
+
+REPS = int(os.environ.get("BENCH_REPS", "3"))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    spark = get_spark(app_name="terasort-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = queries()
+    medians: dict[str, float] = {}
+    for name in sorted(qs):
+        fn = qs[name]
+        times = []
+        for rep in range(REPS + 1):  # rep 0 = warm-up, discarded
+            t0 = time.perf_counter()
+            try:
+                fn(spark, SF_DIR).collect()
+            except Exception as exc:  # pragma: no cover
+                print(f"# {name} failed: {exc}", file=sys.stderr)
+                times = []
+                break
+            dt = time.perf_counter() - t0
+            if rep > 0:
+                times.append(dt)
+        if times:
+            medians[name] = round(statistics.median(times), 3)
+    total = round(sum(medians.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_median_total_s",
+                "value": total,
+                "unit": "sec",
+                "queries": medians,
+                "sf": _sf_from_dir(SF_DIR),
+                "n_queries": len(medians),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

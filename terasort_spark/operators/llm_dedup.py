@@ -18,8 +18,8 @@ from terasort_spark.catalog import table
 from terasort_spark.operators._util import o_rnd, rnd
 from terasort_spark.registry import register
 
-N_HASHES = 16  # minhash signature length
-N_BANDS = 4  # bands of 4 rows each
+N_HASHES = 32  # minhash signature length
+N_BANDS = 4  # bands of 8 rows each: P(candidate) = 1-(1-s^8)^4
 
 
 def _with_dups(spark, sf_dir):
@@ -61,23 +61,24 @@ def dedup_exact(spark, sf_dir):
     )
 
 
-@register(
-    "dedup_minhash",
-    oracle=None,  # banded-LSH candidate set is engine-specific → rows-only;
-    # exactness of surviving pairs is asserted in tests/test_llm.py
-)
-def dedup_minhash(spark, sf_dir):
-    """MinHash-LSH near-duplicate pairs.
+def minhash_pairs(spark, sf_dir, tau: float = 0.8):
+    """MinHash-LSH near-duplicate PAIRS (internal; tests assert recall
+    against the exact Jaccard pair set).
 
-    signature: for each of 16 seeded hash functions, the min of
+    signature: for each of 32 seeded hash functions, the min of
     xxhash64(token, seed) over the doc's distinct tokens (seeded
     permutation approximation — fully deterministic, no RNG state);
-    banding: 4 bands × 4 rows; docs sharing any band bucket are
-    candidates; verification: exact Jaccard >= 0.5 on token sets.
+    banding: 4 bands x 8 rows (P(candidate) = 1-(1-s^8)^4 ~ 0.89 at
+    s=0.9 but only ~0.07 at this corpus's 0.6 median overlap — the knob
+    that keeps candidates sub-quadratic on high-overlap data);
+    candidate join: ONE equi-join on (band, bucket) over exploded band
+    rows carrying ids only — token arrays never ride the shuffle;
+    verification: exact Jaccard >= 0.8 after re-joining token sets.
     """
     d = table(spark, sf_dir, "documents").select(
         "doc_id", F.array_distinct(F.split(F.lower("text"), " ")).alias("toks")
     )
+
     def minhash(i):
         # 1-ary lambda: a 2-ary one would receive the array INDEX as its
         # second argument, silently replacing the seed
@@ -87,39 +88,71 @@ def dedup_minhash(spark, sf_dir):
 
     sig = d.select("doc_id", "toks", *[minhash(i) for i in range(N_HASHES)])
     rows_per_band = N_HASHES // N_BANDS
-    bands = sig.select(
-        "doc_id",
-        "toks",
+    band_structs = F.array(
         *[
-            F.hash(*[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)])
-            .alias(f"band{b}")
+            F.struct(
+                F.lit(b).alias("band"),
+                F.hash(
+                    *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("bucket"),
+            )
             for b in range(N_BANDS)
-        ],
+        ]
     )
-    # candidate pairs: equal bucket in any band (union over bands, dedup)
-    cands = None
-    for b in range(N_BANDS):
-        left = bands.select(
-            F.col("doc_id").alias("a_id"),
-            F.col("toks").alias("a_toks"),
-            F.col(f"band{b}").alias("bucket"),
+    buckets = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", "bb.band", "bb.bucket"
+    )
+    pairs = (
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        right = bands.select(
-            F.col("doc_id").alias("b_id"),
-            F.col("toks").alias("b_toks"),
-            F.col(f"band{b}").alias("bucket"),
-        )
-        pairs = left.join(right, "bucket").filter(F.col("a_id") < F.col("b_id"))
-        cands = pairs if cands is None else cands.unionByName(pairs)
-    cands = cands.dropDuplicates(["a_id", "b_id"])
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    toks = sig.select("doc_id", "toks")
+    verified = pairs.join(
+        toks.select(F.col("doc_id").alias("a_id"), F.col("toks").alias("a_toks")),
+        "a_id",
+    ).join(
+        toks.select(F.col("doc_id").alias("b_id"), F.col("toks").alias("b_toks")),
+        "b_id",
+    )
     jacc = F.size(F.array_intersect("a_toks", "b_toks")).cast("double") / F.size(
         F.array_union("a_toks", "b_toks")
     )
     return (
-        cands.withColumn("jaccard", rnd(jacc))
-        .filter(F.col("jaccard") >= 0.5)
+        verified.withColumn("jaccard", rnd(jacc))
+        .filter(F.col("jaccard") >= tau)
         .select("a_id", "b_id", "jaccard")
     )
+
+
+@register(
+    "dedup_minhash",
+    oracle=None,  # banded-LSH candidates are engine-specific → rows-only;
+    # pair recall vs exact Jaccard is asserted in tests/test_llm.py
+)
+def dedup_minhash(spark, sf_dir):
+    """Near-dedup keep/drop decisions via MinHash-LSH (see
+    ``minhash_pairs`` for the candidate machinery).
+
+    Output is ONE row per document (keep = no near-duplicate with a
+    smaller doc_id) — bounded by n at any scale, unlike a pair list,
+    which is inherently quadratic on high-overlap corpora (2.1M
+    qualifying pairs among just 5000 docs of this synthetic corpus).
+    This min-id survivor rule is the single-pass approximation of
+    connected-components dedup used by large pretraining pipelines."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    pairs = minhash_pairs(spark, sf_dir, tau=0.8)
+    # any partner with a smaller id ⇒ drop (b_id always > a_id)
+    dropped = pairs.select(F.col("b_id").alias("doc_id")).distinct()
+    return docs.join(dropped, "doc_id", "left_anti").select(
+        "doc_id", F.lit(True).alias("keep")
+    ).unionByName(dropped.select("doc_id", F.lit(False).alias("keep")))
 
 
 @register(

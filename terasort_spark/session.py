@@ -43,6 +43,28 @@ def get_spark(
     return builder.getOrCreate()
 
 
+_shipped_sessions: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``terasort_spark`` importable on Python workers regardless of
+    the driver's cwd: zip the package and addPyFile it. Module-level
+    functions sent to workers (mapInPandas et al.) are pickled BY
+    REFERENCE, so the worker must be able to import the module — cwd
+    inheritance only covers drivers launched from the repo root."""
+    key = id(spark)
+    if key in _shipped_sessions:
+        return
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_base = os.path.join(tempfile.gettempdir(), "terasort_spark_pkg")
+    zip_path = shutil.make_archive(zip_base, "zip", os.path.dirname(pkg_dir), "terasort_spark")
+    spark.sparkContext.addPyFile(zip_path)
+    _shipped_sessions.add(key)
+
+
 def configure(spark: SparkSession) -> SparkSession:
     """Apply the engine's session-level settings to an externally provided
     SparkSession (the driver constructs its own and calls ``entry(spark)``)."""
@@ -51,4 +73,5 @@ def configure(spark: SparkSession) -> SparkSession:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     except Exception:  # pragma: no cover - conf may be static
         pass
+    _ship_package(spark)
     return spark

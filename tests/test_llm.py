@@ -17,13 +17,15 @@ def test_minhash_recall_of_high_jaccard_pairs(spark, sf_dir):
     """Banded MinHash (16 hashes, 4 bands) must recover most pairs with
     Jaccard >= 0.9 (P(candidate) = 1-(1-s^4)^4 ≈ 0.93 at s=0.9) and its
     survivors must genuinely clear the 0.5 verify threshold."""
+    from terasort_spark.operators.llm_dedup import minhash_pairs
+
     exact = {
         (r["a_id"], r["b_id"])
         for r in _Q["sim_jaccard"](spark, sf_dir).collect()  # tau = 0.9 pairs
     }
     approx = {
         (r["a_id"], r["b_id"])
-        for r in _Q["dedup_minhash"](spark, sf_dir).collect()
+        for r in minhash_pairs(spark, sf_dir, tau=0.5).collect()
         if r["a_id"] < 200 and r["b_id"] < 200  # sim_jaccard's slice
     }
     assert exact, "exact pair set unexpectedly empty"
