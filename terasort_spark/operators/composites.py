@@ -1,0 +1,155 @@
+"""Composite TPC-H-shaped queries: multi-operator pipelines proving the
+primitives compose end-to-end (scan → filter → multi-join → agg →
+window/top-k). These are the bench headliners a reference user would
+actually run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from terasort_spark.catalog import table
+from terasort_spark.operators._util import dsum, o_dsum
+from terasort_spark.registry import register
+
+
+@register(
+    "tpch_q3_shape",
+    oracle=f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority, revenue, rn
+FROM (
+  SELECT l_orderkey, o_orderdate, o_orderpriority,
+         {o_dsum("l_extendedprice * (1 - l_discount)", "revenue")},
+         CAST(row_number() OVER (
+              ORDER BY floor(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) * 10000 + 0.5) / 10000 DESC,
+                       l_orderkey) AS INTEGER) AS rn
+  FROM customer
+  JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1998-03-15'
+    AND l_shipdate > TIMESTAMP '1995-03-15'
+  GROUP BY l_orderkey, o_orderdate, o_orderpriority
+)
+WHERE rn <= 10
+""",
+)
+def tpch_q3_shape(spark, sf_dir):
+    """TPC-H Q3 (shipping priority): selective dim filter → 3-way join →
+    revenue agg → global top-10. Filters sit directly on the scans
+    (pushdown), the customer side broadcasts, and the final top-k is a
+    TakeOrderedAndProject-style bounded sort — no full global sort."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    agg = (
+        F.broadcast(c)
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("l_orderkey", "o_orderdate", "o_orderpriority", "revenue", "rn")
+    )
+
+
+@register(
+    "tpch_q5_shape",
+    oracle=f"""
+SELECT n_name,
+       {o_dsum("l_extendedprice * (1 - l_discount)", "revenue")},
+       count(*) AS n_lines
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name IN ('ASIA', 'AMERICA')
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+GROUP BY n_name
+""",
+)
+def tpch_q5_shape(spark, sf_dir):
+    """TPC-H Q5 (local supplier volume): six-table join. Dim chain
+    (region→nation→supplier) broadcasts; the only shuffles are the
+    customer⋈orders and ⋈lineitem fact joins plus the final tiny agg.
+    The co-nation predicate rides the supplier join condition."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "AMERICA"))
+    dims = F.broadcast(
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).join(
+            F.broadcast(r), n.n_regionkey == r.r_regionkey
+        )
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(
+            dims,
+            (li.l_suppkey == dims.s_suppkey)
+            & (c.c_nationkey == dims.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "tpch_q10_shape",
+    oracle=f"""
+SELECT c_custkey, c_name, n_name, revenue, rn
+FROM (
+  SELECT c_custkey, c_name, n_name,
+         {o_dsum("l_extendedprice * (1 - l_discount)", "revenue")},
+         CAST(row_number() OVER (
+              ORDER BY floor(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) * 10000 + 0.5) / 10000 DESC,
+                       c_custkey) AS INTEGER) AS rn
+  FROM customer
+  JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+  GROUP BY c_custkey, c_name, n_name
+)
+WHERE rn <= 20
+""",
+)
+def tpch_q10_shape(spark, sf_dir):
+    """TPC-H Q10 (returned-item reporting): returned lineitems → revenue
+    lost per customer → top 20."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    agg = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("c_custkey", "c_name", "n_name", "revenue", "rn")
+    )

@@ -185,3 +185,55 @@ def dedup_simhash(spark, sf_dir):
         vote = F.aggregate(F.col("th"), F.lit(0), make_vote(b))
         fp = fp + F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0))
     return d.select("doc_id", fp.cast("long").alias("simhash16"))
+
+
+_EMB_DOT = (
+    "list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))"
+)
+_EMB_COS = (
+    f"{_EMB_DOT} / (sqrt(list_sum(list_transform(a.v, x -> x*x))) * "
+    "sqrt(list_sum(list_transform(b.v, x -> x*x))))"
+)
+
+
+@register(
+    "dedup_embcos",
+    oracle=f"""
+WITH d AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id < 300
+)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       {o_rnd(_EMB_COS, "cosine")}
+FROM d a JOIN d b ON a.vec_id < b.vec_id
+WHERE {o_rnd(_EMB_COS)} >= 0.3
+""",
+)
+def dedup_embcos(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs: exact all-pairs on a
+    bounded slice (300 vecs → 44,850 pairs). The 100 TB path reuses the
+    sign-LSH bucketing from sim_cosine_ivf to make candidates an
+    equi-join before this exact verify — same candidate/verify split as
+    MinHash for text."""
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 300)
+        .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    )
+    a = e.select(F.col("vec_id").alias("a_id"), F.col("v").alias("a_v"))
+    b = e.select(F.col("vec_id").alias("b_id"), F.col("v").alias("b_v"))
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, t: acc + t
+        )
+
+    cos = dot(F.col("a_v"), F.col("b_v")) / (
+        F.sqrt(dot(F.col("a_v"), F.col("a_v"))) * F.sqrt(dot(F.col("b_v"), F.col("b_v")))
+    )
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .withColumn("cosine", rnd(cos))
+        .filter(F.col("cosine") >= 0.3)
+        .select("a_id", "b_id", "cosine")
+    )

@@ -46,6 +46,7 @@ _OPERATOR_MODULES = (
     "terasort_spark.functions.collections",
     "terasort_spark.functions.udfs",
     "terasort_spark.sources.tera_queries",
+    "terasort_spark.operators.composites",
 )
 
 _loaded = False

@@ -1,0 +1,141 @@
+"""Scale-pattern demonstrations as executable tests: bucketed co-located
+joins (no shuffle of either side), salted joins for skewed keys, and
+repartitionByRange + partition offsets for global rank — the recipes the
+operator docstrings point at for 100 TB operation (SURVEY.md §7)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from terasort_spark.catalog import table
+from terasort_spark.plans.checks import executed_plan
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir):
+    """Writing both join sides bucketed by the join key lets the
+    sort-merge join read co-located buckets — the physical plan contains
+    NO Exchange above either scan. At 100 TB this converts every
+    repeated fact-fact join on the same key into a scan-only operation."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    (
+        o.write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .mode("overwrite")
+        .saveAsTable("orders_b")
+    )
+    (
+        li.write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .mode("overwrite")
+        .saveAsTable("lineitem_b")
+    )
+    # disable auto-broadcast so the join would otherwise shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("orders_b").join(
+            spark.table("lineitem_b"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = executed_plan(j)
+        assert "Exchange" not in plan, plan
+        # result is still correct
+        n_bucketed = j.count()
+        n_plain = o.join(li, o.o_orderkey == li.l_orderkey).count()
+        assert n_bucketed == n_plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    """Skew recipe: explode the small side over N salts, salt the big
+    side's key by hash(row)%N — same result, but a key owning 90% of
+    rows spreads over N reducers instead of one. (AQE's skew-join split
+    does this automatically for sort-merge joins; the manual form also
+    covers aggregations and older planners.)"""
+    n_salt = 8
+    li = table(spark, sf_dir, "lineitem")
+    # manufacture skew: key = l_returnflag ('N' holds ~half the table)
+    dim = spark.createDataFrame(
+        [("N", "no_return"), ("R", "returned"), ("A", "accepted")],
+        ["flag", "flag_name"],
+    )
+    plain = (
+        li.join(dim, li.l_returnflag == dim.flag)
+        .groupBy("flag_name")
+        .count()
+        .collect()
+    )
+    salted_fact = li.withColumn(
+        "salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(n_salt))
+    )
+    salted_dim = dim.crossJoin(
+        spark.range(n_salt).select(F.col("id").cast("int").alias("salt"))
+    )
+    salted = (
+        salted_fact.join(
+            salted_dim,
+            (salted_fact.l_returnflag == salted_dim.flag)
+            & (salted_fact.salt == salted_dim.salt),
+        )
+        .groupBy("flag_name")
+        .count()
+        .collect()
+    )
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, salted))
+
+
+def test_two_pass_global_rank_matches_window(spark, sf_dir):
+    """The 100 TB global-rank recipe from sorts.sort_rank's docstring:
+    repartitionByRange on the sort key, rank within partitions, add
+    per-partition offsets — no single-task window. Verified against the
+    single-partition window form."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_extendedprice") > 99000)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+    # reference: single-partition window (ok at test scale)
+    w = Window.orderBy(
+        F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    )
+    want = {
+        (r["l_orderkey"], r["l_linenumber"]): r["rank"]
+        for r in li.withColumn("rank", F.row_number().over(w)).collect()
+    }
+
+    # two-pass: range partition by sort key, local rank, then offset by
+    # the sizes of preceding partitions (collected — one int per partition)
+    parts = li.repartitionByRange(
+        8, F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    ).withColumn("pid", F.spark_partition_id())
+    sizes = {
+        r["pid"]: r["n"]
+        for r in parts.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    off_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], ["pid", "offset"]
+    )
+    wl = Window.partitionBy("pid").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    )
+    got = {
+        (r["l_orderkey"], r["l_linenumber"]): r["rank"]
+        for r in (
+            parts.withColumn("local_rank", F.row_number().over(wl))
+            .join(F.broadcast(off_df), "pid")
+            .withColumn("rank", (F.col("local_rank") + F.col("offset")).cast("int"))
+        ).collect()
+    }
+    assert got == want
