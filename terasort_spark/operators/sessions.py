@@ -125,3 +125,49 @@ def sessionize(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
     )
+
+
+@register(
+    "stream_session",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= {GAP_MIN} * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+  SELECT user_id, ts,
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL {GAP_MIN} MINUTE AS session_end,
+       count(*) AS n_events
+FROM sessions
+GROUP BY user_id, sid
+""",
+)
+def stream_session(spark, sf_dir):
+    """session_window() in batch mode — the exact expression a streaming
+    job uses (with a watermark) runs unchanged here, so this declared
+    query pins its semantics against the gaps-and-islands SQL: Spark's
+    session_window merges events closer than the gap (strict <, i.e. a
+    gap of exactly 30:00 starts a NEW session) and reports
+    end = last_ts + gap. Streaming equivalence for the same expression
+    is asserted in tests/test_streaming.py."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", f"{GAP_MIN} minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
