@@ -1,0 +1,241 @@
+"""Second-wave operator coverage: pivot, exact percentiles, correlation
+aggregates, bitwise ops, extended string/array functions, additional
+source formats, INTERSECT ALL. Same rules as everywhere: JVM-side
+expressions only, oracle-checked where SQL-expressible.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from terasort_spark.catalog import table
+from terasort_spark.operators._util import o_rnd, rnd
+from terasort_spark.registry import register
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+SELECT l_returnflag,
+       count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS n_f,
+       count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS n_o
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_pivot(spark, sf_dir):
+    """Pivot (crosstab): rows keyed by returnflag, one count column per
+    linestatus. Values are enumerated explicitly — at scale an
+    unenumerated pivot forces an extra pass to discover the domain."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "l_returnflag",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+        )
+    )
+
+
+@register(
+    "agg_percentile",
+    oracle=f"""
+SELECT c_mktsegment,
+       {o_rnd("percentile_cont(0.5) WITHIN GROUP (ORDER BY c_acctbal)", "p50")},
+       {o_rnd("percentile_cont(0.9) WITHIN GROUP (ORDER BY c_acctbal)", "p90")},
+       {o_rnd("percentile_disc(0.5) WITHIN GROUP (ORDER BY c_acctbal)", "p50_disc")}
+FROM customer
+GROUP BY c_mktsegment
+""",
+)
+def agg_percentile(spark, sf_dir):
+    # Exact interpolated percentile (Spark `percentile` == SQL-standard
+    # percentile_cont). The 100 TB variant is approx_percentile
+    # (mergeable t-digest-style sketch) — declared rows-only below.
+    return (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            rnd(F.percentile("c_acctbal", F.lit(0.5)), "p50"),
+            rnd(F.percentile("c_acctbal", F.lit(0.9)), "p90"),
+            rnd(F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY c_acctbal)"), "p50_disc"),
+        )
+    )
+
+
+@register("agg_percentile_approx")  # sketch-based → rows-only
+def agg_percentile_approx(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            rnd(F.percentile_approx("c_acctbal", F.lit(0.5), F.lit(1000)), "p50_approx")
+        )
+    )
+
+
+@register(
+    "agg_corr",
+    oracle=f"""
+SELECT l_returnflag,
+       {o_rnd("corr(l_quantity, l_extendedprice)", "qty_price_corr")},
+       {o_rnd("covar_samp(l_quantity, l_extendedprice)", "covar_s")},
+       {o_rnd("covar_pop(l_quantity, l_discount)", "covar_p")}
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_corr(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            rnd(F.corr("l_quantity", "l_extendedprice"), "qty_price_corr"),
+            rnd(F.covar_samp("l_quantity", "l_extendedprice"), "covar_s"),
+            rnd(F.covar_pop("l_quantity", "l_discount"), "covar_p"),
+        )
+    )
+
+
+@register(
+    "fn_string2",
+    oracle="""
+SELECT p_partkey,
+       array_to_string(list_transform(string_split(p_name, ' '), w -> concat(upper(w[1:1]), lower(w[2:]))), ' ') AS cap_name,
+       reverse(p_brand) AS rev_brand,
+       repeat(p_brand, 2) AS brand2,
+       translate(p_type, 'aeiou', '.....') AS masked_type,
+       split_part(p_name, ' ', 1) AS first_tok,
+       starts_with(p_name, 'a') AS starts_a,
+       ends_with(p_type, 's') AS ends_s,
+       contains(p_name, 'er') AS has_er
+FROM part
+WHERE p_partkey < 1000
+""",
+)
+def fn_string2(spark, sf_dir):
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") < 1000)
+    return p.select(
+        "p_partkey",
+        F.initcap("p_name").alias("cap_name"),
+        F.reverse("p_brand").alias("rev_brand"),
+        F.repeat("p_brand", 2).alias("brand2"),
+        F.translate("p_type", "aeiou", ".....").alias("masked_type"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("first_tok"),
+        F.startswith(F.col("p_name"), F.lit("a")).alias("starts_a"),
+        F.endswith(F.col("p_type"), F.lit("s")).alias("ends_s"),
+        F.contains(F.col("p_name"), F.lit("er")).alias("has_er"),
+    )
+
+
+@register(
+    "fn_bits",
+    oracle="""
+SELECT e.event_id,
+       e.event_id & 255 AS low_byte,
+       e.event_id | 4096 AS with_flag,
+       xor(e.event_id, 1431655765) AS xored,
+       e.event_id << 2 AS shl,
+       e.event_id >> 3 AS shr,
+       CAST(bit_count(e.event_id) AS INTEGER) AS popcount
+FROM events e
+WHERE e.event_id < 2000
+""",
+)
+def fn_bits(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    k = F.col("event_id")
+    return ev.select(
+        "event_id",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.lit(0x55555555)).alias("xored"),
+        F.shiftleft(k, 2).alias("shl"),
+        F.shiftright(k, 3).alias("shr"),
+        F.bit_count(k).alias("popcount"),
+    )
+
+
+@register(
+    "fn_array2",
+    oracle="""
+SELECT doc_id,
+       list_bool_or(list_transform(string_split(text, ' '), w -> length(w) > 8))
+           AS any_long,
+       list_bool_and(list_transform(string_split(text, ' '), w -> length(w) > 1))
+           AS all_multichar,
+       CAST(list_position(string_split(text, ' '), 'data') AS INTEGER) AS data_pos,
+       array_to_string(list_slice(string_split(text, ' '), 1, 5), '_') AS joined5,
+       list_sort(list_transform([1, 2, 3], i -> CAST(i * 10 AS BIGINT))) AS tens
+FROM documents
+WHERE doc_id < 100
+""",
+)
+def fn_array2(spark, sf_dir):
+    # exists/forall/array_position/array_join + a constructed literal
+    # array — the predicate HOFs that replace per-row Python loops.
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.exists(toks, lambda w: F.length(w) > 8).alias("any_long"),
+        F.forall(toks, lambda w: F.length(w) > 1).alias("all_multichar"),
+        F.array_position(toks, "data").cast("int").alias("data_pos"),
+        F.array_join(F.slice(toks, 1, 5), "_").alias("joined5"),
+        F.sort_array(
+            F.transform(F.array(F.lit(1), F.lit(2), F.lit(3)), lambda i: (i * 10).cast("long"))
+        ).alias("tens"),
+    )
+
+
+@register(
+    "set_intersect_all",
+    oracle="""
+SELECT l_suppkey AS suppkey FROM lineitem WHERE l_returnflag = 'R'
+INTERSECT ALL
+SELECT l_suppkey AS suppkey FROM lineitem WHERE l_returnflag = 'A'
+""",
+)
+def set_intersect_all(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    r = li.filter(F.col("l_returnflag") == "R").select(F.col("l_suppkey").alias("suppkey"))
+    a = li.filter(F.col("l_returnflag") == "A").select(F.col("l_suppkey").alias("suppkey"))
+    return r.intersectAll(a)
+
+
+def _roundtrip_dir(fmt: str) -> str:
+    return os.path.join(tempfile.gettempdir(), f"terasort_spark_src_{fmt}")
+
+
+@register("source_csv")  # file-format round trip → rows-only
+def source_csv(spark, sf_dir):
+    """CSV source: write orders as headered CSV, read back with explicit
+    schema (never inference at scale — one pass saved, types pinned)."""
+    out = _roundtrip_dir("csv")
+    shutil.rmtree(out, ignore_errors=True)
+    o = table(spark, sf_dir, "orders")
+    o.write.mode("overwrite").option("header", True).csv(out)
+    schema = (
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )
+    return spark.read.schema(schema).option("header", True).csv(out)
+
+
+@register("source_jsonl")  # file-format round trip → rows-only
+def source_jsonl(spark, sf_dir):
+    """JSON-lines source round trip with explicit schema."""
+    out = _roundtrip_dir("jsonl")
+    shutil.rmtree(out, ignore_errors=True)
+    n = table(spark, sf_dir, "nation")
+    n.write.mode("overwrite").json(out)
+    return spark.read.schema("n_nationkey int, n_name string, n_regionkey int").json(
+        out
+    )
