@@ -33,6 +33,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     stacks on top."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    # Every query path passes through here: make sure the session is
+    # configured (UTC) and the package is importable on Python workers
+    # even when the caller skipped entry()/configure().
+    from terasort_spark.session import configure
+
+    configure(spark)
     if name == "events":
         # events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
         # reader rejects. Read nanos as long and convert to microsecond

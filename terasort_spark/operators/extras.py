@@ -239,3 +239,43 @@ def source_jsonl(spark, sf_dir):
     return spark.read.schema("n_nationkey int, n_name string, n_regionkey int").json(
         out
     )
+
+
+@register(
+    "etl_upsert",
+    oracle="""
+SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+       coalesce(u.o_custkey, b.o_custkey) AS o_custkey,
+       CASE WHEN u.o_orderkey IS NOT NULL THEN 'X' ELSE b.o_orderstatus END
+           AS o_orderstatus,
+       coalesce(u.o_totalprice * 1.1, b.o_totalprice) AS raw_price
+FROM orders b
+FULL JOIN (SELECT * FROM orders WHERE o_orderkey % 10 = 0) u
+  ON b.o_orderkey = u.o_orderkey
+""",
+)
+def etl_upsert(spark, sf_dir):
+    """MERGE/upsert emulation on plain parquet (no table format): base
+    FULL OUTER JOIN updates, coalescing per column. Every 10th order is
+    'updated' (status->X, price*1.1). At 100 TB this is the standard
+    pre-Delta CDC apply: one shuffle on the merge key, or shuffle-free
+    when base and updates share a bucketed layout
+    (tests/test_scale_patterns.py). Note raw_price is intentionally
+    unrounded: coalesce of identical doubles is exact cross-engine."""
+    base = table(spark, sf_dir, "orders").alias("b")
+    updates = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .alias("u")
+    )
+    j = base.join(updates, F.col("b.o_orderkey") == F.col("u.o_orderkey"), "full")
+    return j.select(
+        F.coalesce("u.o_orderkey", "b.o_orderkey").alias("o_orderkey"),
+        F.coalesce("u.o_custkey", "b.o_custkey").alias("o_custkey"),
+        F.when(F.col("u.o_orderkey").isNotNull(), F.lit("X"))
+        .otherwise(F.col("b.o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.coalesce(F.col("u.o_totalprice") * 1.1, F.col("b.o_totalprice")).alias(
+            "raw_price"
+        ),
+    )
