@@ -279,3 +279,18 @@ def etl_upsert(spark, sf_dir):
             "raw_price"
         ),
     )
+
+
+@register("scan_sample")  # engine RNGs differ → rows-only; bounds in tests
+def scan_sample(spark, sf_dir):
+    """Seeded Bernoulli sample (data-selection primitive for training
+    pipelines). Deterministic for a fixed seed AND partitioning; sample
+    fraction checked within binomial bounds in tests/test_llm.py. The
+    per-partition XORShift streams mean resampling after a repartition
+    yields a different (equally valid) subset — pin partitioning before
+    sampling when exact reproducibility across layouts matters."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .sample(fraction=0.1, seed=42)
+        .select("l_orderkey", "l_linenumber")
+    )

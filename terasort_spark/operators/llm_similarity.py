@@ -252,3 +252,65 @@ def sim_cosine_ivf(spark, sf_dir):
         .filter(F.col("rn") <= 5)
         .select("q_id", "c_id", "cosine", "rn")
     )
+
+
+_SHINGLES_SQL = (
+    "list_distinct(list_transform("
+    "range(1, greatest(len(string_split(lower(text), ' ')) - 2, 0) + 1), "
+    "i -> concat(string_split(lower(text), ' ')[i], ' ', "
+    "string_split(lower(text), ' ')[i+1], ' ', "
+    "string_split(lower(text), ' ')[i+2])))"
+)
+
+
+@register(
+    "sim_ngram",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS sh
+  FROM documents WHERE doc_id < 150
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       {o_rnd("CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh))", "ngram_jaccard")}
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / len(list_distinct(a.sh || b.sh)) >= 0.2
+""",
+)
+def sim_ngram(spark, sf_dir):
+    """3-gram (shingle) Jaccard near-dup pairs: word trigrams are far
+    more selective than single tokens on high-overlap corpora (token
+    Jaccard median here is 0.6; trigram Jaccard collapses unless word
+    ORDER also matches). Shingling is a JVM expression over the token
+    array (sequence + element_at); the pair step is the same
+    candidate/verify split as sim_jaccard — MinHash over shingles is the
+    100 TB path."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    toks = F.split(F.lower("text"), " ")
+
+    def shingle(ts):
+        idx = F.sequence(F.lit(1), F.greatest(F.size(ts) - 2, F.lit(0)))
+        return F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(ts, i),
+                    F.element_at(ts, i + 1),
+                    F.element_at(ts, i + 2),
+                ),
+            )
+        )
+
+    t = d.select("doc_id", shingle(toks).alias("sh"))
+    a = t.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"))
+    b = t.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"))
+    jacc = F.size(F.array_intersect("a_sh", "b_sh")).cast("double") / F.size(
+        F.array_union("a_sh", "b_sh")
+    )
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .withColumn("ngram_jaccard", rnd(jacc))
+        .filter(F.col("ngram_jaccard") >= 0.2)
+        .select("a_id", "b_id", "ngram_jaccard")
+    )

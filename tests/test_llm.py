@@ -95,3 +95,15 @@ def test_agg_approx_within_hll_error(spark, sf_dir):
     }
     for k, e in exact.items():
         assert abs(approx[k] - e) / e < 0.1, (k, approx[k], e)
+
+def test_scan_sample_seeded_and_bounded(spark, sf_dir):
+    df = _Q["scan_sample"](spark, sf_dir)
+    n1 = df.count()
+    n2 = _Q["scan_sample"](spark, sf_dir).count()
+    assert n1 == n2  # same seed + partitioning -> identical sample
+    total = 6000 if "0.001" in sf_dir else 60000 if "0.01" in sf_dir else 600000
+    # binomial(n, 0.1) stays within ±5 sigma of the mean
+    import math
+
+    mean, sd = total * 0.1, math.sqrt(total * 0.1 * 0.9)
+    assert abs(n1 - mean) < 5 * sd, (n1, mean, sd)
