@@ -6,6 +6,7 @@ total-order binary sort pipeline plus a full relational, window,
 streaming, UDF, and LLM-data-pipeline operator surface.
 """
 
+from terasort_spark.engine import Engine  # noqa: F401
 from terasort_spark.registry import oracle_sql, queries, register  # noqa: F401
 from terasort_spark.session import get_spark  # noqa: F401
 

@@ -40,3 +40,15 @@ def test_entry_smoke(spark):
 
     df = e.entry(spark)
     assert df.count() > 0
+
+
+def test_engine_facade(spark, sf_dir):
+    from terasort_spark import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    assert "agg_group" in eng.names()
+    assert eng.query("agg_group").count() > 0
+    assert eng.sql("SELECT count(*) AS n FROM region").collect()[0]["n"] == 5
+    assert eng.oracle("agg_group") is not None
+    report = eng.teravalidate(eng.terasort(n_rows=10_000, n_partitions=4))
+    assert report["sorted_between"] and report["sorted_within"]

@@ -79,3 +79,21 @@ def test_partial_aggregation_before_shuffle(spark, sf_dir):
 def test_topk_pergroup_uses_window_group_limit(spark, sf_dir):
     plan = executed_plan(_Q["topk_pergroup"](spark, sf_dir))
     assert "WindowGroupLimit" in plan, plan
+
+def test_partitioned_sink_prunes_partitions(spark, sf_dir):
+    """Static partition pruning: reading the status-partitioned sink with
+    a partition predicate must show a PartitionFilters entry and scan
+    only that partition's files — the layout/pruning pair the 100 TB
+    design leans on."""
+    from terasort_spark.plans.checks import formatted_plan
+
+    _Q["sink_parquet"](spark, sf_dir)  # materializes the partitioned dir
+    import os, tempfile
+
+    out = os.path.join(tempfile.gettempdir(), "terasort_spark_sink_parquet")
+    df = spark.read.parquet(out).filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey"
+    )
+    plan = formatted_plan(df)
+    part_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert part_lines and "o_orderstatus" in part_lines[0], plan
