@@ -87,7 +87,7 @@ def _norm_spark_type(dt) -> str:
 def _canon(v):
     """Canonicalize one cell so Spark and DuckDB values hash identically."""
     if v is None:
-        return None
+        return ("0null",)  # tuple so mixed None/value columns stay sortable
     if isinstance(v, bool):
         return ("b", v)
     if isinstance(v, float):

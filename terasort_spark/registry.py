@@ -48,6 +48,7 @@ _OPERATOR_MODULES = (
     "terasort_spark.sources.tera_queries",
     "terasort_spark.operators.composites",
     "terasort_spark.operators.extras",
+    "terasort_spark.operators.timeseries",
 )
 
 _loaded = False
