@@ -50,3 +50,37 @@ def test_random_predicates_match_duckdb(spark, sf_dir, lo, width, status, prio, 
     finally:
         con.close()
     assert n_spark == n_duck
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    bal=st.floats(min_value=-1000, max_value=10000, allow_nan=False),
+    seg=st.sampled_from(
+        ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    ),
+)
+def test_random_theta_join_counts_match_duckdb(spark, sf_dir, bal, seg):
+    """Randomized theta-join: supplier x customer on same nation AND
+    acctbal threshold — row counts must agree with DuckDB."""
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == seg)
+    n_spark = s.join(
+        c,
+        (s.s_nationkey == c.c_nationkey)
+        & (s.s_acctbal > c.c_acctbal)
+        & (c.c_acctbal > bal),
+    ).count()
+    con = duck_connection(sf_dir)
+    try:
+        n_duck = con.execute(
+            f"""SELECT count(*) FROM supplier JOIN customer
+                ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+                AND c_acctbal > {bal!r}
+                WHERE c_mktsegment = '{seg}'"""
+        ).fetchone()[0]
+    finally:
+        con.close()
+    assert n_spark == n_duck
