@@ -153,3 +153,63 @@ def tpch_q10_shape(spark, sf_dir):
         .filter(F.col("rn") <= 20)
         .select("c_custkey", "c_name", "n_name", "revenue", "rn")
     )
+
+
+@register(
+    "tpch_q18_shape",
+    oracle=f"""
+SELECT c_custkey, o_orderkey,
+       {o_dsum("l_quantity", "total_qty")}
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY c_custkey, o_orderkey
+HAVING sum(l_quantity) > 300
+""",
+)
+def tpch_q18_shape(spark, sf_dir):
+    """TPC-H Q18 (large-volume customers): per-order quantity totals with
+    a HAVING cut. The HAVING predicate is evaluated post-aggregation —
+    only surviving groups leave the agg, so the filter costs nothing
+    extra at scale."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("c_custkey", "o_orderkey")
+        .agg(
+            dsum(F.col("l_quantity"), "total_qty"),
+            F.sum("l_quantity").alias("_raw_qty"),
+        )
+        .filter(F.col("_raw_qty") > 300)
+        .drop("_raw_qty")
+    )
+
+
+@register(
+    "corr_scalar_subquery",
+    oracle="""
+SELECT p_partkey, p_brand, p_retailprice
+FROM part p
+WHERE p_retailprice = (SELECT min(p2.p_retailprice)
+                       FROM part p2 WHERE p2.p_brand = p.p_brand)
+""",
+)
+def corr_scalar_subquery(spark, sf_dir):
+    """Correlated scalar subquery (cheapest part per brand), expressed in
+    decorrelated form — groupBy-min joined back on the correlation key —
+    which is exactly the plan Catalyst's RewriteCorrelatedScalarSubquery
+    produces: one extra agg + one equi-join, no per-row subquery."""
+    p = table(spark, sf_dir, "part")
+    mins = p.groupBy(F.col("p_brand").alias("mb")).agg(
+        F.min("p_retailprice").alias("min_price")
+    )
+    return (
+        p.join(
+            F.broadcast(mins),
+            (p.p_brand == F.col("mb")) & (p.p_retailprice == F.col("min_price")),
+        )
+        .select("p_partkey", "p_brand", "p_retailprice")
+    )

@@ -176,3 +176,46 @@ def test_late_data_dropped_after_watermark(spark, sf_dir, replay_dir):
     # the 10:00 window was closed by the 12:00 event advancing the
     # watermark; the late 10:10 row must NOT appear in it
     assert out.get("2024-01-01T10:00:00") == 1, out
+
+def test_stream_stream_join_equals_batch(spark, sf_dir, replay_dir):
+    """Stream-stream inner join with an event-time range constraint:
+    purchases joined to the same user's clicks within the preceding 30
+    minutes. Both sides are watermarked so Spark can discard buffered
+    state; after full replay the result must equal the batch join."""
+    stagers = stage_chunks(spark, sf_dir, replay_dir, n_chunks=3)
+    src = read_stream(spark, replay_dir)
+    purchases = (
+        src.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        src.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+    )
+    joined = purchases.join(clicks, cond).select("p_id", "c_id")
+    got = run_to_memory(joined, "ssjoin_sink", "append", stagers, spark)
+
+    ev = table(spark, sf_dir, "events")
+    bp = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    bc = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"), F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    want = bp.join(bc, cond).select("p_id", "c_id")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
