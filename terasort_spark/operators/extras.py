@@ -294,3 +294,31 @@ def scan_sample(spark, sf_dir):
         .sample(fraction=0.1, seed=42)
         .select("l_orderkey", "l_linenumber")
     )
+
+
+@register("source_orc")  # file-format round trip → rows-only
+def source_orc(spark, sf_dir):
+    """ORC source round trip (built-in columnar alternative to parquet;
+    same pushdown/pruning machinery). Avro is not bundled in this
+    environment — gated out rather than stubbed since the reader API is
+    identical (`.format('avro')`)."""
+    out = _roundtrip_dir("orc")
+    shutil.rmtree(out, ignore_errors=True)
+    table(spark, sf_dir, "supplier").write.mode("overwrite").orc(out)
+    return spark.read.orc(out)
+
+
+@register("source_text")  # line-oriented source → rows-only
+def source_text(spark, sf_dir):
+    """Plain-text source: one row per line — the rawest ingest format a
+    training-data pipeline starts from (wet/warc-style dumps). Written
+    from documents.text, read back with line counts preserved."""
+    out = _roundtrip_dir("text")
+    shutil.rmtree(out, ignore_errors=True)
+    (
+        table(spark, sf_dir, "documents")
+        .select(F.regexp_replace(F.col("text"), "[\\r\\n]", " ").alias("value"))
+        .write.mode("overwrite")
+        .text(out)
+    )
+    return spark.read.text(out)
