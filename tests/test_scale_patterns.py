@@ -139,3 +139,64 @@ def test_two_pass_global_rank_matches_window(spark, sf_dir):
         ).collect()
     }
     assert got == want
+
+def test_aqe_splits_skewed_join(spark, sf_dir):
+    """AQE skew-join handling, provoked locally: one hot key owning ~95%
+    of the fact side, broadcast disabled so the join is sort-merge, and
+    skew thresholds lowered so the hot partition qualifies. The final
+    adaptive plan must mark the join skew=true (runtime partition
+    splitting) — the mechanism that absorbs hot keys at 100 TB without
+    manual salting."""
+    # 16 upstream mappers: AQE splits a skewed reduce partition along
+    # MAPPER output boundaries, so a single-file scan (1 map task) can
+    # never split — exactly why tiny local runs hide skew behavior
+    li = table(spark, sf_dir, "lineitem").repartition(16)
+    # ~95% of rows collapse onto key 0, rest keep their own key
+    fact = li.select(
+        F.when(F.col("l_orderkey") % 20 != 0, F.lit(0))
+        .otherwise(F.col("l_orderkey"))
+        .alias("k"),
+        "l_quantity",
+    )
+    # plain projection: OptimizeSkewedJoin requires both join children to
+    # be direct shuffle stages (a limit/distinct in between disables it)
+    dim = spark.range(0, 2000, numPartitions=8).select(F.col("id").alias("k"))
+    saved = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": spark.conf.get(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor"
+        ),
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"
+        ),
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": spark.conf.get(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+        ),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": spark.conf.get(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+        ),
+        "spark.sql.adaptive.coalescePartitions.enabled": spark.conf.get(
+            "spark.sql.adaptive.coalescePartitions.enabled"
+        ),
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        j = fact.join(dim, "k")
+        # collect() executes THIS DataFrame's QueryExecution — count()
+        # would run a different one and leave this plan unfinalized
+        rows = j.collect()
+        assert rows
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:4000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
