@@ -192,3 +192,36 @@ def fn_cast(spark, sf_dir):
         F.lit("42").cast("long").alias("lit_int"),
         F.col("o_orderkey").cast("double").alias("key_dbl"),
     )
+
+
+@register(
+    "fn_regex",
+    oracle=r"""
+SELECT p_partkey,
+       regexp_extract(p_name, '^([a-z]+) ([a-z]+)', 2) AS second_word,
+       CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS INTEGER) AS n_vowels,
+       regexp_replace(p_name, '(l+l)', '<\1>', 'g') AS doubled_marked,
+       regexp_matches(p_type, '^[a-z]+ [a-z]+$') AS two_words,
+       regexp_replace(p_name, '\s+', '_', 'g') AS snake
+FROM part
+WHERE p_partkey < 1000
+""",
+)
+def fn_regex(spark, sf_dir):
+    """Regex family. Dialect notes encoded in the oracle: group references
+    are $1 in Spark replacement strings but \\1 in DuckDB's (and DuckDB's
+    RE2 engine rejects backreferences in PATTERNS entirely); Spark
+    regexp_count ~ DuckDB len(regexp_extract_all); Spark rlike ~ DuckDB
+    regexp_matches; DuckDB regexp_replace needs the 'g' flag to match
+    Spark's replace-all default."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") < 1000)
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"^([a-z]+) ([a-z]+)", 2).alias("second_word"),
+        F.regexp_count(F.col("p_name"), F.lit(r"[aeiou]")).alias("n_vowels"),
+        F.regexp_replace(F.col("p_name"), r"(l+l)", r"<$1>").alias(
+            "doubled_marked"
+        ),
+        F.col("p_type").rlike(r"^[a-z]+ [a-z]+$").alias("two_words"),
+        F.regexp_replace(F.col("p_name"), r"\s+", "_").alias("snake"),
+    )

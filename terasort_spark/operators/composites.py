@@ -213,3 +213,58 @@ def corr_scalar_subquery(spark, sf_dir):
         )
         .select("p_partkey", "p_brand", "p_retailprice")
     )
+
+
+@register(
+    "tpch_q7_shape",
+    oracle=f"""
+SELECT supp_nation, cust_nation, l_year,
+       {o_dsum("volume", "revenue")}
+FROM (
+  SELECT n1.n_name AS supp_nation,
+         n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INTEGER) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
+      OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))
+)
+GROUP BY supp_nation, cust_nation, l_year
+""",
+)
+def tpch_q7_shape(spark, sf_dir):
+    """TPC-H Q7 (volume shipping): nation-pair trade volume by year. The
+    disjunctive nation-pair predicate sits on two broadcast nation dims;
+    the fact chain shuffles only on its natural keys."""
+    s = table(spark, sf_dir, "supplier")
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n1 = F.broadcast(table(spark, sf_dir, "nation")).alias("n1")
+    n2 = F.broadcast(table(spark, sf_dir, "nation")).alias("n2")
+    pair = (
+        (F.col("n1.n_name") == "FRANCE") & (F.col("n2.n_name") == "GERMANY")
+    ) | ((F.col("n1.n_name") == "GERMANY") & (F.col("n2.n_name") == "FRANCE"))
+    j = (
+        s.join(li, s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(n1, F.col("s_nationkey") == F.col("n1.n_nationkey"))
+        .join(n2, F.col("c_nationkey") == F.col("n2.n_nationkey"))
+        .filter(pair)
+    )
+    return (
+        j.select(
+            F.col("n1.n_name").alias("supp_nation"),
+            F.col("n2.n_name").alias("cust_nation"),
+            F.year("l_shipdate").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum(F.col("volume"), "revenue"))
+    )

@@ -322,3 +322,20 @@ def source_text(spark, sf_dir):
         .text(out)
     )
     return spark.read.text(out)
+
+
+@register("scan_stratified")  # per-stratum seeded sampling → rows-only
+def scan_stratified(spark, sf_dir):
+    """Stratified sampling (sampleBy): per-class fractions — the
+    data-mixing primitive for training-set curation (e.g. downsample the
+    dominant language, keep the rare ones). Seeded and deterministic for
+    a fixed partitioning; per-stratum counts checked in tests."""
+    return (
+        table(spark, sf_dir, "documents")
+        .sampleBy(
+            "lang",
+            fractions={"en": 0.2, "de": 1.0, "es": 0.5, "fr": 1.0, "zh": 1.0},
+            seed=7,
+        )
+        .select("doc_id", "lang")
+    )

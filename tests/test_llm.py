@@ -107,3 +107,24 @@ def test_scan_sample_seeded_and_bounded(spark, sf_dir):
 
     mean, sd = total * 0.1, math.sqrt(total * 0.1 * 0.9)
     assert abs(n1 - mean) < 5 * sd, (n1, mean, sd)
+
+
+def test_scan_stratified_respects_fractions(spark, sf_dir):
+    out = _Q["scan_stratified"](spark, sf_dir)
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    totals = {
+        r["lang"]: r["n"]
+        for r in _Q["text_stats"](spark, sf_dir).select("lang", F.col("n_docs").alias("n")).collect()
+    }
+    fracs = {"en": 0.2, "de": 1.0, "es": 0.5, "fr": 1.0, "zh": 1.0}
+    import math
+
+    for lang, frac in fracs.items():
+        n, total = got.get(lang, 0), totals[lang]
+        if frac == 1.0:
+            assert n == total, (lang, n, total)
+        else:
+            sd = math.sqrt(total * frac * (1 - frac))
+            assert abs(n - total * frac) < 5 * sd + 1, (lang, n, total)
+    # determinism
+    assert out.count() == _Q["scan_stratified"](spark, sf_dir).count()
