@@ -339,3 +339,36 @@ def scan_stratified(spark, sf_dir):
         )
         .select("doc_id", "lang")
     )
+
+
+@register(
+    "agg_argmax",
+    oracle=f"""
+SELECT c_mktsegment,
+       arg_max(c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) * 100000 + c_custkey)
+           AS richest_cust,
+       arg_min(c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) * 100000 + c_custkey)
+           AS poorest_cust,
+       bool_or(c_acctbal > 9000) AS any_rich,
+       bool_and(c_acctbal > -1000) AS all_above_floor,
+       {o_rnd("median(c_acctbal)", "med_bal")}
+FROM customer
+GROUP BY c_mktsegment
+""",
+)
+def agg_argmax(spark, sf_dir):
+    """argmax/argmin + boolean aggregates + exact median. max_by's tie
+    choice is engine-arbitrary, so the ordering value folds the unique
+    key in (acctbal is 2dp → x*100*1e5 + custkey is injective) — the
+    same determinism rule as everywhere else (D3)."""
+    c = table(spark, sf_dir, "customer")
+    ordv = (
+        F.round(F.col("c_acctbal") * 100).cast("long") * 100000 + F.col("c_custkey")
+    )
+    return c.groupBy("c_mktsegment").agg(
+        F.max_by("c_custkey", ordv).alias("richest_cust"),
+        F.min_by("c_custkey", ordv).alias("poorest_cust"),
+        F.bool_or(F.col("c_acctbal") > 9000).alias("any_rich"),
+        F.bool_and(F.col("c_acctbal") > -1000).alias("all_above_floor"),
+        rnd(F.median("c_acctbal"), "med_bal"),
+    )
