@@ -314,3 +314,89 @@ def sim_ngram(spark, sf_dir):
         .filter(F.col("ngram_jaccard") >= 0.2)
         .select("a_id", "b_id", "ngram_jaccard")
     )
+
+
+@register(
+    "emb_centroid",
+    oracle="""
+SELECT label, pos,
+       floor(CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(25,6))) AS DOUBLE)
+             / count(*) * 10000 + 0.5) / 10000 AS centroid
+FROM (
+  SELECT label,
+         CAST(generate_subscripts(embedding, 1) AS INTEGER) AS pos,
+         unnest(embedding) AS v
+  FROM embeddings
+)
+GROUP BY label, pos
+""",
+)
+def emb_centroid(spark, sf_dir):
+    """Per-label embedding centroid (column-wise mean): posexplode to
+    (label, dimension, value) rows, then one hash agg — the coarse
+    quantizer training step of IVF ANN and the update step of
+    distributed k-means. Sums run through an exact DECIMAL cast (a
+    binary double is never exactly half-way at 6dp, so both engines
+    round it identically) and divide by the exact count, making the
+    centroid reproducible under any partitioning. At 100 TB this is a
+    single map-side-combined shuffle of dims×labels cells — no vector
+    ever crosses the wire whole."""
+    e = table(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("pos0", "v"))
+    return (
+        ex.groupBy("label", (F.col("pos0") + 1).cast("int").alias("pos"))
+        .agg(
+            rnd(
+                F.sum(F.col("v").cast("double").cast("decimal(25,6)")).cast("double")
+                / F.count(F.lit(1)),
+                "centroid",
+            )
+        )
+    )
+
+
+@register(
+    "emb_quantize",
+    oracle="""
+WITH cells AS (
+  SELECT vec_id,
+         CAST(generate_subscripts(embedding, 1) AS INTEGER) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+ranges AS (
+  SELECT pos, min(v) AS lo, max(v) AS hi FROM cells GROUP BY pos
+)
+SELECT c.vec_id, c.pos,
+       CAST(least(floor((c.v - r.lo) / (r.hi - r.lo) * 255), 255) AS INTEGER) AS code
+FROM cells c JOIN ranges r ON c.pos = r.pos
+WHERE c.vec_id < 5
+""",
+)
+def emb_quantize(spark, sf_dir):
+    """Per-dimension min-max scalar quantization to 8-bit codes (the SQ8
+    compression step of a vector index): one global pass computes each
+    dimension's [min, max], broadcast back onto the cells, then
+    code = floor((v - lo) / (hi - lo) * 255). Min/max over floats and
+    the single IEEE divide are bit-deterministic on both engines. The
+    ranges table is dims-sized (tiny) regardless of corpus scale, so
+    the join is always a broadcast."""
+    e = table(spark, sf_dir, "embeddings")
+    cells = e.select(
+        "vec_id",
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "pos0", "v"
+        ),
+    ).select("vec_id", (F.col("pos0") + 1).cast("int").alias("pos"), "v")
+    ranges = cells.groupBy("pos").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    code = F.least(
+        F.floor((F.col("v") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 255),
+        F.lit(255),
+    ).cast("int")
+    return (
+        cells.filter(F.col("vec_id") < 5)
+        .join(F.broadcast(ranges), "pos")
+        .select("vec_id", "pos", code.alias("code"))
+    )
