@@ -104,3 +104,31 @@ def sink_parquet(spark, sf_dir):
         "o_orderdate",
         "o_orderpriority",
     )
+
+
+@register(
+    "sink_partitioned_pruned",
+    oracle="SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'",
+)
+def sink_partitioned_pruned(spark, sf_dir):
+    """Partitioned sink + partition-pruned re-read, oracle-checked: write
+    documents hive-partitioned by lang, then read back ONE partition.
+    The filter is satisfied by directory listing alone (PartitionFilters
+    in the scan, zero data files from other langs opened) — the layout
+    that makes a 100 TB corpus cheap to slice by a low-cardinality key.
+    Values must round-trip bit-exactly through the write, so this is a
+    sink-fidelity check too (vs sink_parquet's weaker rows-only)."""
+    out = os.path.join(tempfile.gettempdir(), "terasort_spark_sink_part")
+    shutil.rmtree(out, ignore_errors=True)
+    (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .write.mode("overwrite")
+        .partitionBy("lang")
+        .parquet(out)
+    )
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("lang") == "en")
+        .select("doc_id", F.col("lang").cast("string").alias("lang"), "n_chars")
+    )

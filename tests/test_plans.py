@@ -97,3 +97,18 @@ def test_partitioned_sink_prunes_partitions(spark, sf_dir):
     plan = formatted_plan(df)
     part_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert part_lines and "o_orderstatus" in part_lines[0], plan
+
+
+def test_sink_partitioned_read_prunes_partitions(spark, sf_dir):
+    """The re-read after a partitionBy('lang') write must prune at the
+    directory level: the scan's PartitionFilters carries the lang
+    predicate, and no PushedFilters on data columns are needed."""
+    from terasort_spark.registry import queries
+
+    df = queries()["sink_partitioned_pruned"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the lang predicate must appear among partition (not data) filters
+    start = plan.index("PartitionFilters")
+    segment = plan[start : plan.index("]", start) + 1]
+    assert "lang" in segment, segment

@@ -219,3 +219,75 @@ def test_stream_stream_join_equals_batch(spark, sf_dir, replay_dir):
     )
     want = bp.join(bc, cond).select("p_id", "c_id")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_foreachbatch_upsert_sink_equals_batch(spark, sf_dir, replay_dir):
+    """foreachBatch is the custom-sink workhorse: an update-mode
+    streaming agg emits changed per-user totals each micro-batch, and
+    the sink MERGEs them into a keyed parquet state (replace-by-key —
+    at cluster scale this is MERGE INTO a transactional table; the
+    key-replace merge makes redelivery of a batch naturally
+    idempotent). After all chunks arrive the sink state must equal the
+    batch groupBy answer."""
+    import pandas as pd
+
+    stagers = stage_chunks(spark, sf_dir, replay_dir, n_chunks=3)
+    # state lives OUTSIDE replay_dir: the file-stream source globs that
+    # dir, and Spark's batch reader skips underscore-prefixed paths
+    state_dir = tempfile.mkdtemp(prefix="ts_fbatch_state_")
+    state_file = os.path.join(state_dir, "state.parquet")
+    seen = {}
+
+    def merge(batch_df, batch_id):
+        upd = batch_df.toPandas()
+        seen[batch_id] = upd
+        if os.path.exists(state_file):
+            cur = pd.read_parquet(state_file)
+            cur = cur[~cur["user_id"].isin(set(upd["user_id"]))]
+            out = pd.concat([cur, upd], ignore_index=True)
+        else:
+            out = upd
+        tmp = state_file + ".tmp"
+        out.to_parquet(tmp)
+        os.replace(tmp, state_file)
+
+    agg = (
+        read_stream(spark, replay_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    q = (
+        agg.writeStream.foreachBatch(merge)
+        .outputMode("update")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        for stage in stagers:
+            stage()
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(
+        (int(r.user_id), int(r.n_events))
+        for r in spark.read.parquet(state_file).collect()
+    )
+    want = sorted(
+        (int(r.user_id), int(r.n))
+        for r in table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert got == want
+
+    # redeliver the last batch verbatim: key-replace merge is idempotent
+    last_bid = max(seen)
+    merge(spark.createDataFrame(seen[last_bid]), last_bid)
+    again = sorted(
+        (int(r.user_id), int(r.n_events))
+        for r in spark.read.parquet(state_file).collect()
+    )
+    assert again == want
+    shutil.rmtree(state_dir, ignore_errors=True)
