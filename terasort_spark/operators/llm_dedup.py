@@ -237,3 +237,90 @@ def dedup_embcos(spark, sf_dir):
         .filter(F.col("cosine") >= 0.3)
         .select("a_id", "b_id", "cosine")
     )
+
+
+@register(
+    "dedup_cluster",
+    oracle="""
+WITH RECURSIVE
+t AS (SELECT doc_id, list_distinct(string_split(lower(text),' ')) AS toks
+      FROM documents WHERE doc_id < 200),
+p AS (SELECT a.doc_id AS u, b.doc_id AS v FROM t a JOIN t b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.toks,b.toks)) AS DOUBLE)
+            / len(list_distinct(a.toks || b.toks)) >= 0.9),
+e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+reach AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+)
+SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster_id
+FROM t d LEFT JOIN reach r ON r.u = d.doc_id
+GROUP BY d.doc_id
+""",
+)
+def dedup_cluster(spark, sf_dir):
+    """Connected components over near-duplicate pairs — the step after
+    LSH in a real dedup pipeline (grouping candidate pairs into
+    duplicate clusters; cluster_id = smallest doc_id in the component).
+
+    Spark has no recursive SQL, so this is iterative min-label
+    propagation: each round every node takes the min label among itself
+    and its neighbors (one equi-join + one groupBy-min), until a round
+    changes nothing. Rounds needed = component diameter. The driver only
+    ever collects a single convergence scalar; labels stay distributed,
+    and each round localCheckpoints to keep the plan from growing with
+    the iteration count (on a cluster: spark.checkpoint against a
+    durable dir). The oracle is DuckDB's recursive-CTE transitive
+    closure — same answer, engine-native recursion.
+
+    The pair generator here is the exact-Jaccard slice (doc_id < 200,
+    tau 0.9) so the oracle can reproduce it; at 100 TB the pairs input
+    swaps to minhash_pairs with no change to the propagation loop."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", F.array_distinct(F.split(F.lower("text"), " ")).alias("toks"))
+    )
+    a = d.select(F.col("doc_id").alias("a_id"), F.col("toks").alias("a_toks"))
+    b = d.select(F.col("doc_id").alias("b_id"), F.col("toks").alias("b_toks"))
+    jacc = F.size(F.array_intersect("a_toks", "b_toks")).cast("double") / F.size(
+        F.array_union("a_toks", "b_toks")
+    )
+    pairs = (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .filter(jacc >= 0.9)
+        .select("a_id", "b_id")
+    )
+    edges = pairs.select(
+        F.col("a_id").alias("u"), F.col("b_id").alias("v")
+    ).unionByName(pairs.select(F.col("b_id").alias("u"), F.col("a_id").alias("v")))
+    edges = edges.localCheckpoint(eager=True)  # pairs are reused every round
+
+    labels = d.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    for _ in range(32):  # cap >> any real component diameter
+        neigh = (
+            edges.join(labels, edges.v == labels.doc_id)
+            .groupBy("u")
+            .agg(F.min("cluster_id").alias("neigh_min"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.doc_id == neigh.u, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("neigh_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
