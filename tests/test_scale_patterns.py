@@ -200,3 +200,97 @@ def test_aqe_splits_skewed_join(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_bucketized_range_join_matches_theta_join(spark, sf_dir):
+    """A pure range join (event ts within an order's 7-day window) has no
+    equi-key, so Spark plans BroadcastNestedLoopJoin — O(n*m) and
+    undriveable at 100 TB. Bucketizing time onto a 1-day grid and
+    exploding each interval into the days it covers turns it into an
+    equi-join on the bucket (plus a residual range filter): shuffle-
+    partitioned, linear in data + overlaps. Both forms must agree
+    exactly; the bucketized plan must be a real equi-join, not BNLJ."""
+    DAY = 86400
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 2000)
+        .select("event_id", F.unix_timestamp("ts").alias("es"))
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 500)
+        .select(
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").alias("lo"),
+            (F.unix_timestamp("o_orderdate") + 7 * DAY).alias("hi"),
+        )
+    )
+
+    in_range = (F.col("es") >= F.col("lo")) & (F.col("es") < F.col("hi"))
+    naive = o.join(ev, in_range).select("o_orderkey", "event_id")
+
+    # equi-join path: each interval registers in every day-bucket it
+    # touches; events land in exactly one bucket
+    ob = o.withColumn(
+        "bucket",
+        F.explode(F.sequence(F.floor(F.col("lo") / DAY), F.floor((F.col("hi") - 1) / DAY))),
+    )
+    eb = ev.withColumn("bucket", F.floor(F.col("es") / DAY))
+    bucketed = (
+        ob.join(eb, "bucket")
+        .filter(in_range)
+        .select("o_orderkey", "event_id")
+        .distinct()  # an (order, event) pair can only meet in one bucket, but keep the general recipe honest
+    )
+
+    assert sorted(map(tuple, naive.collect())) == sorted(map(tuple, bucketed.collect()))
+
+    plan = executed_plan(bucketed)
+    assert "NestedLoop" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    """Runtime row-level filtering: when a selective filter sits on one
+    side of a shuffle join, Catalyst builds a bloom filter from that
+    side's join keys and injects a might_contain probe above the other
+    side's scan — probe rows that can't match die before the shuffle.
+    At 100 TB this turns a full-fact shuffle into a shuffle of only
+    plausibly-matching rows. (Thresholds are lowered here because the
+    sf0.1 scan is below the 10 GB default application-side cutoff.)"""
+    conf = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force a shuffle join
+    }
+    saved = {k: spark.conf.get(k, None) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        o = table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = table(spark, sf_dir, "lineitem")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = executed_plan(j)
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan
+        # and the answer is unaffected by the injected filter
+        base = (
+            li.join(o.hint("broadcast"), li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert sorted(map(tuple, j.collect())) == sorted(map(tuple, base.collect()))
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

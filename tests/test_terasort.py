@@ -44,3 +44,39 @@ def test_terasort_plan_uses_range_exchange(spark):
     out = terasort(teragen(spark, 1000, n_partitions=4), n_partitions=4)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan.lower(), plan
+
+def test_teragen_datasource_plugin(spark):
+    """The custom Python DataSource (connector-plugin surface): reader
+    plans its own id-range partitions, generates deterministically on
+    executors, and feeds the standard terasort pipeline unchanged."""
+    from pyspark.sql import functions as F
+
+    from terasort_spark.sources.teragen_ds import TeraGenDataSource, _record
+
+    spark.dataSource.register(TeraGenDataSource)
+    df = (
+        spark.read.format("teragen")
+        .option("rows", 20_000)
+        .option("partitions", 7)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 7
+    assert df.count() == 20_000
+
+    # deterministic at a DIFFERENT partition count: same multiset
+    df2 = (
+        spark.read.format("teragen")
+        .option("rows", 20_000)
+        .option("partitions", 3)
+        .load()
+    )
+    assert checksum(df) == checksum(df2)
+
+    # row shape matches the GraySort contract and the local generator
+    row = df.filter(F.col("value") == "0".zfill(32).ljust(90, "X").encode()).first()
+    assert row is not None and bytes(row.key) == _record(0, 42)[0]
+
+    # the sort pipeline is source-agnostic
+    v = teravalidate(terasort(df, n_partitions=5))
+    assert v["n_rows"] == 20_000
+    assert v["sorted_within"] and v["sorted_between"]
