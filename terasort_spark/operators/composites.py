@@ -485,3 +485,38 @@ def tpch_q22_shape(spark, sf_dir):
             dsum(F.col("c_acctbal"), "totacctbal"),
         )
     )
+
+
+@register(
+    "tpch_q4_shape",
+    oracle="""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+  AND o_orderdate <  TIMESTAMP '1997-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+""",
+)
+def tpch_q4_shape(spark, sf_dir):
+    """TPC-H Q4 (order priority checking, adapted: the corpus lacks
+    commit/receipt dates so the EXISTS predicate is "some lineitem
+    shipped after the order date"): a correlated EXISTS expressed as a
+    left-semi join carrying the non-equi ship-date condition, then a
+    tiny priority rollup. The semi join never duplicates orders no
+    matter how many lineitems match — output stays bounded by orders."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )

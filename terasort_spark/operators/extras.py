@@ -372,3 +372,54 @@ def agg_argmax(spark, sf_dir):
         F.bool_and(F.col("c_acctbal") > -1000).alias("all_above_floor"),
         rnd(F.median("c_acctbal"), "med_bal"),
     )
+
+
+@register(
+    "agg_unpivot",
+    oracle="""
+SELECT o_orderkey, metric, val FROM (
+  UNPIVOT (SELECT o_orderkey, o_totalprice AS price, CAST(o_custkey AS DOUBLE) AS cust
+           FROM orders)
+  ON price, cust INTO NAME metric VALUE val)
+""",
+)
+def agg_unpivot(spark, sf_dir):
+    """UNPIVOT / melt: wide columns to (name, value) rows — the inverse
+    of agg_pivot and the normalization step feeding long-format ML
+    pipelines. Pure narrow transformation: each input row expands to
+    k rows in place, no shuffle at any scale."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.col("o_custkey").cast("double").alias("cust"),
+    )
+    return o.unpivot(
+        ids=["o_orderkey"],
+        values=["price", "cust"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+SELECT CAST(floor(o_totalprice / 30000.0) AS INTEGER) AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders
+GROUP BY bucket
+""",
+)
+def agg_histogram(spark, sf_dir):
+    """Equi-width histogram via floor arithmetic (width_bucket without
+    the engine-specific function): one map-side-combined groupBy whose
+    output is bounded by the bucket count, not the data size. The
+    bucket expression is a single IEEE divide+floor — identical on
+    every engine, so histograms are reproducible across reruns."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 30000.0).cast("int").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -132,3 +132,20 @@ def sink_partitioned_pruned(spark, sf_dir):
         .filter(F.col("lang") == "en")
         .select("doc_id", F.col("lang").cast("string").alias("lang"), "n_chars")
     )
+
+
+@register("scan_provenance")  # file paths are environment-specific → rows-only
+def scan_provenance(spark, sf_dir):
+    """Row-level lineage from the hidden _metadata column of file
+    sources: which physical file (and row group position) produced each
+    row. At 100 TB this is how a pipeline traces a bad record back to
+    its source object without any bookkeeping columns in the data."""
+    return (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.col("_metadata.file_name").alias("src_file"),
+            F.col("_metadata.file_size").alias("src_bytes"),
+        )
+        .filter(F.col("doc_id") < 100)
+    )
