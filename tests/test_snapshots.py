@@ -111,3 +111,27 @@ def test_snapshot_compaction_preserves_state(spark, sf_dir, root):
         assert snap.versions(spark, new_root) == [0]
     finally:
         shutil.rmtree(new_root, ignore_errors=True)
+
+
+def test_schema_evolution_merge_schema(spark, sf_dir, root):
+    """Schema evolution across segments: later files may add columns.
+    mergeSchema=true unions the schemas (old rows read NULL for new
+    columns) — the lake-format behavior that lets a 100 TB table gain a
+    column without rewriting history."""
+    import os
+
+    old = _base(spark, sf_dir).limit(10)
+    new = (
+        _base(spark, sf_dir)
+        .limit(5)
+        .withColumn("o_channel", F.lit("web"))
+        .withColumn("o_orderkey", F.col("o_orderkey") + 1_000_000)
+    )
+    old.write.parquet(os.path.join(root, "seg=0"))
+    new.write.parquet(os.path.join(root, "seg=1"))
+
+    df = spark.read.option("mergeSchema", "true").parquet(root)
+    assert "o_channel" in df.columns
+    assert df.count() == 15
+    assert df.filter(F.col("o_channel").isNull()).count() == 10  # old rows
+    assert df.filter(F.col("o_channel") == "web").count() == 5

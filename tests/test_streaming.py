@@ -291,3 +291,33 @@ def test_foreachbatch_upsert_sink_equals_batch(spark, sf_dir, replay_dir):
     )
     assert again == want
     shutil.rmtree(state_dir, ignore_errors=True)
+
+
+def test_stream_static_enrichment_join_equals_batch(spark, sf_dir, replay_dir):
+    """Stream-static join: each micro-batch joins against a static
+    dimension snapshot (no watermark needed — the static side is not
+    stateful). The enrichment pattern for 100 TB pipelines: the dim is
+    broadcast per batch, the stream never shuffles on the join key."""
+    stagers = stage_chunks(spark, sf_dir, replay_dir, n_chunks=3)
+    users = (
+        table(spark, sf_dir, "customer")
+        .select(
+            (F.col("c_custkey") % 50).alias("user_id"), "c_mktsegment"
+        )
+        .groupBy("user_id")
+        .agg(F.min("c_mktsegment").alias("segment"))
+    )
+    enriched = (
+        read_stream(spark, replay_dir)
+        .join(F.broadcast(users), "user_id")
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    got = run_to_memory(enriched, "enrich_sink", "complete", stagers, spark)
+    want = (
+        table(spark, sf_dir, "events")
+        .join(users, "user_id")
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
