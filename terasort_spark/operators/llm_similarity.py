@@ -400,3 +400,106 @@ def emb_quantize(spark, sf_dir):
         .join(F.broadcast(ranges), "pos")
         .select("vec_id", "pos", code.alias("code"))
     )
+
+
+@register(
+    "emb_covariance",
+    oracle="""
+WITH cells AS (
+  SELECT vec_id,
+         CAST(generate_subscripts(embedding, 1) AS INTEGER) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+means AS (
+  SELECT pos,
+         CAST(sum(CAST(v AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS m
+  FROM cells GROUP BY pos
+),
+prods AS (
+  SELECT a.pos AS i, b.pos AS j,
+         CAST(sum(CAST(a.v * b.v AS DECIMAL(25,6))) AS DOUBLE) AS s,
+         count(*) AS cnt
+  FROM cells a JOIN cells b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+  GROUP BY a.pos, b.pos
+)
+SELECT i, j,
+       floor((s / cnt - ma.m * mb.m) * 10000 + 0.5) / 10000 AS cov
+FROM prods
+JOIN means ma ON ma.pos = i
+JOIN means mb ON mb.pos = j
+""",
+)
+def emb_covariance(spark, sf_dir):
+    """Distributed covariance matrix of the embedding columns (upper
+    triangle): the gram-style block computation under PCA / whitening.
+    Cells (vec_id, dim, value) self-join per vector — dims² products per
+    vector, aggregated map-side so the shuffle carries only dims²
+    partial cells regardless of corpus size. E[xy] and the means use
+    exact decimal sums; cov = s/n - mx*my is then a fixed IEEE
+    expression, reproducible on any partitioning (population
+    covariance, same as the oracle)."""
+    e = table(spark, sf_dir, "embeddings")
+    cells = e.select(
+        "vec_id",
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "pos0", "v"
+        ),
+    ).select("vec_id", (F.col("pos0") + 1).cast("int").alias("pos"), "v")
+    means = cells.groupBy("pos").agg(
+        (F.sum(F.col("v").cast("decimal(25,6)")).cast("double") / F.count(F.lit(1))).alias("m")
+    )
+    a = cells.select("vec_id", F.col("pos").alias("i"), F.col("v").alias("va"))
+    b = cells.select("vec_id", F.col("pos").alias("j"), F.col("v").alias("vb"))
+    prods = (
+        a.join(b, (a.vec_id == b.vec_id) & (F.col("i") <= F.col("j")))
+        .groupBy("i", "j")
+        .agg(
+            F.sum((F.col("va") * F.col("vb")).cast("decimal(25,6)"))
+            .cast("double")
+            .alias("s"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    ma = means.select(F.col("pos").alias("i"), F.col("m").alias("ma"))
+    mb = means.select(F.col("pos").alias("j"), F.col("m").alias("mb"))
+    return (
+        prods.join(F.broadcast(ma), "i")
+        .join(F.broadcast(mb), "j")
+        .select(
+            "i",
+            "j",
+            rnd(F.col("s") / F.col("cnt") - F.col("ma") * F.col("mb"), "cov"),
+        )
+    )
+
+
+@register(
+    "emb_pca_power",
+    oracle=None,  # eigensolve isn't SQL-expressible → rows-only;
+    # dominant-eigenvector property asserted in tests/test_llm.py
+)
+def emb_pca_power(spark, sf_dir):
+    """First principal component via power iteration: ONE distributed
+    pass builds the dims×dims covariance (see emb_covariance — the only
+    data-sized computation), then the constant-sized eigensolve runs on
+    the driver (dims² floats; at 100 TB the matrix is still 64×64).
+    Output: (pos, loading) of the dominant eigenvector, sign-normalized
+    so the largest-|loading| entry is positive, floor-rounded."""
+    cov_rows = emb_covariance(spark, sf_dir).collect()  # dims² cells, tiny
+    dim = max(r.j for r in cov_rows)
+    mat = [[0.0] * dim for _ in range(dim)]
+    for r in cov_rows:
+        mat[r.i - 1][r.j - 1] = r.cov
+        mat[r.j - 1][r.i - 1] = r.cov
+    vec = [1.0 / dim] * dim
+    for _ in range(100):
+        nxt = [sum(mat[i][k] * vec[k] for k in range(dim)) for i in range(dim)]
+        norm = sum(x * x for x in nxt) ** 0.5
+        vec = [x / norm for x in nxt]
+    pivot = max(range(dim), key=lambda i: abs(vec[i]))
+    if vec[pivot] < 0:
+        vec = [-x for x in vec]
+    return spark.createDataFrame(
+        [(i + 1, round(v, 4)) for i, v in enumerate(vec)], "pos int, loading double"
+    )

@@ -128,3 +128,28 @@ def test_scan_stratified_respects_fractions(spark, sf_dir):
             assert abs(n - total * frac) < 5 * sd + 1, (lang, n, total)
     # determinism
     assert out.count() == _Q["scan_stratified"](spark, sf_dir).count()
+
+
+def test_pca_power_matches_numpy_eigensolve(spark, sf_dir):
+    """emb_pca_power's dominant eigenvector must match numpy's dense
+    eigensolve on the same covariance matrix (sign-normalized, 4dp
+    tolerance loosened to 1e-3 for the iteration cutoff)."""
+    import numpy as np
+
+    from terasort_spark.registry import queries
+
+    cov_rows = queries()["emb_covariance"](spark, sf_dir).collect()
+    dim = max(r.j for r in cov_rows)
+    m = np.zeros((dim, dim))
+    for r in cov_rows:
+        m[r.i - 1, r.j - 1] = r.cov
+        m[r.j - 1, r.i - 1] = r.cov
+    w, v = np.linalg.eigh(m)
+    top = v[:, int(np.argmax(w))]
+    pivot = int(np.argmax(np.abs(top)))
+    if top[pivot] < 0:
+        top = -top
+
+    got = {r.pos: r.loading for r in queries()["emb_pca_power"](spark, sf_dir).collect()}
+    assert len(got) == dim
+    assert max(abs(got[i + 1] - top[i]) for i in range(dim)) < 1e-3
