@@ -423,3 +423,61 @@ def agg_histogram(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "ml_linreg",
+    oracle="""
+WITH t AS (
+  SELECT event_type,
+         CAST(epoch(ts) - 1700000000 AS DOUBLE) AS x,
+         value AS y
+  FROM events
+),
+s AS (
+  SELECT event_type,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(x AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(y AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+  FROM t GROUP BY event_type
+)
+SELECT event_type,
+       floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e10 + 0.5) / 1e10 AS slope,
+       floor((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n * 10000 + 0.5) / 10000 AS intercept
+FROM s
+""",
+)
+def ml_linreg(spark, sf_dir):
+    """Per-group ordinary least squares (value ~ time), closed form from
+    sufficient statistics: slope = (nΣxy − ΣxΣy)/(nΣxx − Σx²). The five
+    sums are one map-side-combined groupBy — the whole regression is a
+    single shuffle of 5 numbers per group at any data size, the same
+    sufficient-statistics shape MLlib's linear models aggregate. Each
+    sum runs through an exact DECIMAL cast (x is integer seconds,
+    centered to keep x² inside DECIMAL(38,6); y is 6dp), so the final
+    arithmetic is one fixed IEEE expression — reproducible on any
+    partitioning. Slope is rounded at 1e-10 (its natural scale:
+    value-units per second over a multi-month span)."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.unix_timestamp("ts") - F.lit(1_700_000_000)).cast("double").alias("x"),
+        F.col("value").alias("y"),
+    )
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast("decimal(25,6)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(25,6)")).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,6)")).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,6)")).cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return s.select(
+        "event_type",
+        (F.floor(slope * 1e10 + F.lit(0.5)) / 1e10).alias("slope"),
+        rnd(intercept, "intercept"),
+    )
