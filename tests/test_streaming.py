@@ -321,3 +321,25 @@ def test_stream_static_enrichment_join_equals_batch(spark, sf_dir, replay_dir):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_stream_sliding_window_equals_batch(spark, sf_dir, replay_dir):
+    """Sliding windows (1h size, 30m slide): every event lands in two
+    overlapping windows; the streaming replay must produce the same
+    per-(window, type) counts as the declared batch twin."""
+    stagers = stage_chunks(spark, sf_dir, replay_dir, n_chunks=3)
+    agg = (
+        read_stream(spark, replay_dir)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    got = run_to_memory(agg, "sliding_sink", "complete", stagers, spark)
+    want = queries()["stream_sliding"](spark, sf_dir)
+    # align on the columns the declared query exposes
+    want = want.select("window_start", "event_type", "n_events")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
