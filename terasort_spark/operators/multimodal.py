@@ -75,3 +75,23 @@ def multimodal_features(spark, sf_dir):
         "sha1_8 string, thumb_mean double"
     )
     return d.mapInPandas(extract_features_batched, schema=out_schema)
+
+
+@register("multimodal_resize")  # Arrow-native pipeline → rows-only check
+def multimodal_resize(spark, sf_dir):
+    """Thumbnail resize (2x2 mean pool of the fake decode) through
+    ``mapInArrow`` — one level below mapInPandas: the UDF consumes raw
+    pyarrow RecordBatches, skipping pandas Series materialization
+    entirely. For billions of small blobs that per-row object overhead
+    is the difference between an IO-bound and a CPU-bound scan; the
+    codec stays behind the same stub boundary as multimodal_features."""
+    from terasort_spark.sources.media import resize_batched_arrow
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit("fake/raw").alias("media_type"),
+    )
+    return d.mapInArrow(
+        resize_batched_arrow, schema="doc_id bigint, thumb array<double>"
+    )

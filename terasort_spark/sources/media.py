@@ -58,3 +58,25 @@ def extract_features_batched(
                 ),
             }
         )
+
+
+def resize_batched_arrow(batches):
+    """mapInArrow worker: 2x2 mean-pool of the fake 4x4 thumbnail,
+    operating on pyarrow RecordBatches directly — no pandas conversion,
+    the path for high-volume binary columns where even the
+    pandas-object overhead per blob matters."""
+    import pyarrow as pa
+
+    for batch in batches:
+        payloads = batch.column("payload").to_pylist()
+        types = batch.column("media_type").to_pylist()
+        pooled = []
+        for b, mt in zip(payloads, types):
+            img = decode_image(bytes(b), mt)
+            # 4x4 -> 2x2 mean pool, row-major flatten
+            p = img.reshape(2, 2, 2, 2).mean(axis=(1, 3))
+            pooled.append([float(x) for x in p.ravel()])
+        yield pa.RecordBatch.from_arrays(
+            [batch.column("doc_id"), pa.array(pooled, pa.list_(pa.float64()))],
+            names=["doc_id", "thumb"],
+        )

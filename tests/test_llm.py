@@ -160,3 +160,28 @@ def test_pca_power_matches_numpy_eigensolve(spark, sf_dir):
     assert residual < dim * 5e-5 + 1e-3, residual
     # sign normalization: largest-|loading| entry is positive
     assert vec[int(np.argmax(np.abs(vec)))] > 0
+
+
+def test_multimodal_resize_arrow_matches_local(spark, sf_dir):
+    """mapInArrow 2x2 pooling must equal the per-row local computation
+    and preserve one output row per document."""
+    import hashlib
+
+    import numpy as np
+
+    from terasort_spark.registry import queries
+
+    rows = queries()["multimodal_resize"](spark, sf_dir).collect()
+    from terasort_spark.catalog import table as _t
+    from pyspark.sql import functions as F
+
+    docs = {
+        r.doc_id: r.text
+        for r in _t(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    assert len(rows) == len(docs)
+    for r in rows[:20]:
+        digest = hashlib.sha256(docs[r.doc_id].encode()).digest()[:16]
+        img = np.frombuffer(digest, dtype=np.uint8).reshape(4, 4).astype(np.float64)
+        want = img.reshape(2, 2, 2, 2).mean(axis=(1, 3)).ravel()
+        assert np.allclose(r.thumb, want), r.doc_id
