@@ -149,3 +149,49 @@ def scan_provenance(spark, sf_dir):
         )
         .filter(F.col("doc_id") < 100)
     )
+
+
+@register(
+    "source_json_dirty",
+    oracle="""
+SELECT event_type,
+       CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+       CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_corrupt
+FROM (
+  SELECT event_type,
+         json_valid(CASE WHEN event_id % 7 = 0
+                         THEN substr(props, 1, length(props) - 1)
+                         ELSE props END) AS ok
+  FROM events
+)
+GROUP BY event_type
+""",
+)
+def source_json_dirty(spark, sf_dir):
+    """Dirty-data tolerance: a corpus where ~1/7 of the JSON payloads
+    are malformed (simulated by truncating the closing brace — the one
+    corruption class Spark's lenient Jackson parser and DuckDB's
+    json_valid agree on; trailing garbage and trailing commas are each
+    accepted by exactly one engine) must parse
+    without failing the job — from_json's PERMISSIVE default yields a
+    struct whose fields are all NULL for bad rows (the struct itself is
+    non-null), so corruption is detected through a required field
+    (every valid payload carries ``k``; FIXTURES.md) and counted per
+    event type.
+    At 100 TB you quarantine by routing the n_corrupt rows to a
+    dead-letter sink instead of counting them; the detection predicate
+    is the same."""
+    ev = table(spark, sf_dir, "events")
+    mangled = F.when(
+        F.col("event_id") % 7 == 0,
+        F.substring(F.col("props"), 1, F.length("props") - 1),
+    ).otherwise(F.col("props"))
+    parsed = F.from_json(mangled, "k INT, cat STRING")
+    return (
+        ev.select("event_type", parsed.getField("k").isNotNull().alias("ok"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_valid"),
+            F.sum(F.when(F.col("ok"), 0).otherwise(1)).alias("n_corrupt"),
+        )
+    )
