@@ -47,6 +47,7 @@ _OPERATOR_MODULES = (
     "terasort_spark.functions.udfs",
     "terasort_spark.sources.tera_queries",
     "terasort_spark.operators.composites",
+    "terasort_spark.operators.composites2",
     "terasort_spark.operators.extras",
     "terasort_spark.operators.timeseries",
 )
