@@ -49,6 +49,7 @@ _OPERATOR_MODULES = (
     "terasort_spark.operators.composites",
     "terasort_spark.operators.composites2",
     "terasort_spark.operators.extras",
+    "terasort_spark.operators.extras2",
     "terasort_spark.operators.timeseries",
 )
 
