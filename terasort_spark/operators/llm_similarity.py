@@ -433,12 +433,46 @@ JOIN means mb ON mb.pos = j
 def emb_covariance(spark, sf_dir):
     """Distributed covariance matrix of the embedding columns (upper
     triangle): the gram-style block computation under PCA / whitening.
-    Cells (vec_id, dim, value) self-join per vector — dims² products per
-    vector, aggregated map-side so the shuffle carries only dims²
-    partial cells regardless of corpus size. E[xy] and the means use
+
+    The dims²-per-vector product work runs as Arrow-batched numpy outer
+    products (mapInPandas), with each product quantized to 6dp int64
+    BEFORE summation — exactly the DECIMAL(25,6) arithmetic the oracle
+    does, so the result stays bit-identical to the SQL formulation while
+    replacing the dims²·n-row self-join shuffle with one dims²-row
+    partial per Arrow batch. Partials reduce through a regular groupBy
+    (treeAggregate shape, never a driver collect); int64 cell totals
+    stay far under 2^53 so the final /1e6 double conversion is the
+    correctly-rounded value on both engines. E[x] means use the same
     exact decimal sums; cov = s/n - mx*my is then a fixed IEEE
     expression, reproducible on any partitioning (population
     covariance, same as the oracle)."""
+    import numpy as np
+
+    def prod_partials(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            x = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            dim = x.shape[1]
+            acc = np.zeros((dim, dim), dtype="int64")
+            # sub-chunk so peak memory is chunk×dims² regardless of
+            # Arrow batch size (100 TB hygiene)
+            for k in range(0, len(x), 512):
+                p = np.einsum("ni,nj->nij", x[k : k + 512], x[k : k + 512])
+                # round half away from zero at 6dp == CAST AS DECIMAL(25,6)
+                acc += np.trunc(p * 1e6 + np.copysign(0.5, p)).astype("int64").sum(
+                    axis=0
+                )
+            ii, jj = np.triu_indices(dim)
+            yield pd.DataFrame(
+                {
+                    "i": (ii + 1).astype("int32"),
+                    "j": (jj + 1).astype("int32"),
+                    "q": acc[ii, jj],
+                    "cnt": np.full(len(ii), len(x), dtype="int64"),
+                }
+            )
+
     e = table(spark, sf_dir, "embeddings")
     cells = e.select(
         "vec_id",
@@ -449,16 +483,13 @@ def emb_covariance(spark, sf_dir):
     means = cells.groupBy("pos").agg(
         (F.sum(F.col("v").cast("decimal(25,6)")).cast("double") / F.count(F.lit(1))).alias("m")
     )
-    a = cells.select("vec_id", F.col("pos").alias("i"), F.col("v").alias("va"))
-    b = cells.select("vec_id", F.col("pos").alias("j"), F.col("v").alias("vb"))
     prods = (
-        a.join(b, (a.vec_id == b.vec_id) & (F.col("i") <= F.col("j")))
+        e.select("embedding")
+        .mapInPandas(prod_partials, schema="i int, j int, q long, cnt long")
         .groupBy("i", "j")
         .agg(
-            F.sum((F.col("va") * F.col("vb")).cast("decimal(25,6)"))
-            .cast("double")
-            .alias("s"),
-            F.count(F.lit(1)).alias("cnt"),
+            (F.sum("q").cast("double") / F.lit(1e6)).alias("s"),
+            F.sum("cnt").alias("cnt"),
         )
     )
     ma = means.select(F.col("pos").alias("i"), F.col("m").alias("ma"))
