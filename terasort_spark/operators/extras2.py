@@ -153,18 +153,25 @@ def win_median(spark, sf_dir):
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(levenshtein(substring(a.text, 1, 30), substring(b.text, 1, 30)) AS INTEGER) AS dist
 FROM documents a
-JOIN documents b ON a.lang = b.lang AND a.doc_id < b.doc_id
+JOIN documents b ON a.lang = b.lang
+                AND substring(a.text, 1, 4) = substring(b.text, 1, 4)
+                AND a.doc_id < b.doc_id
 WHERE levenshtein(substring(a.text, 1, 30), substring(b.text, 1, 30)) <= 8
 """,
 )
 def sim_levenshtein(spark, sf_dir):
-    """Edit-distance near-dup: pairs of same-language docs whose 30-char
-    prefixes are within Levenshtein distance 8. Blocking on lang bounds
-    the self-join; at 100 TB the blocking key would be a coarser
-    fingerprint (first-k-token hash) so each block stays
-    executor-sized — same plan shape, finer blocks."""
+    """Edit-distance near-dup: same-language docs sharing a 4-char
+    blocking prefix whose 30-char prefixes are within Levenshtein
+    distance 8. The (lang, 4-char-prefix) blocking key is part of the
+    operator's definition (mirrored in the oracle): it turns the
+    O(n²)-per-lang self-join into an equi-join over small blocks — the
+    only shape that survives 100 TB. Finer corpora swap in a coarser
+    fingerprint (first-k-token hash) as the block key; same plan."""
     d = table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", F.substring("text", 1, 30).alias("prefix")
+        "doc_id",
+        "lang",
+        F.substring("text", 1, 4).alias("blk"),
+        F.substring("text", 1, 30).alias("prefix"),
     )
     a = d.alias("a")
     b = d.alias("b")
@@ -173,6 +180,7 @@ def sim_levenshtein(spark, sf_dir):
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -289,4 +297,75 @@ def join_salted(spark, sf_dir):
             F.count(F.lit(1)).alias("n_orders"),
             dsum(F.col("o_totalprice"), "segment_total"),
         )
+    )
+
+
+@register(
+    "win_ignorenulls",
+    oracle="""
+SELECT event_id, user_id,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id) AS fill_fwd,
+       nth_value(v, 2 IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_v
+FROM (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_type = 'error' THEN NULL
+              ELSE floor(value * 10000 + 0.5) / 10000 END AS v
+  FROM events
+)
+WHERE user_id < 10
+""",
+)
+def win_ignorenulls(spark, sf_dir):
+    """IGNORE NULLS window semantics: forward-fill (last non-null so
+    far) and the partition's second non-null value. NULLs are
+    manufactured by voiding 'error' events — the gap-repair pattern for
+    sensor/event streams. One shuffle on user_id serves both windows."""
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    v = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+        rnd(F.col("value"))
+    )
+    ordered = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    full = ordered.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.withColumn("v", v).select(
+        "event_id",
+        "user_id",
+        F.last("v", ignorenulls=True).over(ordered).alias("fill_fwd"),
+        F.nth_value("v", 2, ignoreNulls=True).over(full).alias("second_v"),
+    )
+
+
+@register(
+    "fn_string3",
+    oracle="""
+SELECT p_partkey,
+       translate(p_name, 'aeiou', 'AEIOU') AS tr,
+       reverse(p_name) AS rev,
+       repeat(p_brand, 2) AS rep,
+       CAST(ascii(p_name) AS INTEGER) AS first_code,
+       chr(65 + p_size % 26) AS size_chr,
+       CAST(strpos(p_name, 'a') AS INTEGER) AS a_pos,
+       left(p_name, 3) AS l3,
+       right(p_name, 3) AS r3
+FROM part
+WHERE p_partkey <= 500
+""",
+)
+def fn_string3(spark, sf_dir):
+    """String family #3: translate/reverse/repeat/ascii/chr/instr and
+    left/right — rounding out the scalar string surface beyond
+    fn_string/fn_string2."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    return p.select(
+        "p_partkey",
+        F.translate("p_name", "aeiou", "AEIOU").alias("tr"),
+        F.reverse("p_name").alias("rev"),
+        F.repeat("p_brand", 2).alias("rep"),
+        F.ascii("p_name").alias("first_code"),
+        F.chr(F.lit(65) + F.col("p_size") % 26).alias("size_chr"),
+        F.instr("p_name", "a").alias("a_pos"),
+        F.left("p_name", F.lit(3)).alias("l3"),
+        F.right("p_name", F.lit(3)).alias("r3"),
     )
