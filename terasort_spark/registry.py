@@ -51,6 +51,7 @@ _OPERATOR_MODULES = (
     "terasort_spark.operators.extras",
     "terasort_spark.operators.extras2",
     "terasort_spark.operators.timeseries",
+    "terasort_spark.operators.pipelines",
 )
 
 _loaded = False
