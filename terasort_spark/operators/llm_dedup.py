@@ -117,33 +117,52 @@ def minhash_pairs(spark, sf_dir, tau: float = 0.8, per_doc_cap: int | None = Non
     buckets = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
         "doc_id", "bb.band", "bb.bucket"
     )
-    pairs = (
-        buckets.alias("a")
-        .join(
-            buckets.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-    )
     if per_doc_cap is not None:
-        # Cap FIRST, dedup after verification: a full pair-level
-        # dropDuplicates would shuffle the ~n² candidate set — the exact
-        # cost the cap exists to avoid. Band-duplicate candidates only
-        # waste cap slots (same a_id sorts adjacent, so the selected set
-        # is deterministic); the post-verify dedup touches <= cap·n rows.
+        # Capped candidates are generated INSIDE each bucket, never as
+        # the full bucket self-join: group the bucket to a sorted id
+        # array and pair each doc with only its per_doc_cap nearest
+        # SMALLER ids. A hot bucket of B docs emits cap·B candidate
+        # rows instead of B²/2 — the difference between a dense-corpus
+        # dedup that finishes and one that quadratically explodes. A
+        # final per-doc window re-caps across bands (≤ bands·cap rows
+        # per doc) so the verified set is the cap smallest overall.
         from pyspark.sql import Window
 
+        grouped = buckets.groupBy("band", "bucket").agg(
+            F.sort_array(F.collect_set("doc_id")).alias("ids")
+        )
+        cand = grouped.select(
+            F.posexplode("ids").alias("idx", "b_id"),
+            F.col("ids"),
+        ).select(
+            "b_id",
+            F.explode(
+                F.slice(
+                    "ids",
+                    F.greatest(F.lit(1), F.col("idx") - per_doc_cap + 1),
+                    F.least(F.col("idx"), F.lit(per_doc_cap)),
+                )
+            ).alias("a_id"),
+        )
         w = Window.partitionBy("b_id").orderBy("a_id")
         pairs = (
-            pairs.withColumn("_rk", F.row_number().over(w))
+            cand.dropDuplicates(["a_id", "b_id"])
+            .withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") <= per_doc_cap)
             .drop("_rk")
-            .dropDuplicates(["a_id", "b_id"])
         )
     else:
-        pairs = pairs.dropDuplicates(["a_id", "b_id"])
+        pairs = (
+            buckets.alias("a")
+            .join(
+                buckets.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+            .dropDuplicates(["a_id", "b_id"])
+        )
     toks = sig.select("doc_id", "toks")
     verified = pairs.join(
         toks.select(F.col("doc_id").alias("a_id"), F.col("toks").alias("a_toks")),

@@ -95,3 +95,46 @@ def multimodal_resize(spark, sf_dir):
     return d.mapInArrow(
         resize_batched_arrow, schema="doc_id bigint, thumb array<double>"
     )
+
+
+@register("multimodal_framesample")  # pandas-UDF pipeline → rows-only check
+def multimodal_framesample(spark, sf_dir):
+    """Video frame sampling: each binary payload is treated as a frame
+    container (fixed 64-byte "frames"); every k-th frame is selected and
+    fingerprinted. The real decoder (pyav/ffmpeg) is absent in this
+    container, so frame extraction is a deterministic stub behind the
+    same boundary — the Spark-side contract (iterator mapInPandas,
+    exploded one-row-per-sampled-frame output, bounded memory per
+    batch) is the real, tested part. At 100 TB the payload column
+    streams through Arrow batches; state never exceeds one batch."""
+    import hashlib
+
+    def sample_frames(batches, frame_bytes: int = 64, stride: int = 4):
+        import pandas as pd
+
+        for pdf in batches:
+            out_doc, out_idx, out_n, out_fp = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = max(1, len(payload) // frame_bytes)
+                for i in range(0, n_frames, stride):
+                    chunk = bytes(payload[i * frame_bytes : (i + 1) * frame_bytes])
+                    out_doc.append(doc_id)
+                    out_idx.append(i)
+                    out_n.append(n_frames)
+                    out_fp.append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_doc,
+                    "frame_idx": out_idx,
+                    "n_frames": out_n,
+                    "frame_md5": out_fp,
+                }
+            )
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return d.mapInPandas(
+        sample_frames,
+        schema="doc_id bigint, frame_idx int, n_frames int, frame_md5 string",
+    )

@@ -185,3 +185,56 @@ def test_multimodal_resize_arrow_matches_local(spark, sf_dir):
         img = np.frombuffer(digest, dtype=np.uint8).reshape(4, 4).astype(np.float64)
         want = img.reshape(2, 2, 2, 2).mean(axis=(1, 3)).ravel()
         assert np.allclose(r.thumb, want), r.doc_id
+
+
+def test_dedup_minhash_partition_invariants(spark, sf_dir):
+    """keep/drop is a PARTITION of the corpus; the smallest doc_id can
+    never be dropped (no smaller partner exists); and every dropped doc
+    has a capped-candidate partner that verifies at Jaccard >= 0.8."""
+    from terasort_spark.operators.llm_dedup import minhash_pairs
+
+    out = _Q["dedup_minhash"](spark, sf_dir).collect()
+    keep = {r["doc_id"] for r in out if r["keep"]}
+    drop = {r["doc_id"] for r in out if not r["keep"]}
+    docs = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    }
+    assert keep | drop == docs
+    assert not (keep & drop)
+    assert min(docs) in keep
+    verified_b = {
+        r["b_id"] for r in minhash_pairs(spark, sf_dir, tau=0.8, per_doc_cap=8).collect()
+    }
+    assert drop == verified_b
+
+
+def test_framesample_plumbing(spark, sf_dir):
+    """Frame sampling contract: one row per sampled frame (every 4th of
+    the 64-byte frames), deterministic MD5 fingerprints, n_frames
+    consistent with payload length."""
+    import hashlib
+
+    df = _Q["multimodal_framesample"](spark, sf_dir)
+    rows = df.filter(F.col("doc_id") < 20).collect()
+    assert rows
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 20)
+        .collect()
+    }
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, frames in by_doc.items():
+        payload = docs[doc_id].encode()
+        n_frames = max(1, len(payload) // 64)
+        expect_idx = list(range(0, n_frames, 4))
+        assert sorted(f["frame_idx"] for f in frames) == expect_idx
+        first = min(frames, key=lambda f: f["frame_idx"])
+        assert first["frame_md5"] == hashlib.md5(payload[:64]).hexdigest()
+        assert all(f["n_frames"] == n_frames for f in frames)

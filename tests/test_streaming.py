@@ -343,3 +343,61 @@ def test_stream_sliding_window_equals_batch(spark, sf_dir, replay_dir):
     # align on the columns the declared query exposes
     want = want.select("window_start", "event_type", "n_events")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_stream_funnel_state_equals_batch(spark, sf_dir, replay_dir):
+    """Streaming twin of events_funnel's per-user stage table: first-touch
+    timestamps per funnel stage tracked in applyInPandasWithState must
+    equal the batch conditional-min aggregation after full replay. State
+    per user is three timestamps — bounded by keys, not history."""
+    stagers = stage_chunks(spark, sf_dir, replay_dir, n_chunks=3)
+    STAGES = ("signup", "click", "purchase")
+
+    def track(key, pdfs, state: GroupState):
+        cur = list(state.get) if state.exists else [None, None, None]
+        for pdf in pdfs:
+            for et, ts in zip(pdf["event_type"], pdf["ts"]):
+                for i, name in enumerate(STAGES):
+                    if et == name and (cur[i] is None or ts < cur[i]):
+                        cur[i] = ts
+        state.update(tuple(cur))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "t_signup": [cur[0]],
+                "t_click": [cur[1]],
+                "t_purchase": [cur[2]],
+            }
+        )
+
+    tracked = (
+        read_stream(spark, replay_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            track,
+            outputStructType=(
+                "user_id bigint, t_signup timestamp, "
+                "t_click timestamp, t_purchase timestamp"
+            ),
+            stateStructType="s timestamp, c timestamp, p timestamp",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    got = run_to_memory(tracked, "funnel_sink", "update", stagers, spark)
+    # last emission per user carries the final stage times: min ts per
+    # stage only ever decreases, so take the row with the fewest nulls /
+    # smallest times == elementwise min over emissions
+    final = got.groupBy("user_id").agg(
+        F.min("t_signup").alias("t_signup"),
+        F.min("t_click").alias("t_click"),
+        F.min("t_purchase").alias("t_purchase"),
+    )
+    ev = table(spark, sf_dir, "events")
+    stage_min = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    want = ev.groupBy("user_id").agg(
+        stage_min("signup").alias("t_signup"),
+        stage_min("click").alias("t_click"),
+        stage_min("purchase").alias("t_purchase"),
+    )
+    assert sorted(map(tuple, final.collect())) == sorted(map(tuple, want.collect()))
