@@ -481,3 +481,58 @@ def ml_linreg(spark, sf_dir):
         (F.floor(slope * 1e10 + F.lit(0.5)) / 1e10).alias("slope"),
         rnd(intercept, "intercept"),
     )
+
+
+@register("source_binaryfile")  # whole-file binary source → rows-only
+def source_binaryfile(spark, sf_dir):
+    """Spark's binaryFile source: each file becomes one row of (path,
+    modificationTime, length, content) — the ingestion shape for opaque
+    media blobs (images/audio) before a mapInPandas decode stage. Reads
+    the corpus's own parquet files as opaque blobs; projects stable
+    columns only (path tail + length + an md5 of the first KiB — the
+    driver-visible fingerprint is content-derived, never mtime)."""
+    d = spark.read.format("binaryFile").load(f"{sf_dir}/*.parquet")
+    return d.select(
+        F.element_at(F.split("path", "/"), -1).alias("file_name"),
+        F.col("length"),
+        F.md5(F.expr("substring(content, 1, 1024)")).alias("head_md5"),
+    ).orderBy("file_name")
+
+
+@register("source_csv_permissive")  # malformed-row handling → rows-only
+def source_csv_permissive(spark, sf_dir):
+    """PERMISSIVE CSV parsing with corrupt-record capture: malformed
+    lines land in _corrupt_record instead of failing the job — the
+    only sane default for 100 TB of found data. Writes a CSV with
+    deliberately broken rows, reads with a pinned schema, and returns
+    per-file good/bad counts plus the malformed payloads."""
+    out = _roundtrip_dir("csv_bad")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    n = table(spark, sf_dir, "nation").count()
+    rows = ["n_nationkey,n_name,n_regionkey"]
+    for r in table(spark, sf_dir, "nation").collect():
+        rows.append(f"{r.n_nationkey},{r.n_name},{r.n_regionkey}")
+    rows.insert(3, "not_an_int,BROKEN_ROW")          # malformed
+    rows.append("also,broken,row,too,many,fields")   # malformed
+    with open(os.path.join(out, "part-0.csv"), "w") as f:
+        f.write("\n".join(rows) + "\n")
+    schema = (
+        "n_nationkey int, n_name string, n_regionkey int, _corrupt_record string"
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(out)
+        .cache()  # SPARK-21610: corrupt-record col needs materialized scan
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("_corrupt_record").alias("n_corrupt"),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), 1).otherwise(0)).alias(
+            "n_good"
+        ),
+        F.lit(n).alias("n_expected_good"),
+    )
