@@ -213,3 +213,170 @@ def text_fingerprint(spark, sf_dir):
         F.md5(canon).alias("content_fp"),
         F.md5(F.substring("text", 1, 64)).alias("prefix_fp"),
     )
+
+
+@register(
+    "text_pii_scrub",
+    oracle=r"""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(dirty, '[a-z0-9.]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+         '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean,
+       length(dirty) - length(regexp_replace(dirty, '[a-z0-9.]+@[a-z]+\.[a-z]+', '', 'g')) > 0 AS had_email
+FROM (
+  SELECT doc_id,
+         'contact user' || CAST(doc_id AS VARCHAR) || '@mail.com or +1-555-' ||
+         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' re: ' || substring(text, 1, 40) AS dirty
+  FROM documents
+  WHERE doc_id < 300
+)
+""",
+)
+def text_pii_scrub(spark, sf_dir):
+    """PII redaction: email and phone patterns replaced with typed
+    placeholder tokens — the pre-training scrub pass. PII is injected
+    deterministically (the corpus has none), then removed; the oracle
+    runs the same regexes in DuckDB. Pure scan-side regexp_replace —
+    no shuffle, fully pushdown-compatible at any scale."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    dirty = F.concat(
+        F.lit("contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" re: "),
+        F.substring("text", 1, 40),
+    )
+    email = r"[a-z0-9.]+@[a-z]+\.[a-z]+"
+    phone = r"\+1-[0-9]{3}-[0-9]{4}"
+    u = d.withColumn("dirty", dirty)
+    return u.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("dirty", email, "<EMAIL>"), phone, "<PHONE>"
+        ).alias("clean"),
+        (
+            F.length("dirty")
+            - F.length(F.regexp_replace("dirty", email, ""))
+            > 0
+        ).alias("had_email"),
+    )
+
+
+@register(
+    "dedup_substring",
+    oracle="""
+WITH shingles AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           array_to_string(words[i : i + 4], ' ') AS shingle
+    FROM (
+      SELECT doc_id, string_split(lower(text), ' ') AS words
+      FROM documents
+    ), LATERAL (SELECT unnest(generate_series(1, len(words) - 4)) AS i)
+  )
+), rep AS (
+  SELECT shingle, count(*) AS n_docs FROM shingles GROUP BY shingle
+)
+SELECT doc_id,
+       count(*) AS n_shingles,
+       count(CASE WHEN n_docs > 1 THEN 1 END) AS n_shared,
+       floor(count(CASE WHEN n_docs > 1 THEN 1 END) * 1.0 / count(*) * 10000 + 0.5) / 10000 AS shared_frac
+FROM shingles JOIN rep USING (shingle)
+WHERE doc_id < 100
+GROUP BY doc_id
+""",
+)
+def dedup_substring(spark, sf_dir):
+    """Cross-document substring duplication (the pretraining "repeated
+    n-gram passage" pass): 5-token shingles per doc, shared-shingle
+    fraction per doc = how much of the document is boilerplate repeated
+    elsewhere in the corpus. Distinct (doc, shingle) explode → shingle
+    document-frequency → per-doc shared fraction. The shingle DF table
+    shuffles on the shingle hash (uniform — no hot keys by
+    construction); at 100 TB the DF side would be min-count filtered
+    before the join-back to stay broadcastable."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("words")
+    )
+    n = F.size("words")
+    idx = F.sequence(F.lit(1), n - 4)
+    shingles = (
+        d.filter(n >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    idx, lambda i: F.array_join(F.slice("words", i, 5), " ")
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    rep = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        shingles.join(rep, "shingle")
+        .filter(F.col("doc_id") < 100)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count(F.when(F.col("n_docs") > 1, 1)).alias("n_shared"),
+            rnd(
+                F.count(F.when(F.col("n_docs") > 1, 1)) * 1.0 / F.count(F.lit(1)),
+                "shared_frac",
+            ),
+        )
+    )
+
+
+@register(
+    "text_gopher_rules",
+    oracle="""
+SELECT doc_id, CAST(n_words AS INTEGER) AS n_words, mean_word_len,
+       rule_wc, rule_mwl, rule_sym,
+       CAST(rule_wc AND rule_mwl AND rule_sym AS BOOLEAN) AS pass_all
+FROM (
+  SELECT doc_id,
+         len(words) AS n_words,
+         floor((length(replace(text, ' ', '')) * 1.0 / len(words)) * 10000 + 0.5) / 10000 AS mean_word_len,
+         len(words) BETWEEN 50 AND 100000 AS rule_wc,
+         (length(replace(text, ' ', '')) * 1.0 / len(words)) BETWEEN 3 AND 10 AS rule_mwl,
+         (length(text) - length(regexp_replace(text, '[^a-z ]', '', 'g'))) * 1.0 / length(text) < 0.1 AS rule_sym
+  FROM (
+    SELECT doc_id, text, string_split(lower(text), ' ') AS words
+    FROM documents WHERE length(text) > 0
+  )
+)
+WHERE doc_id < 200
+""",
+)
+def text_gopher_rules(spark, sf_dir):
+    """Gopher-style quality gating: word-count bounds, mean-word-length
+    bounds, and symbol-ratio cap as individual boolean rule columns plus
+    the conjunction — the filter stack run before pretraining. All
+    scan-side scalar expressions; at 100 TB this runs inside the first
+    projection with zero shuffles, and the booleans partition-prune
+    downstream passes."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter((F.length("text") > 0) & (F.col("doc_id") < 200))
+        .select("doc_id", "text", F.split(F.lower("text"), " ").alias("words"))
+    )
+    n_words = F.size("words")
+    chars = F.length(F.regexp_replace("text", " ", ""))
+    mwl = chars * 1.0 / n_words
+    sym_ratio = (
+        F.length("text") - F.length(F.regexp_replace("text", "[^a-z ]", ""))
+    ) * 1.0 / F.length("text")
+    rule_wc = n_words.between(50, 100000)
+    rule_mwl = mwl.between(3, 10)
+    rule_sym = sym_ratio < 0.1
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        rnd(mwl, "mean_word_len"),
+        rule_wc.alias("rule_wc"),
+        rule_mwl.alias("rule_mwl"),
+        rule_sym.alias("rule_sym"),
+        (rule_wc & rule_mwl & rule_sym).alias("pass_all"),
+    )
