@@ -52,6 +52,8 @@ _OPERATOR_MODULES = (
     "terasort_spark.operators.extras2",
     "terasort_spark.operators.timeseries",
     "terasort_spark.operators.pipelines",
+    "terasort_spark.operators.graph",
+    "terasort_spark.operators.relational3",
 )
 
 _loaded = False

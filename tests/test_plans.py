@@ -153,3 +153,13 @@ def test_covariance_partials_are_batch_bounded(spark, sf_dir):
     mapInPandas stage and exactly one shuffle above it."""
     plan = executed_plan(_Q["emb_covariance"](spark, sf_dir))
     assert "MapInPandas" in plan, plan
+
+
+def test_lateral_topk_decorrelates_to_window_group_limit(spark, sf_dir):
+    """The correlated LATERAL ORDER BY+LIMIT subquery must NOT execute
+    per outer row: Catalyst decorrelates it into a per-group top-k
+    (WindowGroupLimit) over one exchange — the plan that survives
+    100 TB of customers."""
+    plan = executed_plan(_Q["join_lateral"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
+    assert_no_cartesian(_Q["join_lateral"](spark, sf_dir))
