@@ -54,6 +54,8 @@ _OPERATOR_MODULES = (
     "terasort_spark.operators.pipelines",
     "terasort_spark.operators.graph",
     "terasort_spark.operators.relational3",
+    "terasort_spark.operators.relational4",
+    "terasort_spark.operators.pretrain",
 )
 
 _loaded = False

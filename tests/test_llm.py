@@ -285,3 +285,43 @@ def test_triangle_count_matches_bruteforce(spark, sf_dir):
     row = _Q["graph_triangles"](spark, sf_dir).collect()[0]
     assert row["n_triangles"] == expect
     assert row["n_edges"] == len(edges)
+
+
+def test_sample_mixture_matches_local_md5(spark, sf_dir):
+    """The mixture coin is pure md5 — recompute keep/drop in Python and
+    require the exact same doc set (proves partitioning-independence:
+    nothing about the decision lives in Spark internals)."""
+    import hashlib
+
+    from terasort_spark.operators.pretrain import MIX, MIX_DEFAULT, _hex_threshold
+
+    docs = {
+        (r["doc_id"], r["source"])
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "source")
+        .collect()
+    }
+    expect = {
+        doc_id
+        for doc_id, source in docs
+        if hashlib.md5(f"mix{doc_id}".encode()).hexdigest()[:6]
+        < _hex_threshold(MIX.get(source, MIX_DEFAULT))
+    }
+    got = {r["doc_id"] for r in _Q["sample_mixture"](spark, sf_dir).collect()}
+    assert got == expect
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Packing layout is a valid greedy concat-then-chop: per source in
+    doc_id order, offsets advance by exactly n_tokens (mod CONTEXT) and
+    bin_id is the running-sum prefix divided by the context size."""
+    from terasort_spark.operators.pretrain import CONTEXT
+
+    rows = _Q["pack_sequences"](spark, sf_dir).collect()
+    assert rows
+    by_source = {}
+    for r in sorted(rows, key=lambda r: (r["source"], r["doc_id"])):
+        run = by_source.get(r["source"], 0)
+        assert r["bin_id"] == run // CONTEXT
+        assert r["bin_offset"] == run % CONTEXT
+        by_source[r["source"]] = run + r["n_tokens"]

@@ -163,3 +163,9 @@ def test_lateral_topk_decorrelates_to_window_group_limit(spark, sf_dir):
     plan = executed_plan(_Q["join_lateral"](spark, sf_dir))
     assert "WindowGroupLimit" in plan, plan
     assert_no_cartesian(_Q["join_lateral"](spark, sf_dir))
+
+
+def test_contamination_broadcasts_benchmark_side(spark, sf_dir):
+    """Decontamination must broadcast the (small) benchmark shingle set,
+    never shuffle the corpus-side shingles into a sort-merge join."""
+    assert_broadcast_join(_Q["text_contamination"](spark, sf_dir))

@@ -401,3 +401,70 @@ def test_stream_funnel_state_equals_batch(spark, sf_dir, replay_dir):
         stage_min("purchase").alias("t_purchase"),
     )
     assert sorted(map(tuple, final.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_transform_with_state_running_sum(spark, sf_dir, replay_dir):
+    """transformWithState (Spark 4 stateful API, successor to
+    applyInPandasWithState): running per-user (sum, count) across
+    replayed micro-batches must equal the batch aggregate. Exercises
+    the ValueState handle + processor lifecycle.
+
+    The operator's state-server protocol needs google.protobuf, which
+    this container lacks (no installs allowed) — skip, don't fail, so
+    the test lights up on protobuf-equipped clusters."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithState state server requires protobuf",
+    )
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    stagers = stage_chunks(spark, sf_dir, replay_dir, n_chunks=3)
+
+    class RunningSum(StatefulProcessor):
+        def init(self, handle):
+            self.state = handle.getValueState("tot", "total double, n bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            total, n = (
+                tuple(self.state.get()) if self.state.exists() else (0.0, 0)
+            )
+            for pdf in rows:
+                total += float(pdf["value"].sum())
+                n += len(pdf)
+            self.state.update((total, n))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "total": [total], "n_events": [n]}
+            )
+
+        def close(self):
+            pass
+
+    counted = (
+        read_stream(spark, replay_dir)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            RunningSum(),
+            outputStructType="user_id bigint, total double, n_events bigint",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+    got = run_to_memory(counted, "tws_sink", "update", stagers, spark)
+    final = (
+        got.groupBy("user_id")
+        .agg(
+            F.round(F.max("total"), 4).alias("total"),
+            F.max("n_events").alias("n_events"),
+        )
+        .collect()
+    )
+    want = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum("value"), 4).alias("total"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .collect()
+    )
+    assert sorted(map(tuple, final)) == sorted(map(tuple, want))
