@@ -1,0 +1,195 @@
+"""Product/corpus analytics composites: cohort retention, RFM
+segmentation, and tokenizer vocabulary coverage. Standard warehouse
+analyses (absent from the reference's sort pipeline, SURVEY.md §2a),
+declared with full DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from terasort_spark.catalog import table
+from terasort_spark.operators._util import o_rnd, rnd
+from terasort_spark.registry import register
+
+
+@register(
+    "events_retention",
+    oracle="""
+WITH firsts AS (
+    SELECT user_id, min(CAST(date_trunc('week', ts) AS DATE)) AS cohort
+    FROM events GROUP BY user_id
+),
+activity AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+    FROM events
+)
+SELECT f.cohort,
+       date_diff('week', f.cohort, a.wk) AS week_n,
+       count(*) AS n_active,
+       floor(CAST(count(*) AS DOUBLE)
+             / max(cs.cohort_size) * 10000 + 0.5) / 10000 AS retention
+FROM firsts f
+JOIN activity a USING (user_id)
+JOIN (SELECT cohort, count(*) AS cohort_size FROM firsts GROUP BY cohort) cs
+  ON cs.cohort = f.cohort
+GROUP BY f.cohort, date_diff('week', f.cohort, a.wk)
+""",
+)
+def events_retention(spark, sf_dir):
+    """Cohort retention: bucket users by first-seen week, then for each
+    (cohort, weeks-since-signup) report how many came back and the
+    retained fraction of the cohort — the canonical product-analytics
+    triangle.
+
+    Scale notes: three aggregations, all keyed by user_id or cohort —
+    the user-level pieces shuffle once on user_id (first-seen and
+    distinct-activity can share the exchange), cohort sizes are a tiny
+    dim joined broadcast. No event-x-event self-join anywhere."""
+    ev = table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", "ts").cast("date")
+    firsts = ev.groupBy("user_id").agg(F.min(wk).alias("cohort"))
+    activity = ev.select("user_id", wk.alias("wk")).distinct()
+    sizes = firsts.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    week_n = (F.datediff("wk", "cohort") / 7).cast("long")
+    return (
+        firsts.join(activity, "user_id")
+        .join(F.broadcast(sizes), "cohort")
+        .groupBy("cohort", week_n.alias("week_n"))
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            rnd(
+                F.count(F.lit(1)).cast("double") / F.max("cohort_size"),
+                "retention",
+            ),
+        )
+    )
+
+
+@register(
+    "events_rfm",
+    oracle="""
+WITH per_user AS (
+    SELECT user_id,
+           date_diff('day', max(ts), TIMESTAMP '2024-02-01') AS recency_days,
+           count(*) AS frequency,
+           floor(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+                 * 10000 + 0.5) / 10000 AS monetary
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id
+)
+SELECT user_id, recency_days, frequency, monetary,
+       ntile(4) OVER (ORDER BY recency_days, user_id) AS r_quartile,
+       ntile(4) OVER (ORDER BY frequency DESC, user_id) AS f_quartile,
+       ntile(4) OVER (ORDER BY monetary DESC, user_id) AS m_quartile
+FROM per_user
+""",
+)
+def events_rfm(spark, sf_dir):
+    """RFM segmentation: per purchasing user, days since last purchase
+    (vs a fixed anchor), purchase count, and total spend, each cut into
+    quartiles — the classic customer-value grid. Quartile windows order
+    with a user_id tie-break (D3: ntile on ties is engine-arbitrary).
+
+    Scale notes: the per-user reduction is one shuffle; the three
+    global ntiles need a total order, which Spark executes as a single
+    range-partitioned sort per ordering over the ALREADY-reduced
+    user-level rows (users << events). For billions of users, swap
+    ntile for percentile thresholds computed once and broadcast."""
+    ev = table(spark, sf_dir, "events")
+    per_user = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.datediff(
+                F.lit("2024-02-01").cast("timestamp"), F.max("ts")
+            ).cast("long").alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            rnd(
+                F.sum(F.col("value").cast("decimal(25,6)")).cast("double"),
+                "monetary",
+            ),
+        )
+    )
+    return per_user.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4)
+        .over(Window.orderBy("recency_days", "user_id"))
+        .cast("long")
+        .alias("r_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("frequency").desc(), "user_id"))
+        .cast("long")
+        .alias("f_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("monetary").desc(), "user_id"))
+        .cast("long")
+        .alias("m_quartile"),
+    )
+
+
+@register(
+    "text_vocab_coverage",
+    oracle="""
+WITH words AS (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+counts AS (
+    SELECT word, count(*) AS n FROM words WHERE word <> '' GROUP BY word
+),
+ranked AS (
+    SELECT word, n,
+           row_number() OVER (ORDER BY n DESC, word) AS rank,
+           sum(n) OVER (ORDER BY n DESC, word
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(n) OVER () AS total
+    FROM counts
+)
+SELECT word, n, rank,
+       floor(CAST(cum AS DOUBLE) / total * 10000 + 0.5) / 10000 AS cum_share
+FROM ranked
+WHERE cum - n < total * 0.9
+""",
+)
+def text_vocab_coverage(spark, sf_dir):
+    """Tokenizer vocabulary sizing: frequency-ranked vocabulary with
+    cumulative token share, truncated to the smallest prefix covering
+    90% of all tokens — the analysis behind "how big must the vocab be"
+    (and the Zipf sanity check: cum_share should grow ~log-linearly).
+
+    Scale notes: word counts are one shuffle with map-side combine;
+    ranking runs over the (tiny) distinct-vocab table, not the corpus.
+    The 90% cutoff uses each word's EXCLUSIVE prefix sum, so the
+    boundary word itself is kept (filter is rank-monotone — no second
+    pass needed)."""
+    d = table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_rank = Window.orderBy(F.col("n").desc(), "word")
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    ranked = counts.select(
+        "word",
+        "n",
+        F.row_number().over(w_rank).cast("long").alias("rank"),
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_all).alias("total"),
+    )
+    return ranked.where(
+        (F.col("cum") - F.col("n")) < F.col("total") * 0.9
+    ).select(
+        "word",
+        "n",
+        "rank",
+        rnd(F.col("cum").cast("double") / F.col("total"), "cum_share"),
+    )

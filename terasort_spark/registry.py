@@ -55,7 +55,9 @@ _OPERATOR_MODULES = (
     "terasort_spark.operators.graph",
     "terasort_spark.operators.relational3",
     "terasort_spark.operators.relational4",
+    "terasort_spark.operators.relational5",
     "terasort_spark.operators.pretrain",
+    "terasort_spark.operators.analytics",
 )
 
 _loaded = False
