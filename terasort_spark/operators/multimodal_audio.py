@@ -1,0 +1,99 @@
+"""Audio branch of the multimodal surface: windowed RMS energy +
+zero-crossing rate over PCM samples — the features behind voice
+activity detection, loudness filtering, and silence trimming in a
+training-data pipeline.
+
+Same stub boundary as the image/video stages (sources/media.py): the
+container has no audio codecs, so ``media_type='fake/pcm'`` decodes the
+payload bytes AS the sample stream (deterministic), and real formats
+(audio/wav, audio/mp3) raise NotImplementedError where ffmpeg/soundfile
+would slot in. The Spark-side plumbing — iterator mapInPandas, Arrow
+batches, one output row per (blob, window) — is real and tested.
+
+Scale notes: decode+features is a stateless narrow map: blobs stream
+through in Arrow batches (never a whole partition in memory), each blob
+expands to n_samples/WINDOW rows — bounded, known fan-out. No shuffle
+until a consumer aggregates. 100 TB of audio parallelizes by file with
+zero coordination.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from terasort_spark.catalog import table
+from terasort_spark.registry import register
+
+WINDOW = 256  # samples per analysis window
+
+REAL_AUDIO_FORMATS = ("audio/wav", "audio/mp3", "audio/flac")
+
+
+def decode_pcm(payload: bytes, media_type: str) -> np.ndarray:
+    """Deterministic fake decode: payload bytes as centered int8 samples
+    in [-1, 1). Real codecs (soundfile/ffmpeg) would replace this."""
+    if media_type in REAL_AUDIO_FORMATS:
+        raise NotImplementedError(
+            f"no codec for {media_type} in this environment; "
+            "install soundfile/ffmpeg and replace this stub"
+        )
+    if media_type != "fake/pcm":
+        raise ValueError(f"unknown media_type {media_type!r}")
+    return (
+        np.frombuffer(payload, dtype=np.uint8).astype(np.float64) - 128.0
+    ) / 128.0
+
+
+def audio_features_batched(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: one output row per full analysis window —
+    (doc_id, window_idx, rms x1e6, zero-crossings)."""
+    for pdf in batches:
+        doc_ids, widxs, rms, zcr = [], [], [], []
+        for doc_id, payload, mt in zip(
+            pdf["doc_id"], pdf["payload"], pdf["media_type"]
+        ):
+            samples = decode_pcm(bytes(payload), mt)
+            n_win = len(samples) // WINDOW
+            for w in range(n_win):
+                chunk = samples[w * WINDOW : (w + 1) * WINDOW]
+                doc_ids.append(doc_id)
+                widxs.append(w)
+                rms.append(
+                    int(round(float(np.sqrt(np.mean(chunk**2))) * 1e6))
+                )
+                zcr.append(int(np.count_nonzero(np.diff(np.sign(chunk)))))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc_ids, dtype="int64"),
+                "window_idx": pd.Series(widxs, dtype="int64"),
+                "rms_x1e6": pd.Series(rms, dtype="int64"),
+                "n_zero_cross": pd.Series(zcr, dtype="int64"),
+            }
+        )
+
+
+@register("multimodal_audio")  # pandas-UDF pipeline → rows-only check
+def multimodal_audio(spark, sf_dir):
+    """Windowed audio features over binary payloads (documents.text
+    bytes standing in for PCM): per 256-sample window, RMS energy
+    (x1e6, integer — float-sum order never observable) and
+    zero-crossing count. The downstream consumer drops silent/noisy
+    windows exactly like a VAD filter would."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit("fake/pcm").alias("media_type"),
+    )
+    return d.mapInPandas(
+        audio_features_batched,
+        schema=(
+            "doc_id bigint, window_idx bigint, "
+            "rms_x1e6 bigint, n_zero_cross bigint"
+        ),
+    )

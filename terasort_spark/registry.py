@@ -58,6 +58,9 @@ _OPERATOR_MODULES = (
     "terasort_spark.operators.relational5",
     "terasort_spark.operators.pretrain",
     "terasort_spark.operators.analytics",
+    "terasort_spark.operators.multimodal_audio",
+    "terasort_spark.operators.llm_gemm",
+    "terasort_spark.operators.llm_lm",
 )
 
 _loaded = False

@@ -325,3 +325,42 @@ def test_pack_sequences_invariants(spark, sf_dir):
         assert r["bin_id"] == run // CONTEXT
         assert r["bin_offset"] == run % CONTEXT
         by_source[r["source"]] = run + r["n_tokens"]
+
+
+def test_audio_features_match_local_decode(spark, sf_dir):
+    """The audio stage's distributed windows equal a local numpy
+    recomputation from the same payload bytes (fake/pcm decode is
+    deterministic), proving the mapInPandas plumbing neither drops,
+    reorders within key, nor duplicates windows."""
+    import numpy as np
+
+    from terasort_spark.operators.multimodal_audio import WINDOW, decode_pcm
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    got = {
+        (r["doc_id"], r["window_idx"]): (r["rms_x1e6"], r["n_zero_cross"])
+        for r in _Q["multimodal_audio"](spark, sf_dir).collect()
+    }
+    expect = {}
+    for doc_id, text in docs.items():
+        samples = decode_pcm(text.encode(), "fake/pcm")
+        for w in range(len(samples) // WINDOW):
+            chunk = samples[w * WINDOW : (w + 1) * WINDOW]
+            expect[(doc_id, w)] = (
+                int(round(float(np.sqrt(np.mean(chunk**2))) * 1e6)),
+                int(np.count_nonzero(np.diff(np.sign(chunk)))),
+            )
+    assert got == expect
+    assert got  # at least one full window exists in the corpus
+
+
+def test_gemm_topk_equals_hof_topk(spark, sf_dir):
+    """The blocked-GEMM top-k must return exactly the rows of the
+    HOF-based brute force — same ids, same 4dp cosines, same ranks
+    (both floor-round before ranking, so the keys are identical)."""
+    hof = {tuple(r) for r in _Q["sim_cosine_topk"](spark, sf_dir).collect()}
+    gemm = {tuple(r) for r in _Q["sim_cosine_gemm"](spark, sf_dir).collect()}
+    assert gemm == hof
