@@ -10,7 +10,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from terasort_spark.catalog import table
-from terasort_spark.operators._util import o_rnd, rnd
+from terasort_spark.operators._util import DEC, o_rnd, rnd
 from terasort_spark.registry import register
 
 
@@ -192,4 +192,108 @@ def text_vocab_coverage(spark, sf_dir):
         "n",
         "rank",
         rnd(F.col("cum").cast("double") / F.col("total"), "cum_share"),
+    )
+
+
+@register(
+    "events_anomaly",
+    oracle="""
+WITH daily AS (
+    SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+),
+scored AS (
+    SELECT event_type, day, n,
+           avg(CAST(n AS DOUBLE)) OVER (PARTITION BY event_type) AS mu,
+           stddev_samp(CAST(n AS DOUBLE)) OVER (PARTITION BY event_type)
+               AS sigma
+    FROM daily
+)
+SELECT event_type, day, n,
+       floor((n - mu) / sigma * 10000 + 0.5) / 10000 AS z,
+       abs((n - mu) / sigma) > 2.0 AS is_anomaly
+FROM scored WHERE sigma > 0
+""",
+)
+def events_anomaly(spark, sf_dir):
+    """Volume anomaly detection: z-score each (event_type, day) count
+    against that type's own mean/stddev, flag |z| > 2 — the monitoring
+    query behind traffic-drop and bot-spike alerts.
+
+    Scale notes: the daily reduction is the only event-scale shuffle;
+    the z-window runs over |types|x|days| rows (tiny). 100 TB of events
+    reduce map-side before anything is ranked. For a streaming twin,
+    mean/std come from a slowly-updated reference table instead of the
+    same window."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type")
+    mu = F.avg(F.col("n").cast("double")).over(w)
+    sigma = F.stddev_samp(F.col("n").cast("double")).over(w)
+    z = (F.col("n") - mu) / sigma
+    return (
+        daily.withColumn("mu", mu)
+        .withColumn("sigma", sigma)
+        .where(F.col("sigma") > 0)
+        .select(
+            "event_type",
+            "day",
+            "n",
+            rnd((F.col("n") - F.col("mu")) / F.col("sigma"), "z"),
+            (
+                F.abs((F.col("n") - F.col("mu")) / F.col("sigma")) > 2.0
+            ).alias("is_anomaly"),
+        )
+    )
+
+
+@register(
+    "emb_norm_stats",
+    oracle="""
+WITH norms AS (
+    SELECT label,
+           floor(sqrt(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                 * 1000000 + 0.5) / 1000000 AS nrm
+    FROM embeddings
+)
+SELECT label, count(*) AS n_vecs,
+       floor(CAST(sum(CAST(nrm AS DECIMAL(25,6))) AS DOUBLE) / count(*)
+             * 10000 + 0.5) / 10000 AS avg_norm,
+       floor(min(nrm) * 10000 + 0.5) / 10000 AS min_norm,
+       floor(max(nrm) * 10000 + 0.5) / 10000 AS max_norm
+FROM norms GROUP BY label
+""",
+)
+def emb_norm_stats(spark, sf_dir):
+    """Embedding health check: L2-norm distribution per label (count,
+    mean, min, max) — the first diagnostic on any new embedding table
+    (collapsed or exploded norms signal a broken encoder run).
+
+    Determinism: the norm's squared-sum folds sequentially (same order
+    as DuckDB's list_sum), is quantized to 6dp per row, then averaged
+    through an exact decimal sum — the operators/_util.py money rule
+    applied to vector math. One shuffle (groupBy label); vectors never
+    leave their scan partition."""
+    e = table(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.transform(
+            "embedding", lambda x: x.cast("double") * x.cast("double")
+        ),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    nrm = F.floor(F.sqrt(sq) * 1000000 + F.lit(0.5)) / 1000000
+    norms = e.select("label", nrm.alias("nrm"))
+    return norms.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        rnd(
+            F.sum(F.col("nrm").cast(DEC)).cast("double") / F.count(F.lit(1)),
+            "avg_norm",
+        ),
+        rnd(F.min("nrm"), "min_norm"),
+        rnd(F.max("nrm"), "max_norm"),
     )

@@ -169,3 +169,13 @@ def test_contamination_broadcasts_benchmark_side(spark, sf_dir):
     """Decontamination must broadcast the (small) benchmark shingle set,
     never shuffle the corpus-side shingles into a sort-merge join."""
     assert_broadcast_join(_Q["text_contamination"](spark, sf_dir))
+
+
+def test_interpolate_fuses_windows_into_one_pass(spark, sf_dir):
+    """All four IGNORE NULLS window columns (prev/next value and day)
+    share partitioning and ordering, so Catalyst must fuse them into a
+    SINGLE Window operator over one sort — four passes over 100 TB of
+    spine rows would be the naive plan."""
+    plan = executed_plan(_Q["ts_interpolate"](spark, sf_dir))
+    assert plan.count("Window [") == 1, plan
+    assert "PushedFilters: [IsNotNull(user_id), IsNotNull(event_type), EqualTo(event_type,purchase)" in plan, plan

@@ -84,3 +84,43 @@ def test_random_theta_join_counts_match_duckdb(spark, sf_dir, bal, seg):
     finally:
         con.close()
     assert n_spark == n_duck
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=5000), min_size=1, max_size=60),
+    context=st.sampled_from([128, 1024, 2048]),
+)
+def test_pack_layout_valid_for_any_token_sizes(spark, sizes, context):
+    """Greedy concat-then-chop packing must produce a gapless layout for
+    ANY document length distribution: offsets advance by exactly
+    n_tokens mod context, bin_id is the prefix-sum quotient, and the
+    layout is invariant to input partitioning (md5-style determinism is
+    the operator's contract)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(sizes)], "doc_id long, n_tokens long"
+    ).repartition(7)
+    win = (
+        Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = F.sum("n_tokens").over(win)
+    start = run - F.col("n_tokens")
+    out = df.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(start / context).alias("bin_id"),
+        (start - F.floor(start / context) * context).alias("bin_offset"),
+    ).collect()
+    running = 0
+    for r in sorted(out, key=lambda r: r["doc_id"]):
+        assert r["bin_id"] == running // context
+        assert r["bin_offset"] == running % context
+        running += r["n_tokens"]
