@@ -34,25 +34,32 @@ def graph_pagerank(spark, sf_dir):
     exchange reuses partitioning. Lineage stays 5 joins deep (constant);
     for unbounded-iteration variants checkpoint every ~10 rounds."""
     pairs = _candidate_edges(spark, sf_dir)
-    edges = pairs.unionByName(
+    raw = pairs.unionByName(
         pairs.select(
             F.col("dst").alias("src"), F.col("src").alias("dst")
         )
     )
-    # Materialize the edge list ONCE: without this every iteration
-    # re-derives the whole LSH candidate pipeline (5x the work and a
-    # lineage 5 joins deeper). localCheckpoint keeps it per-invocation
-    # (no cross-run cache) — the GraphX-style iterative pattern.
-    edges = edges.localCheckpoint(eager=True)
-    degrees = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    nodes = degrees.select("src")
+    # Materialize the edge list ONCE, with the out-degree already folded
+    # in as a per-edge weight w = 1/deg(src): without the checkpoint
+    # every iteration re-derives the whole LSH candidate pipeline, and
+    # without the pre-fold every iteration pays a second join against a
+    # degrees table. localCheckpoint keeps it per-invocation (no
+    # cross-run cache) — the GraphX-style iterative pattern.
+    degrees = raw.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    edges = (
+        raw.join(degrees, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    # nodes is re-joined every iteration — materialize the (tiny)
+    # distinct once instead of re-shuffling edges per round.
+    nodes = edges.select("src").distinct().localCheckpoint(eager=True)
     n_nodes = nodes.count()  # scalar cardinality, not a data collect
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     for _ in range(N_ITER):
         contribs = (
             edges.join(ranks, "src")
-            .join(degrees, "src")
-            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .select("dst", (F.col("rank") * F.col("w")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )

@@ -381,3 +381,72 @@ def dedup_cluster(spark, sf_dir):
         if changed == 0:
             break
     return labels
+
+
+_URL_RAW_SQL = """
+    'https://WWW.' || upper(source) || '.example.com/' || lang || '/doc-'
+    || CAST(doc_id % 50 AS VARCHAR)
+    || CASE WHEN doc_id % 3 = 0 THEN '/?utm_source=feed&utm_campaign=x'
+            WHEN doc_id % 3 = 1 THEN '/' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END
+"""
+
+
+@register(
+    "dedup_urlnorm",
+    oracle=f"""
+WITH raw AS (
+    SELECT doc_id, {_URL_RAW_SQL} AS url FROM documents
+),
+canon AS (
+    SELECT doc_id,
+           lower(regexp_extract(url, '^(https?://[^/]+)', 1)) ||
+           regexp_replace(regexp_replace(regexp_replace(
+               substr(url, len(regexp_extract(url, '^(https?://[^/]+)', 1)) + 1),
+               '#.*$', ''), '\\?utm_[^#]*', ''), '/$', '')
+           AS canonical
+    FROM raw
+)
+SELECT canonical, min(doc_id) AS keep_id, count(*) AS n_variants
+FROM canon GROUP BY canonical
+""",
+)
+def dedup_urlnorm(spark, sf_dir):
+    """URL-canonicalization dedup — the first dedup pass of any
+    web-crawl pipeline: case-fold the scheme+host, drop the fragment,
+    strip utm_* tracking parameters and the trailing slash, then keep
+    one document per canonical URL (min doc_id). The corpus has no URL
+    column, so a raw URL is synthesized deterministically from
+    (source, lang, doc_id) with the classic variant noise — uppercase
+    host, trailing slash, utm params, #fragment — identically on both
+    engines.
+
+    Scale notes: canonicalization is pure per-row string work inside
+    whole-stage codegen; the only shuffle is the final groupBy on the
+    canonical URL — exactly the shape of a 100 TB crawl dedup (the
+    group key is ~unique, so AQE coalesces the mostly-size-1 groups)."""
+    d = table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("https://WWW."),
+        F.upper("source"),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        F.lit("/doc-"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/?utm_source=feed&utm_campaign=x"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("/"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    d = d.select("doc_id", raw.alias("url"))
+    scheme_host = F.regexp_extract("url", r"^(https?://[^/]+)", 1)
+    rest = F.expr("substr(url, length(regexp_extract(url, '^(https?://[^/]+)', 1)) + 1)")
+    rest = F.regexp_replace(rest, r"#.*$", "")
+    rest = F.regexp_replace(rest, r"\?utm_[^#]*", "")
+    rest = F.regexp_replace(rest, r"/$", "")
+    canon = F.concat(F.lower(scheme_host), rest)
+    return (
+        d.select("doc_id", canon.alias("canonical"))
+        .groupBy("canonical")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_variants"))
+    )

@@ -561,3 +561,81 @@ def emb_pca_power(spark, sf_dir):
         [(i + 1, round(float(v), 4)) for i, v in enumerate(vec)],
         "pos int, loading double",
     )
+
+
+K_CLUSTERS = 8
+KMEANS_ITER = 3
+
+
+def _kmeans_assign(e, centroids):
+    """Assign each vector to its nearest centroid (squared L2).
+
+    centroids is a driver-side list of K dim-length lists — k-means
+    centroids always fit on the driver (K x dim doubles, independent of
+    corpus size), so they ship to executors as broadcast literals and
+    the K distance expressions run inside whole-stage codegen: no join,
+    no shuffle, no Python. Ties break to the lowest cluster id
+    (array_position finds the first minimum) — deterministic."""
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    "v",
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda p, q: (p - q) * (p - q),
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+            for c in centroids
+        ]
+    )
+    return e.withColumn("dists", dists).select(
+        "vec_id",
+        "v",
+        (F.array_position("dists", F.array_min("dists")) - 1).cast("int").alias("cid"),
+        F.array_min("dists").alias("d2"),
+    )
+
+
+@register(
+    "emb_kmeans",
+    oracle=None,  # iterative algorithm → rows-only; Lloyd-equivalence
+    # vs a numpy reference implementation is asserted in tests/test_llm.py
+)
+def emb_kmeans(spark, sf_dir):
+    """Distributed k-means (Lloyd's) over the embedding table: K=8,
+    3 fixed iterations, deterministic init = the K vectors with the
+    smallest vec_ids. Output is one row per cluster (size + SSE) —
+    the clustering that backs IVF coarse quantizers, data-mixture
+    balancing, and diversity sampling in pretraining pipelines.
+
+    Scale notes: the assignment step is pure codegen over broadcast
+    centroid literals (see _kmeans_assign); the update step posexplodes
+    to (cid, dim, value) cells and averages — one map-side-combined
+    shuffle of K x dim cells per iteration, the emb_centroid pattern.
+    Only K x dim centroid doubles ever reach the driver per round;
+    vectors never move. Empty clusters keep their previous centroid."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    init = e.orderBy("vec_id").limit(K_CLUSTERS).collect()
+    centroids = [list(r["v"]) for r in init]
+    for _ in range(KMEANS_ITER):
+        assigned = _kmeans_assign(e, centroids)
+        rows = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cid", F.col("pm.m").alias("c"))
+            .collect()
+        )
+        got = {r["cid"]: list(r["c"]) for r in rows}
+        centroids = [got.get(i, centroids[i]) for i in range(K_CLUSTERS)]
+    final = _kmeans_assign(e, centroids)
+    return final.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        rnd(F.sum("d2"), "sse"),
+    )

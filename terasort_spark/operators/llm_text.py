@@ -380,3 +380,60 @@ def text_gopher_rules(spark, sf_dir):
         rule_sym.alias("rule_sym"),
         (rule_wc & rule_mwl & rule_sym).alias("pass_all"),
     )
+
+
+@register(
+    "text_repetition",
+    oracle="""
+WITH t AS (
+    SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+),
+g AS (
+    SELECT doc_id,
+           list_transform(range(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+               AS tris
+    FROM t WHERE len(toks) >= 3
+)
+SELECT doc_id,
+       len(tris) AS n_trigrams,
+       len(list_distinct(tris)) AS n_unique,
+       floor((1.0 - CAST(len(list_distinct(tris)) AS DOUBLE) / len(tris))
+             * 10000 + 0.5) / 10000 AS dup_frac
+FROM g
+""",
+)
+def text_repetition(spark, sf_dir):
+    """Within-document repetition score: fraction of duplicated word
+    trigrams (1 - unique/total) — the Gopher/C4 "repetitive content"
+    signal that catches boilerplate, keyword stuffing, and decoding
+    loops in generated text. Reference scope: the engine's text-quality
+    family (SURVEY.md §2b north-star extension).
+
+    Scale notes: trigrams are built with array HOFs (sequence +
+    transform over the token array) entirely inside whole-stage
+    codegen — no explode, so the row count never multiplies; the
+    dedup happens per-row via array_distinct. Embarrassingly parallel
+    scan → zero shuffles at any corpus size."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("toks")
+    )
+    d = d.where(F.size("toks") >= 3)
+    tris = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 3),
+        lambda i: F.concat_ws(
+            " ",
+            F.get("toks", i),
+            F.get("toks", i + 1),
+            F.get("toks", i + 2),
+        ),
+    )
+    d = d.select("doc_id", tris.alias("tris"))
+    n_tri = F.size("tris")
+    n_uniq = F.size(F.array_distinct("tris"))
+    return d.select(
+        "doc_id",
+        n_tri.cast("long").alias("n_trigrams"),
+        n_uniq.cast("long").alias("n_unique"),
+        rnd(F.lit(1.0) - n_uniq.cast("double") / n_tri, "dup_frac"),
+    )

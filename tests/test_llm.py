@@ -364,3 +364,37 @@ def test_gemm_topk_equals_hof_topk(spark, sf_dir):
     hof = {tuple(r) for r in _Q["sim_cosine_topk"](spark, sf_dir).collect()}
     gemm = {tuple(r) for r in _Q["sim_cosine_gemm"](spark, sf_dir).collect()}
     assert gemm == hof
+
+
+def test_kmeans_matches_numpy_lloyd(spark, sf_dir):
+    """emb_kmeans must be EXACTLY fixed-iteration Lloyd's: same init
+    (K smallest vec_ids), same tie-break (lowest cluster id), same
+    empty-cluster rule (keep previous centroid). A numpy replay of the
+    identical recipe must reproduce every cluster size and agree on SSE
+    to float tolerance."""
+    import numpy as np
+
+    from terasort_spark.operators.llm_similarity import K_CLUSTERS, KMEANS_ITER
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .orderBy("vec_id")
+        .collect()
+    )
+    x = np.array([list(r["embedding"]) for r in emb], dtype="float64")
+    cents = x[:K_CLUSTERS].copy()
+    for _ in range(KMEANS_ITER):
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        cid = d2.argmin(axis=1)  # argmin takes the first minimum = lowest cid
+        for k in range(K_CLUSTERS):
+            if (cid == k).any():
+                cents[k] = x[cid == k].mean(axis=0)
+    d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    cid = d2.argmin(axis=1)
+    want_sizes = {k: int((cid == k).sum()) for k in range(K_CLUSTERS) if (cid == k).any()}
+    want_sse = {k: float(d2[cid == k, k].sum()) for k in want_sizes}
+
+    got = {r["cid"]: r for r in _Q["emb_kmeans"](spark, sf_dir).collect()}
+    assert {k: g["n_vecs"] for k, g in got.items()} == want_sizes
+    for k, g in got.items():
+        assert abs(g["sse"] - want_sse[k]) < 1e-2, (k, g["sse"], want_sse[k])
