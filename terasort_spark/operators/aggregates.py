@@ -257,9 +257,69 @@ def agg_collect(spark, sf_dir):
 def agg_approx(spark, sf_dir):
     # HyperLogLog++ — mergeable sketch, constant memory per group at any
     # scale. DuckDB's approx sketch differs, so only row shape is checked;
-    # accuracy asserted in tests/test_aggregates.py vs exact counts.
+    # accuracy asserted in tests/test_llm.py vs exact counts.
     return (
         table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"))
+    )
+
+
+CM_DEPTH = 4  # count-min rows (independent hash functions)
+CM_WIDTH = 1024  # buckets per row; overestimate <= e * N / width w.h.p.
+
+
+@register(
+    "agg_heavyhitters",
+    oracle=None,  # count-min cells depend on Spark's murmur3 → rows-only;
+    # the one-sided estimate guarantee is asserted in tests/test_llm.py
+)
+def agg_heavyhitters(spark, sf_dir):
+    """Heavy-hitter tokens via a count-min sketch: every token
+    occurrence increments CM_DEPTH cells (murmur3(token, row) mod
+    CM_WIDTH); a token's estimate is the MIN over its cells — never an
+    underestimate, over by at most ~N/CM_WIDTH per colliding row. The
+    streaming-friendly answer to "top tokens over 100 TB" when exact
+    counts would need an unbounded groupBy state.
+
+    Scale notes: the sketch is an aggregation to a FIXED
+    CM_DEPTH x CM_WIDTH = 4096-cell table — partial aggregation
+    collapses each partition to <= 4096 cells before the shuffle, so
+    the exchange is constant-size at any corpus scale (the mergeability
+    that makes CM work as a streaming/distributed sketch). The estimate
+    join broadcasts those 4096 cells back against the distinct tokens.
+    Output: top 20 tokens by estimated count, rank materialized
+    (SURVEY.md §2b rule D3), ties broken on token text."""
+    d = table(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("depth"),
+                F.pmod(F.hash("tok", F.lit(i)), F.lit(CM_WIDTH)).alias("bucket"),
+            )
+            for i in range(CM_DEPTH)
+        ]
+    )
+    sketch = (
+        d.select(F.explode(cells).alias("c"))
+        .groupBy("c.depth", "c.bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tokens = d.distinct().select("tok", F.explode(cells).alias("c")).select(
+        "tok", "c.depth", "c.bucket"
+    )
+    est = (
+        tokens.join(F.broadcast(sketch), ["depth", "bucket"])
+        .groupBy("tok")
+        .agg(F.min("cnt").alias("est"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("est"), F.asc("tok"))
+    return (
+        est.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("rank", "tok", "est")
     )

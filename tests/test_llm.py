@@ -398,3 +398,39 @@ def test_kmeans_matches_numpy_lloyd(spark, sf_dir):
     assert {k: g["n_vecs"] for k, g in got.items()} == want_sizes
     for k, g in got.items():
         assert abs(g["sse"] - want_sse[k]) < 1e-2, (k, g["sse"], want_sse[k])
+
+
+def test_countmin_never_underestimates(spark, sf_dir):
+    """The count-min guarantee is one-sided and DETERMINISTIC: for every
+    token, min-over-rows of its cells >= its true count (cells only ever
+    accumulate collisions). The top-20 by estimate must also recover the
+    exact top-10 (zipfian heads dwarf the ~N/width collision noise)."""
+    exact = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .count()
+    )
+    exact_counts = {r["tok"]: r["count"] for r in exact.collect()}
+    got = _Q["agg_heavyhitters"](spark, sf_dir).collect()
+    assert len(got) == 20
+    for r in got:
+        assert r["est"] >= exact_counts[r["tok"]], r
+    exact_top10 = {
+        t for t, _ in sorted(exact_counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    }
+    assert exact_top10 <= {r["tok"] for r in got}
+
+
+def test_pq_recall_beats_ivf_bar(spark, sf_dir):
+    """PQ ADC shortlist (top-32) + exact re-rank must recover at least
+    half of the true cosine top-5 pairs — well above both random (1%)
+    and the raw sign-LSH IVF bar (20%), because the exact re-rank makes
+    recall depend only on the shortlist, not on quantized ranking."""
+    exact = {(r["q_id"], r["c_id"]) for r in _Q["sim_cosine_topk"](spark, sf_dir).collect()}
+    pq_rows = _Q["sim_cosine_pq"](spark, sf_dir).collect()
+    assert len(pq_rows) == 50  # 10 queries x top-5, rank materialized
+    assert {r["rn"] for r in pq_rows} == {1, 2, 3, 4, 5}
+    pq = {(r["q_id"], r["c_id"]) for r in pq_rows}
+    recall = len(exact & pq) / len(exact)
+    assert recall >= 0.5, f"PQ recall@5 {recall:.2f}"
