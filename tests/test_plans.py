@@ -179,3 +179,31 @@ def test_interpolate_fuses_windows_into_one_pass(spark, sf_dir):
     plan = executed_plan(_Q["ts_interpolate"](spark, sf_dir))
     assert plan.count("Window [") == 1, plan
     assert "PushedFilters: [IsNotNull(user_id), IsNotNull(event_type), EqualTo(event_type,purchase)" in plan, plan
+
+
+def test_heavyhitters_sketch_aggregates_map_side(spark, sf_dir):
+    """The count-min sketch build must plan partial+final HashAggregate
+    around its exchange (each partition collapses to <= 4096 cells
+    before the shuffle — the property that makes the sketch constant-
+    cost at 100 TB), and the estimate join must broadcast the sketch."""
+    plan = executed_plan(_Q["agg_heavyhitters"](spark, sf_dir))
+    assert "partial_count" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pq_plans_no_cartesian_and_broadcasts_codebook(spark, sf_dir):
+    """PQ encode/LUT/score must all be broadcast equi-joins — a plan
+    with a cartesian or a shuffled join of the full vector table against
+    the codebook would not survive a billion-vector corpus."""
+    df = _Q["sim_cosine_pq"](spark, sf_dir)
+    assert_no_cartesian(df)
+    assert "BroadcastHashJoin" in executed_plan(df), executed_plan(df)
+
+
+def test_bigram_lm_collapses_occurrences_before_model_join(spark, sf_dir):
+    """text_bigram_lm's scoring join must carry per-doc DISTINCT bigrams
+    (occ), not raw occurrences: exactly three HashAggregate pairs (occ,
+    model, final per-doc) and no second explode of the corpus."""
+    plan = executed_plan(_Q["text_bigram_lm"](spark, sf_dir))
+    assert plan.count("Generate explode") <= 2, plan  # one logical explode,
+    # at most re-used/duplicated once by the two occ consumers
