@@ -13,6 +13,7 @@ includes the whole plan, not just planning.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import statistics
@@ -59,6 +60,13 @@ def main() -> None:
                 times.append(dt)
         if times:
             medians[name] = round(statistics.median(times), 3)
+        # Release per-query driver state between queries: dropping the
+        # Python DataFrame refs lets the JVM ContextCleaner evict
+        # localCheckpoint blocks (iterative queries pin them until GC),
+        # which otherwise accumulate across 185x4 runs and inflate
+        # late-alphabet medians ~2x vs isolated runs.
+        gc.collect()
+        spark.catalog.clearCache()
     total = round(sum(medians.values()), 3)
     print(
         json.dumps(

@@ -14,9 +14,10 @@ _Q = queries()
 
 
 def test_minhash_recall_of_high_jaccard_pairs(spark, sf_dir):
-    """Banded MinHash (16 hashes, 4 bands) must recover most pairs with
-    Jaccard >= 0.9 (P(candidate) = 1-(1-s^4)^4 ≈ 0.93 at s=0.9) and its
-    survivors must genuinely clear the 0.5 verify threshold."""
+    """Banded MinHash (32 hashes, 4 bands x 8 rows) must recover most
+    pairs with Jaccard >= 0.9 (P(candidate) = 1-(1-s^8)^4 ≈ 0.89 at
+    s=0.9) and its survivors must genuinely clear the 0.5 verify
+    threshold."""
     from terasort_spark.operators.llm_dedup import minhash_pairs
 
     exact = {
