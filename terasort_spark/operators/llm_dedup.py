@@ -383,6 +383,23 @@ def dedup_cluster(spark, sf_dir):
     return labels
 
 
+def canonical_url(col):
+    """Canonicalize a URL column: lowercase scheme+host, drop the
+    fragment, strip utm_* tracking params, strip the trailing slash.
+    Idempotent (property-tested in tests/test_property.py) — a
+    prerequisite for using it as a dedup key, since crawl frontiers
+    re-canonicalize already-canonical URLs."""
+    sh_pat = "^(https?://[^/]+)"
+    scheme_host = F.regexp_extract(col, sh_pat, 1)
+    rest = F.expr(
+        f"substr({col}, length(regexp_extract({col}, '{sh_pat}', 1)) + 1)"
+    )
+    rest = F.regexp_replace(rest, r"#.*$", "")
+    rest = F.regexp_replace(rest, r"\?utm_[^#]*", "")
+    rest = F.regexp_replace(rest, r"/+$", "")
+    return F.concat(F.lower(scheme_host), rest)
+
+
 _URL_RAW_SQL = """
     'https://WWW.' || upper(source) || '.example.com/' || lang || '/doc-'
     || CAST(doc_id % 50 AS VARCHAR)
@@ -403,7 +420,7 @@ canon AS (
            lower(regexp_extract(url, '^(https?://[^/]+)', 1)) ||
            regexp_replace(regexp_replace(regexp_replace(
                substr(url, len(regexp_extract(url, '^(https?://[^/]+)', 1)) + 1),
-               '#.*$', ''), '\\?utm_[^#]*', ''), '/$', '')
+               '#.*$', ''), '\\?utm_[^#]*', ''), '/+$', '')
            AS canonical
     FROM raw
 )
@@ -439,14 +456,8 @@ def dedup_urlnorm(spark, sf_dir):
         F.when(F.col("doc_id") % 7 == 0, F.lit("#frag")).otherwise(F.lit("")),
     )
     d = d.select("doc_id", raw.alias("url"))
-    scheme_host = F.regexp_extract("url", r"^(https?://[^/]+)", 1)
-    rest = F.expr("substr(url, length(regexp_extract(url, '^(https?://[^/]+)', 1)) + 1)")
-    rest = F.regexp_replace(rest, r"#.*$", "")
-    rest = F.regexp_replace(rest, r"\?utm_[^#]*", "")
-    rest = F.regexp_replace(rest, r"/$", "")
-    canon = F.concat(F.lower(scheme_host), rest)
     return (
-        d.select("doc_id", canon.alias("canonical"))
+        d.select("doc_id", canonical_url("url").alias("canonical"))
         .groupBy("canonical")
         .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_variants"))
     )

@@ -124,3 +124,38 @@ def test_pack_layout_valid_for_any_token_sizes(spark, sizes, context):
         assert r["bin_id"] == running // context
         assert r["bin_offset"] == running % context
         running += r["n_tokens"]
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    host=st.text(alphabet="abcdefXYZ.", min_size=1, max_size=12),
+    path=st.text(alphabet="abcZ019/_-", min_size=0, max_size=15),
+    utm=st.booleans(),
+    frag=st.booleans(),
+    slash=st.booleans(),
+)
+def test_url_canonicalization_idempotent(spark, host, path, utm, frag, slash):
+    """canonical(canonical(u)) == canonical(u) for arbitrary messy URLs —
+    the property that makes the canonical form usable as a dedup key
+    when crawl frontiers re-feed already-canonical URLs."""
+    from pyspark.sql import functions as F
+
+    from terasort_spark.operators.llm_dedup import canonical_url
+
+    url = f"https://{host}/{path}"
+    if slash:
+        url += "/"
+    if utm:
+        url += "?utm_source=x&utm_campaign=y"
+    if frag:
+        url += "#frag"
+    df = spark.createDataFrame([(url,)], "url string")
+    once = df.select(canonical_url("url").alias("url"))
+    twice = once.select(canonical_url("url").alias("url"))
+    a = once.collect()[0]["url"]
+    b = twice.collect()[0]["url"]
+    assert a == b, (url, a, b)
