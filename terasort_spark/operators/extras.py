@@ -536,3 +536,42 @@ def source_csv_permissive(spark, sf_dir):
         ),
         F.lit(n).alias("n_expected_good"),
     )
+
+
+@register(
+    "sample_pergroup",
+    oracle="""
+SELECT lang, doc_id, h, rn FROM (
+    SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+           CAST(row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS INTEGER) AS rn
+    FROM documents
+) WHERE rn <= 50
+""",
+)
+def sample_pergroup(spark, sf_dir):
+    """Deterministic per-group sample: the 50 lowest-md5(doc_id) docs
+    per language. Content-addressed ranking means every rerun, retry,
+    and cluster size picks the SAME rows (unlike rand()-based samples),
+    and growing the corpus only ever swaps members at the hash boundary
+    — the reproducible "k per stratum" subsample a curation pipeline
+    pins in a datasheet.
+
+    Scale notes: rank-within-group plans a window with a group-limit
+    pushdown (each partition keeps only its local top-50 per lang before
+    the shuffle — same mechanism as topk_pergroup), so the exchange
+    carries at most 50·|langs| rows per partition regardless of corpus
+    size."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h")
+    )
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .select("lang", "doc_id", "h", "rn")
+    )

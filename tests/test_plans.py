@@ -207,3 +207,11 @@ def test_bigram_lm_collapses_occurrences_before_model_join(spark, sf_dir):
     plan = executed_plan(_Q["text_bigram_lm"](spark, sf_dir))
     assert plan.count("Generate explode") <= 2, plan  # one logical explode,
     # at most re-used/duplicated once by the two occ consumers
+
+
+def test_sample_pergroup_plans_window_group_limit(spark, sf_dir):
+    """The per-stratum hash sample must push rn<=50 into a
+    WindowGroupLimit so each partition pre-prunes to its local top-50
+    per lang before the exchange — without it the full corpus shuffles."""
+    plan = executed_plan(_Q["sample_pergroup"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
