@@ -116,6 +116,50 @@ def _canon(v):
     return ("o", str(v))
 
 
+def driver_canon_check(rows, colnames) -> str | None:
+    """Emulate the driver's pandas-based canonicalizer on a result set.
+
+    The driver canonicalizes collected rows through pandas
+    (``sort_values`` over all columns, then per-column ``factorize`` for
+    the value hash). Both steps require every cell to be orderable and
+    hashable — raw list/map/bytearray cells raise ``TypeError:
+    unhashable type`` there even though this module's tuple-based
+    comparison handles them fine. Running the same steps locally turns
+    "driver would crash" into a red test before the driver ever sees it.
+
+    Returns an error string if the driver-style canonicalization would
+    fail, else None.
+    """
+    import pandas as pd
+
+    try:
+        df = pd.DataFrame(rows, columns=list(colnames))
+        cols = sorted(df.columns)
+        df = df[cols]
+        if len(df):
+            df = df.sort_values(by=cols, kind="mergesort").reset_index(drop=True)
+        for c in cols:
+            pd.factorize(df[c])
+    except Exception as exc:
+        return f"driver canonicalizer would fail: {type(exc).__name__}: {exc}"
+    return None
+
+
+_NESTED_KINDS = ("array<", "list<", "map<", "struct<")
+
+
+def nested_output_columns(schema) -> list[str]:
+    """Column names in a Spark schema whose type is array/map/struct —
+    banned in every declared query output (registry convention D5+)."""
+    from pyspark.sql import types as T
+
+    bad = []
+    for f in schema.fields:
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+            bad.append(f.name)
+    return bad
+
+
 @dataclass
 class CompareResult:
     name: str
@@ -148,12 +192,26 @@ def compare_query(name, fn, oracle, spark, sf_dir, con=None) -> CompareResult:
         con = duck_connection(sf_dir)
     try:
         sdf = fn(spark, sf_dir)
+        bad_cols = nested_output_columns(sdf.schema)
+        if bad_cols:
+            res.ok = False
+            res.errors.append(
+                f"nested output columns (banned, driver-unhashable): {bad_cols}"
+            )
         spark_schema = [(f.name, _norm_spark_type(f.dataType)) for f in sdf.schema.fields]
         srows = [tuple(r) for r in sdf.collect()]
+        canon_err = driver_canon_check(srows, [c for c, _ in spark_schema])
+        if canon_err:
+            res.ok = False
+            res.errors.append(canon_err)
 
         duck_schema_rows = con.execute(f"DESCRIBE {oracle}").fetchall()
         duck_schema = [(r[0], _norm_duck_type(r[1])) for r in duck_schema_rows]
         orows = con.execute(oracle).fetchall()
+        canon_err = driver_canon_check(orows, [c for c, _ in duck_schema])
+        if canon_err:
+            res.ok = False
+            res.errors.append(f"oracle side: {canon_err}")
 
         res.spark_rows, res.oracle_rows = len(srows), len(orows)
         if res.spark_rows != res.oracle_rows:

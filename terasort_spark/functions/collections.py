@@ -20,13 +20,18 @@ from terasort_spark.registry import register
 SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
        list_contains(string_split(text, ' '), 'spark') AS has_spark,
-       list_slice(string_split(text, ' '), 1, 3) AS first3,
-       list_sort(list_distinct(list_slice(string_split(text, ' '), 1, 10)))
-           AS distinct10,
-       list_transform(list_slice(string_split(text, ' '), 1, 3), x -> upper(x))
-           AS first3_upper,
-       list_filter(list_slice(string_split(text, ' '), 1, 10), x -> length(x) > 4)
-           AS long_tokens,
+       array_to_string(list_slice(string_split(text, ' '), 1, 3), '|') AS first3,
+       array_to_string(
+           list_sort(list_distinct(list_slice(string_split(text, ' '), 1, 10))),
+           '|') AS distinct10,
+       array_to_string(
+           list_transform(list_slice(string_split(text, ' '), 1, 3),
+                          x -> upper(x)),
+           '|') AS first3_upper,
+       array_to_string(
+           list_filter(list_slice(string_split(text, ' '), 1, 10),
+                       x -> length(x) > 4),
+           '|') AS long_tokens,
        CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x)))
             AS BIGINT) AS total_chars
 FROM documents
@@ -34,16 +39,25 @@ WHERE doc_id < 100
 """,
 )
 def fn_array(spark, sf_dir):
+    # Array HOFs exercised JVM-side; every array-typed intermediate is
+    # array_join'd to a scalar string before leaving the query (declared
+    # outputs never carry ArrayType — see registry D5).
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     toks = F.split(F.col("text"), " ")
     return d.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.array_contains(toks, "spark").alias("has_spark"),
-        F.slice(toks, 1, 3).alias("first3"),
-        F.sort_array(F.array_distinct(F.slice(toks, 1, 10))).alias("distinct10"),
-        F.transform(F.slice(toks, 1, 3), lambda x: F.upper(x)).alias("first3_upper"),
-        F.filter(F.slice(toks, 1, 10), lambda x: F.length(x) > 4).alias("long_tokens"),
+        F.array_join(F.slice(toks, 1, 3), "|").alias("first3"),
+        F.array_join(
+            F.sort_array(F.array_distinct(F.slice(toks, 1, 10))), "|"
+        ).alias("distinct10"),
+        F.array_join(
+            F.transform(F.slice(toks, 1, 3), lambda x: F.upper(x)), "|"
+        ).alias("first3_upper"),
+        F.array_join(
+            F.filter(F.slice(toks, 1, 10), lambda x: F.length(x) > 4), "|"
+        ).alias("long_tokens"),
         F.aggregate(
             toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
         ).alias("total_chars"),
@@ -74,7 +88,8 @@ SELECT doc_id,
        (struct_pack(lang := lang, nc := n_chars)).nc AS st_nchars,
        CAST(cardinality(MAP {'lang': lang, 'source': source}) AS INTEGER)
            AS m_size,
-       list_sort(map_keys(MAP {'lang': lang, 'source': source})) AS m_keys,
+       array_to_string(list_sort(map_keys(MAP {'lang': lang, 'source': source})),
+                       '|') AS m_keys,
        (MAP {'lang': lang, 'source': source}['lang'])[1] AS m_lang
 FROM documents
 WHERE doc_id < 100
@@ -93,7 +108,7 @@ def fn_map(spark, sf_dir):
         st.getField("lang").alias("st_lang"),
         st.getField("nc").alias("st_nchars"),
         F.size(m).alias("m_size"),
-        F.sort_array(F.map_keys(m)).alias("m_keys"),
+        F.array_join(F.sort_array(F.map_keys(m)), "|").alias("m_keys"),
         F.element_at(m, "lang").alias("m_lang"),
     )
 

@@ -234,7 +234,8 @@ def agg_gsets(spark, sf_dir):
     "agg_collect",
     oracle="""
 SELECT o_orderstatus,
-       list_sort(array_agg(DISTINCT o_orderpriority)) AS priorities,
+       array_to_string(list_sort(array_agg(DISTINCT o_orderpriority)), '|')
+           AS priorities,
        count(*) AS n
 FROM orders
 GROUP BY o_orderstatus
@@ -242,12 +243,16 @@ GROUP BY o_orderstatus
 )
 def agg_collect(spark, sf_dir):
     # D5: collected arrays sorted (and DISTINCT for set semantics) so the
-    # result is independent of row arrival order on any cluster size.
+    # result is independent of row arrival order on any cluster size, then
+    # joined to one scalar string — declared outputs never carry raw
+    # ArrayType (list cells are unhashable in pandas-based canonicalizers).
     return (
         table(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")
         .agg(
-            F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+            F.array_join(
+                F.sort_array(F.collect_set("o_orderpriority")), "|"
+            ).alias("priorities"),
             F.count(F.lit(1)).alias("n"),
         )
     )

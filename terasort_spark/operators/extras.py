@@ -173,7 +173,9 @@ SELECT doc_id,
            AS all_multichar,
        CAST(list_position(string_split(text, ' '), 'data') AS INTEGER) AS data_pos,
        array_to_string(list_slice(string_split(text, ' '), 1, 5), '_') AS joined5,
-       list_sort(list_transform([1, 2, 3], i -> CAST(i * 10 AS BIGINT))) AS tens
+       array_to_string(
+           list_sort(list_transform([1, 2, 3], i -> CAST(i * 10 AS BIGINT))),
+           '|') AS tens
 FROM documents
 WHERE doc_id < 100
 """,
@@ -189,8 +191,14 @@ def fn_array2(spark, sf_dir):
         F.forall(toks, lambda w: F.length(w) > 1).alias("all_multichar"),
         F.array_position(toks, "data").cast("int").alias("data_pos"),
         F.array_join(F.slice(toks, 1, 5), "_").alias("joined5"),
-        F.sort_array(
-            F.transform(F.array(F.lit(1), F.lit(2), F.lit(3)), lambda i: (i * 10).cast("long"))
+        F.array_join(
+            F.sort_array(
+                F.transform(
+                    F.array(F.lit(1), F.lit(2), F.lit(3)),
+                    lambda i: (i * 10).cast("long"),
+                )
+            ).cast("array<string>"),
+            "|",
         ).alias("tens"),
     )
 

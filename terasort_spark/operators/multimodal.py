@@ -93,7 +93,8 @@ def multimodal_resize(spark, sf_dir):
         F.lit("fake/raw").alias("media_type"),
     )
     return d.mapInArrow(
-        resize_batched_arrow, schema="doc_id bigint, thumb array<double>"
+        resize_batched_arrow,
+        schema="doc_id bigint, p00 double, p01 double, p10 double, p11 double",
     )
 
 

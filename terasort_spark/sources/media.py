@@ -76,7 +76,12 @@ def resize_batched_arrow(batches):
             # 4x4 -> 2x2 mean pool, row-major flatten
             p = img.reshape(2, 2, 2, 2).mean(axis=(1, 3))
             pooled.append([float(x) for x in p.ravel()])
+        # flattened scalar columns (p00..p11), never a list column:
+        # declared query outputs must stay hashable in pandas-based
+        # canonicalizers (registry lint test_no_nested_output_types)
+        cols = list(zip(*pooled)) if pooled else ([], [], [], [])
         yield pa.RecordBatch.from_arrays(
-            [batch.column("doc_id"), pa.array(pooled, pa.list_(pa.float64()))],
-            names=["doc_id", "thumb"],
+            [batch.column("doc_id")]
+            + [pa.array(list(c), pa.float64()) for c in cols],
+            names=["doc_id", "p00", "p01", "p10", "p11"],
         )

@@ -185,7 +185,7 @@ def test_multimodal_resize_arrow_matches_local(spark, sf_dir):
         digest = hashlib.sha256(docs[r.doc_id].encode()).digest()[:16]
         img = np.frombuffer(digest, dtype=np.uint8).reshape(4, 4).astype(np.float64)
         want = img.reshape(2, 2, 2, 2).mean(axis=(1, 3)).ravel()
-        assert np.allclose(r.thumb, want), r.doc_id
+        assert np.allclose([r.p00, r.p01, r.p10, r.p11], want), r.doc_id
 
 
 def test_dedup_minhash_partition_invariants(spark, sf_dir):

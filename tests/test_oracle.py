@@ -27,6 +27,23 @@ def test_oracle_match(name, spark, sf_dir, duck):
     assert res.ok, str(res)
 
 
+def test_no_nested_output_types(spark, sf_dir):
+    """Registry-wide lint: no declared query may emit array/map/struct
+    columns. The driver canonicalizes results through pandas
+    (sort_values + factorize), where list-like cells raise
+    ``TypeError: unhashable type`` — the r1 agg_collect failure class.
+    Arrays must be array_join'd to scalar strings before leaving a query.
+    """
+    from terasort_spark.compare import nested_output_columns
+
+    bad = {}
+    for name, fn in sorted(_QUERIES.items()):
+        cols = nested_output_columns(fn(spark, sf_dir).schema)
+        if cols:
+            bad[name] = cols
+    assert not bad, f"declared queries with nested output columns: {bad}"
+
+
 def test_rows_only_queries_run(spark, sf_dir):
     """Queries without an oracle still execute and return a stable schema."""
     for name in sorted(set(_QUERIES) - set(_ORACLES)):
