@@ -43,6 +43,10 @@ def main() -> None:
     spark = get_spark(app_name="terasort-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = queries()
+    only = os.environ.get("BENCH_ONLY")  # comma-separated names, local iteration
+    if only:
+        keep = {n.strip() for n in only.split(",")}
+        qs = {n: f for n, f in qs.items() if n in keep}
     medians: dict[str, float] = {}
     for name in sorted(qs):
         fn = qs[name]
@@ -68,14 +72,36 @@ def main() -> None:
         gc.collect()
         spark.catalog.clearCache()
     total = round(sum(medians.values()), 3)
+    sf = _sf_from_dir(SF_DIR)
+    # Full per-query map: separate stdout line + file. The FINAL stdout
+    # line must stay compact (a few hundred bytes) — the driver keeps
+    # only a short tail of output, and r1's single 186-entry line was
+    # truncated to unparseable. The compact line carries the 15 slowest
+    # queries; the complete map lives in BENCH_QUERIES.json / line 1.
+    full = {
+        "metric": "per_query_median_s",
+        "unit": "sec",
+        "queries": medians,
+        "sf": sf,
+        "n_queries": len(medians),
+    }
+    print(json.dumps(full))
+    try:
+        with open(os.path.join(REPO, "BENCH_QUERIES.json"), "w") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
+    except OSError as exc:  # pragma: no cover
+        print(f"# could not write BENCH_QUERIES.json: {exc}", file=sys.stderr)
+    slowest = dict(
+        sorted(medians.items(), key=lambda kv: kv[1], reverse=True)[:15]
+    )
     print(
         json.dumps(
             {
                 "metric": "suite_median_total_s",
                 "value": total,
                 "unit": "sec",
-                "queries": medians,
-                "sf": _sf_from_dir(SF_DIR),
+                "queries": slowest,
+                "sf": sf,
                 "n_queries": len(medians),
             }
         )

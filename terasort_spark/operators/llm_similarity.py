@@ -36,20 +36,58 @@ WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
 """,
 )
 def sim_jaccard(spark, sf_dir):
-    # Exact all-pairs Jaccard on a bounded slice (200 docs → 19,900
-    # pairs). Above ~1e5 docs this becomes the LSH verify step instead.
-    t = (
+    """Exact Jaccard >= TAU pairs via PREFIX FILTERING (AllPairs/PPJoin
+    prefix-filter principle): order the token universe by ascending
+    document frequency; if J(a,b) >= tau then |a∩b| >= ceil(tau*|a|)
+    and >= ceil(tau*|b|), so the first |s| - ceil(tau*|s|) + 1 tokens of
+    each set (rarest first) must share at least one token. Candidate
+    generation is therefore an EQUI-join on prefix tokens — recall is
+    exactly 1 (same answer as the all-pairs formulation, same oracle),
+    and the plan contains no BroadcastNestedLoopJoin / cartesian
+    product. Prefix tokens are by construction the rarest, so join
+    buckets stay small at any corpus size; the exact-verify step touches
+    only candidate pairs. This is the scale path for exact-threshold
+    similarity; the probabilistic path (banded MinHash-LSH with a
+    per-doc cap) lives in llm_dedup.dedup_minhash.
+    """
+    docs = (
         table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 200)
         .select("doc_id", F.array_distinct(F.split(F.lower("text"), " ")).alias("toks"))
     )
-    a = t.select(F.col("doc_id").alias("a_id"), F.col("toks").alias("a_toks"))
-    b = t.select(F.col("doc_id").alias("b_id"), F.col("toks").alias("b_toks"))
+    tok = docs.select("doc_id", F.explode("toks").alias("token"))
+    df_counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w_rank = Window.partitionBy("doc_id").orderBy("df", "token")
+    w_doc = Window.partitionBy("doc_id")
+    ranked = (
+        tok.join(df_counts, "token")
+        .withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("n", F.count(F.lit(1)).over(w_doc))
+    )
+    # prefix length = n - ceil(tau*n) + 1, with ceil(0.9n) as exact
+    # integer arithmetic floor((9n+9)/10) — float tau*n would round the
+    # wrong way for multiples of 10 and silently drop qualifying pairs
+    assert TAU == 0.9, "prefix length below is specialized to tau=0.9"
+    prefix_len = F.col("n") - F.floor((9 * F.col("n") + 9) / 10) + 1
+    prefix = ranked.filter(F.col("rn") <= prefix_len).select("doc_id", "token")
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    t_a = docs.select(F.col("doc_id").alias("a_id"), F.col("toks").alias("a_toks"))
+    t_b = docs.select(F.col("doc_id").alias("b_id"), F.col("toks").alias("b_toks"))
     jacc = F.size(F.array_intersect("a_toks", "b_toks")).cast("double") / F.size(
         F.array_union("a_toks", "b_toks")
     )
     return (
-        a.join(b, F.col("a_id") < F.col("b_id"))
+        cand.join(t_a, "a_id")
+        .join(t_b, "b_id")
         .withColumn("jaccard", rnd(jacc))
         .filter(F.col("jaccard") >= TAU)
         .select("a_id", "b_id", "jaccard")

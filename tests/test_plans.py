@@ -59,6 +59,15 @@ def test_equi_joins_never_cartesian(spark, sf_dir):
         assert_no_cartesian(_Q[name](spark, sf_dir))
 
 
+def test_sim_jaccard_prefix_filter_no_nested_loop(spark, sf_dir):
+    """sim_jaccard's candidate step must be the prefix-filter EQUI-join,
+    never the O(n²) all-pairs inequality join (r1 'weak' finding): no
+    BroadcastNestedLoopJoin or CartesianProduct anywhere in the plan."""
+    plan = executed_plan(_Q["sim_jaccard"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_flagship_uses_whole_stage_codegen(spark, sf_dir):
     assert_whole_stage_codegen(_Q["agg_group"](spark, sf_dir))
 
