@@ -24,10 +24,15 @@ DAMPING = 0.85
 @register("graph_pagerank")  # iterative algorithm → rows-only
 def graph_pagerank(spark, sf_dir):
     """PageRank over the near-duplicate similarity graph: nodes are
-    documents, edges are verified LSH candidate pairs (Jaccard >= 0.5),
-    treated as undirected (each edge contributes both ways). 5 fixed
-    iterations, damping 0.85, uniform init 1/N. High-rank docs are
-    cluster hubs — the docs whose removal dedups the most.
+    documents, edges are verified LSH candidate pairs (Jaccard >= 0.5)
+    from `_candidate_edges`, which passes per_doc_cap=8 — so high-degree
+    nodes' edge lists are truncated to a bounded, smallest-id-biased
+    subset of the full verified pair set (a deliberate cap that keeps
+    hot buckets linear; the topology is that capped graph, not the
+    complete one). Edges are treated as undirected (each contributes
+    both ways). 5 fixed iterations, damping 0.85, uniform init 1/N.
+    High-rank docs are cluster hubs — the docs whose removal dedups
+    the most.
 
     Scale notes: ranks and degrees live on the node key; every
     iteration shuffles contributions on dst — same key, so the

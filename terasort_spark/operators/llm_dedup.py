@@ -123,9 +123,11 @@ def minhash_pairs(spark, sf_dir, tau: float = 0.8, per_doc_cap: int | None = Non
         # array and pair each doc with only its per_doc_cap nearest
         # SMALLER ids. A hot bucket of B docs emits cap·B candidate
         # rows instead of B²/2 — the difference between a dense-corpus
-        # dedup that finishes and one that quadratically explodes. A
-        # final per-doc window re-caps across bands (≤ bands·cap rows
-        # per doc) so the verified set is the cap smallest overall.
+        # dedup that finishes and one that quadratically explodes. Two-
+        # stage heuristic: each bucket contributes a doc's cap NEAREST
+        # (largest) smaller ids, then a final per-doc window keeps the
+        # cap smallest of that nearest-biased union — a bounded subset
+        # of the true cap-smallest candidates, not that exact set.
         from pyspark.sql import Window
 
         grouped = buckets.groupBy("band", "bucket").agg(
@@ -197,9 +199,10 @@ def dedup_minhash(spark, sf_dir):
     This min-id survivor rule is the single-pass approximation of
     connected-components dedup used by large pretraining pipelines.
 
-    Verification is capped at the 8 smallest candidate partners per doc
-    (see minhash_pairs.per_doc_cap): a doc is dropped iff one of its 8
-    lowest-id LSH candidates verifies at Jaccard >= 0.8 — on a corpus
+    Verification is capped at 8 candidate partners per doc (see
+    minhash_pairs.per_doc_cap — per-bucket nearest-smaller ids, then
+    the 8 smallest of that union): a doc is dropped iff one of those 8
+    capped LSH candidates verifies at Jaccard >= 0.8 — on a corpus
     where ~73% of candidates verify, the chance all 8 fail for a true
     near-dup is negligible, and the verify stage becomes O(n) instead
     of O(n²) on high-overlap data."""
@@ -385,17 +388,23 @@ def dedup_cluster(spark, sf_dir):
 
 def canonical_url(col):
     """Canonicalize a URL column: lowercase scheme+host, drop the
-    fragment, strip utm_* tracking params, strip the trailing slash.
-    Idempotent (property-tested in tests/test_property.py) — a
-    prerequisite for using it as a dedup key, since crawl frontiers
-    re-canonicalize already-canonical URLs."""
+    fragment, strip each utm_* tracking param individually (non-utm
+    params survive, in order), repair the leading separator (a query
+    string left starting with '&' gets its first '&' promoted to '?'),
+    strip the trailing slash. Idempotent (property-tested in
+    tests/test_property.py) — a prerequisite for using it as a dedup
+    key, since crawl frontiers re-canonicalize already-canonical
+    URLs."""
     sh_pat = "^(https?://[^/]+)"
     scheme_host = F.regexp_extract(col, sh_pat, 1)
     rest = F.expr(
         f"substr({col}, length(regexp_extract({col}, '{sh_pat}', 1)) + 1)"
     )
     rest = F.regexp_replace(rest, r"#.*$", "")
-    rest = F.regexp_replace(rest, r"\?utm_[^#]*", "")
+    rest = F.regexp_replace(rest, r"[?&]utm_[^&#]*", "")
+    # '?utm_a=1&b=2' lost its '?' with the utm param → '&b=2'; promote
+    # the first separator back ([^?&]* can't skip an earlier '?').
+    rest = F.regexp_replace(rest, r"^([^?&]*)&", r"$1?")
     rest = F.regexp_replace(rest, r"/+$", "")
     return F.concat(F.lower(scheme_host), rest)
 
@@ -418,9 +427,10 @@ WITH raw AS (
 canon AS (
     SELECT doc_id,
            lower(regexp_extract(url, '^(https?://[^/]+)', 1)) ||
-           regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
                substr(url, len(regexp_extract(url, '^(https?://[^/]+)', 1)) + 1),
-               '#.*$', ''), '\\?utm_[^#]*', ''), '/+$', '')
+               '#.*$', ''), '[?&]utm_[^&#]*', '', 'g'), '^([^?&]*)&', '\\1?'),
+               '/+$', '')
            AS canonical
     FROM raw
 )

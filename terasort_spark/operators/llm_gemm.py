@@ -5,8 +5,9 @@ clean, oracle-checkable, O(q·n) rows through the engine — this variant
 never materializes the pair table: each Arrow batch of candidates
 becomes ONE numpy matrix, similarities land in a single BLAS matmul
 (candidates × queriesᵀ), and only each batch's per-query top-k
-survives. Declared rows-only; `tests/test_llm.py` proves it returns
-exactly `sim_cosine_topk`'s rows.
+survives. Declared rows-only; `tests/test_llm.py` asserts it returns
+`sim_cosine_topk`'s (q_id, c_id, rn) rows exactly, cosines to 1e-4
+(BLAS accumulation order can differ from the sequential fold by ULPs).
 
 Scale notes: queries broadcast (plain Python closure over a small
 ndarray — same mechanics as a broadcast join, no shuffle); candidates
@@ -36,9 +37,13 @@ def sim_cosine_gemm(spark, sf_dir):
     """GEMM-blocked cosine top-5 for the same 10 query vectors as
     `sim_cosine_topk` — identical output contract (q_id, c_id, cosine
     4dp, rn), 100× less per-row engine overhead. Cosines are computed
-    in float64 numpy and floor-rounded to 4dp INSIDE the worker so the
-    ranking key is bit-identical to the HOF formulation (same IEEE
-    ops: dot, sqrt, divide, floor)."""
+    in float64 numpy and floor-rounded to 4dp INSIDE the worker, the
+    same rounding the HOF formulation applies — but BLAS accumulates
+    each dot product in a blocked/SIMD (possibly FMA) order, not the
+    sequential zip_with fold, so pre-rounding values can differ by a
+    few ULPs and a cosine sitting exactly on a 0.00005 boundary could
+    round differently. In practice ids and ranks agree exactly
+    (asserted in tests), with cosines compared at 1e-4 tolerance."""
     e = table(spark, sf_dir, "embeddings")
     qrows = (
         e.where(F.col("vec_id") < N_QUERIES)

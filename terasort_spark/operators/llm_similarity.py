@@ -712,6 +712,11 @@ def sim_cosine_pq(spark, sf_dir):
     # both the dimensionality and the initial codebooks (sliced locally)
     seed = e.filter(F.col("vec_id") < PQ_K).collect()
     dim = len(seed[0]["v"])
+    assert dim % PQ_SUB == 0, (
+        f"embedding dim {dim} not divisible by PQ_SUB={PQ_SUB}: the "
+        "trailing dim % PQ_SUB dimensions would silently drop out of "
+        "codebooks and the ADC scan, degrading shortlist recall"
+    )
     subdim = dim // PQ_SUB
     subvecs = F.array(
         *[

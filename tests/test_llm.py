@@ -359,12 +359,22 @@ def test_audio_features_match_local_decode(spark, sf_dir):
 
 
 def test_gemm_topk_equals_hof_topk(spark, sf_dir):
-    """The blocked-GEMM top-k must return exactly the rows of the
-    HOF-based brute force — same ids, same 4dp cosines, same ranks
-    (both floor-round before ranking, so the keys are identical)."""
-    hof = {tuple(r) for r in _Q["sim_cosine_topk"](spark, sf_dir).collect()}
-    gemm = {tuple(r) for r in _Q["sim_cosine_gemm"](spark, sf_dir).collect()}
-    assert gemm == hof
+    """The blocked-GEMM top-k must return the HOF brute force's rows:
+    ids and ranks exactly, cosines within 1e-4. Exact float equality
+    would over-assert — BLAS matmul accumulates dots in a blocked/SIMD
+    order, so a cosine landing on a 0.00005 rounding boundary may
+    round to the adjacent 4dp value on a different BLAS build."""
+    hof = {
+        (r["q_id"], r["c_id"], r["rn"]): r["cosine"]
+        for r in _Q["sim_cosine_topk"](spark, sf_dir).collect()
+    }
+    gemm = {
+        (r["q_id"], r["c_id"], r["rn"]): r["cosine"]
+        for r in _Q["sim_cosine_gemm"](spark, sf_dir).collect()
+    }
+    assert gemm.keys() == hof.keys()
+    for key, cos in gemm.items():
+        assert abs(cos - hof[key]) <= 1e-4, (key, cos, hof[key])
 
 
 def test_kmeans_matches_numpy_lloyd(spark, sf_dir):

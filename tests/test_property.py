@@ -134,14 +134,25 @@ def test_pack_layout_valid_for_any_token_sizes(spark, sizes, context):
 @given(
     host=st.text(alphabet="abcdefXYZ.", min_size=1, max_size=12),
     path=st.text(alphabet="abcZ019/_-", min_size=0, max_size=15),
-    utm=st.booleans(),
+    query=st.sampled_from(
+        [
+            "",
+            "?utm_source=x&utm_campaign=y",
+            "?utm_source=x&keep=1",
+            "?keep=1&utm_medium=z",
+            "?a=1&utm_source=x&b=2",
+            "?keep=1",
+        ]
+    ),
     frag=st.booleans(),
     slash=st.booleans(),
 )
-def test_url_canonicalization_idempotent(spark, host, path, utm, frag, slash):
+def test_url_canonicalization_idempotent(spark, host, path, query, frag, slash):
     """canonical(canonical(u)) == canonical(u) for arbitrary messy URLs —
     the property that makes the canonical form usable as a dedup key
-    when crawl frontiers re-feed already-canonical URLs."""
+    when crawl frontiers re-feed already-canonical URLs. Non-utm params
+    must survive canonicalization (in order, '?'-prefixed) while every
+    utm_* param is dropped wherever it sits in the query string."""
     from pyspark.sql import functions as F
 
     from terasort_spark.operators.llm_dedup import canonical_url
@@ -149,8 +160,7 @@ def test_url_canonicalization_idempotent(spark, host, path, utm, frag, slash):
     url = f"https://{host}/{path}"
     if slash:
         url += "/"
-    if utm:
-        url += "?utm_source=x&utm_campaign=y"
+    url += query
     if frag:
         url += "#frag"
     df = spark.createDataFrame([(url,)], "url string")
@@ -159,3 +169,9 @@ def test_url_canonicalization_idempotent(spark, host, path, utm, frag, slash):
     a = once.collect()[0]["url"]
     b = twice.collect()[0]["url"]
     assert a == b, (url, a, b)
+    kept = [p for p in query.lstrip("?").split("&") if p and not p.startswith("utm_")]
+    for p in kept:
+        assert p in a, (url, a)
+    assert "utm_" not in a, (url, a)
+    if kept:
+        assert a.split("?", 1)[1] == "&".join(kept), (url, a)
