@@ -40,15 +40,23 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     configure(spark)
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects. Read nanos as long and convert to microsecond
-        # timestamps (integer div — exact), matching DuckDB's nanos→micros
-        # truncation of the same column.
+        # events.parquet's ts physical type has varied across driver data
+        # generations: TIMESTAMP(NANOS) (which Spark's vectorized reader
+        # rejects — read nanos as long, integer-div to micros, exact) vs
+        # TIMESTAMP(MICROS) (reads as TIMESTAMP_NTZ directly). Normalize
+        # both to a session-TZ (UTC) TIMESTAMP so every downstream
+        # operator sees one type, matching DuckDB's naive-UTC reading.
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, TimestampNTZType
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(ts_type, TimestampNTZType):
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

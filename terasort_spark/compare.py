@@ -150,12 +150,16 @@ _NESTED_KINDS = ("array<", "list<", "map<", "struct<")
 
 def nested_output_columns(schema) -> list[str]:
     """Column names in a Spark schema whose type is array/map/struct —
-    banned in every declared query output (registry convention D5+)."""
+    banned in every declared query output (registry convention D5+).
+    DecimalType is banned too: Spark collects it as ``Decimal('1.4500')``
+    while DuckDB's pandas path yields float64, so the driver's value
+    hash diverges on representation even when values are equal (the r2
+    fn_cast failure). Render decimals as strings or cast to double."""
     from pyspark.sql import types as T
 
     bad = []
     for f in schema.fields:
-        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType, T.DecimalType)):
             bad.append(f.name)
     return bad
 

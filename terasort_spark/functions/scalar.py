@@ -166,7 +166,7 @@ def fn_cond(spark, sf_dir):
 SELECT o_orderkey,
        CAST(o_orderkey AS INTEGER) AS key_int,
        CAST(trunc(o_totalprice) AS BIGINT) AS price_long,
-       CAST(o_totalprice AS DECIMAL(18,4)) AS price_dec,
+       CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS VARCHAR) AS price_dec,
        CAST(o_orderkey AS VARCHAR) AS key_str,
        CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price_str,
        CAST(o_orderdate AS DATE) AS order_date,
@@ -185,7 +185,7 @@ def fn_cast(spark, sf_dir):
         "o_orderkey",
         F.col("o_orderkey").cast("int").alias("key_int"),
         F.col("o_totalprice").cast("long").alias("price_long"),
-        F.col("o_totalprice").cast("decimal(18,4)").alias("price_dec"),
+        F.col("o_totalprice").cast("decimal(18,4)").cast("string").alias("price_dec"),
         F.col("o_orderkey").cast("string").alias("key_str"),
         F.col("o_totalprice").cast("decimal(18,2)").cast("string").alias("price_str"),
         F.col("o_orderdate").cast("date").alias("order_date"),

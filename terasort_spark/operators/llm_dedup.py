@@ -401,10 +401,14 @@ def canonical_url(col):
         f"substr({col}, length(regexp_extract({col}, '{sh_pat}', 1)) + 1)"
     )
     rest = F.regexp_replace(rest, r"#.*$", "")
-    rest = F.regexp_replace(rest, r"[?&]utm_[^&#]*", "")
-    # '?utm_a=1&b=2' lost its '?' with the utm param → '&b=2'; promote
-    # the first separator back ([^?&]* can't skip an earlier '?').
-    rest = F.regexp_replace(rest, r"^([^?&]*)&", r"$1?")
+    # Strip utm params without ever touching a literal '&' in the path
+    # (legal per RFC 3986): (1) drop '&utm_...' params, (2) a leading
+    # '?utm_...&' promotes the next param's '&' to '?' in the same
+    # match, (3) a lone trailing '?utm_...' disappears. A blanket
+    # "promote first '&' to '?'" would corrupt paths like /a&b.
+    rest = F.regexp_replace(rest, r"&utm_[^&#]*", "")
+    rest = F.regexp_replace(rest, r"\?utm_[^&#]*&", "?")
+    rest = F.regexp_replace(rest, r"\?utm_[^&#]*$", "")
     rest = F.regexp_replace(rest, r"/+$", "")
     return F.concat(F.lower(scheme_host), rest)
 
@@ -427,10 +431,10 @@ WITH raw AS (
 canon AS (
     SELECT doc_id,
            lower(regexp_extract(url, '^(https?://[^/]+)', 1)) ||
-           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
                substr(url, len(regexp_extract(url, '^(https?://[^/]+)', 1)) + 1),
-               '#.*$', ''), '[?&]utm_[^&#]*', '', 'g'), '^([^?&]*)&', '\\1?'),
-               '/+$', '')
+               '#.*$', ''), '&utm_[^&#]*', '', 'g'), '\?utm_[^&#]*&', '?'),
+               '\?utm_[^&#]*$', ''), '/+$', '')
            AS canonical
     FROM raw
 )

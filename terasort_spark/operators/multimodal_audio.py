@@ -30,13 +30,44 @@ from terasort_spark.registry import register
 
 WINDOW = 256  # samples per analysis window
 
-REAL_AUDIO_FORMATS = ("audio/wav", "audio/mp3", "audio/flac")
+# Formats that genuinely need external codecs (ffmpeg/soundfile).
+UNSUPPORTED_AUDIO_FORMATS = ("audio/mp3", "audio/flac")
+
+
+def decode_wav(payload: bytes) -> np.ndarray:
+    """Real WAV decode via the stdlib ``wave`` module — no external
+    codec needed. Multi-channel audio is downmixed by averaging;
+    samples normalize to [-1, 1)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n_ch = w.getnchannels()
+        width = w.getsampwidth()
+        frames = w.readframes(w.getnframes())
+    if width == 1:  # unsigned 8-bit
+        x = (np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif width == 2:  # signed 16-bit LE
+        x = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 4:  # signed 32-bit LE
+        x = np.frombuffer(frames, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    if n_ch > 1:
+        x = x[: len(x) - len(x) % n_ch].reshape(-1, n_ch).mean(axis=1)
+    return x
 
 
 def decode_pcm(payload: bytes, media_type: str) -> np.ndarray:
-    """Deterministic fake decode: payload bytes as centered int8 samples
-    in [-1, 1). Real codecs (soundfile/ffmpeg) would replace this."""
-    if media_type in REAL_AUDIO_FORMATS:
+    """Decode an audio payload to float64 samples in [-1, 1).
+
+    'audio/wav' is a REAL decode (stdlib ``wave``); 'fake/pcm' treats
+    the payload bytes as centered int8 samples (deterministic test
+    path); compressed formats still raise where ffmpeg/soundfile would
+    slot in."""
+    if media_type == "audio/wav":
+        return decode_wav(payload)
+    if media_type in UNSUPPORTED_AUDIO_FORMATS:
         raise NotImplementedError(
             f"no codec for {media_type} in this environment; "
             "install soundfile/ffmpeg and replace this stub"

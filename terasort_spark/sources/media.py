@@ -15,16 +15,54 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
-REAL_FORMATS = ("image/jpeg", "image/png", "audio/wav", "video/mp4")
+# Formats that genuinely need external codecs (PIL/ffmpeg).
+UNSUPPORTED_FORMATS = ("image/jpeg", "image/png", "video/mp4")
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Real decode of binary netpbm images — P5 (grayscale PGM) and P6
+    (RGB PPM) — with a pure-python header parser; no external codec.
+    Returns a float64 grayscale (H, W) array; RGB converts via the
+    ITU-R BT.601 luma weights."""
+    import re
+
+    # Header: magic, whitespace/comment-separated width height maxval,
+    # then ONE whitespace byte before the raster.
+    m = re.match(
+        rb"^(P[56])\s+(?:#[^\n]*\n\s*)*(\d+)\s+(?:#[^\n]*\n\s*)*(\d+)"
+        rb"\s+(?:#[^\n]*\n\s*)*(\d+)[ \t\r\n]",
+        payload,
+    )
+    if not m:
+        raise ValueError("not a binary PPM/PGM (P5/P6) payload")
+    magic, w, h, maxval = m.group(1), int(m.group(2)), int(m.group(3)), int(m.group(4))
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    raster = payload[m.end() :]
+    if magic == b"P5":
+        n = w * h
+        px = np.frombuffer(raster[:n], dtype=np.uint8).astype(np.float64)
+        if px.size != n:
+            raise ValueError("truncated PGM raster")
+        return px.reshape(h, w)
+    n = w * h * 3
+    px = np.frombuffer(raster[:n], dtype=np.uint8).astype(np.float64)
+    if px.size != n:
+        raise ValueError("truncated PPM raster")
+    rgb = px.reshape(h, w, 3)
+    return rgb[..., 0] * 0.299 + rgb[..., 1] * 0.587 + rgb[..., 2] * 0.114
 
 
 def decode_image(payload: bytes, media_type: str) -> np.ndarray:
-    """Return a 4x4 grayscale 'thumbnail' for the fake format.
+    """Decode an image payload to a float64 grayscale array.
 
-    Real codecs would go here (PIL/ffmpeg); they are intentionally
-    stubbed — the engine's contract is the distributed plumbing, not the
-    codec."""
-    if media_type in REAL_FORMATS:
+    'image/ppm' / 'image/pgm' are REAL decodes (stdlib-only netpbm
+    parser); 'fake/raw' is the deterministic test codec (4x4 thumbnail
+    from the payload's sha256); compressed formats still raise where
+    PIL/ffmpeg would slot in."""
+    if media_type in ("image/ppm", "image/pgm"):
+        return decode_ppm(payload)
+    if media_type in UNSUPPORTED_FORMATS:
         raise NotImplementedError(
             f"no codec for {media_type} in this environment; "
             "install PIL/ffmpeg and replace this stub"

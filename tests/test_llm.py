@@ -85,6 +85,89 @@ def test_multimodal_real_codec_raises(spark):
         decode_image(b"\xff\xd8\xff", "image/jpeg")
 
 
+def test_wav_codec_through_spark_pipeline(spark):
+    """REAL WAV payloads (stdlib wave fixtures, 16-bit mono) flow
+    through the same mapInPandas audio stage as the fake codec and
+    reproduce a local numpy decode's windowed features exactly."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from terasort_spark.operators.multimodal_audio import (
+        WINDOW,
+        audio_features_batched,
+        decode_pcm,
+    )
+
+    payloads = []
+    for doc_id, freq in [(1, 5.0), (2, 23.0)]:
+        buf = io.BytesIO()
+        t = np.arange(WINDOW * 3 + 17)
+        samples = (np.sin(t / freq) * 20000).astype("<i2")
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(samples.tobytes())
+        payloads.append((doc_id, bytearray(buf.getvalue()), "audio/wav"))
+    df = spark.createDataFrame(
+        payloads, "doc_id bigint, payload binary, media_type string"
+    )
+    got = {
+        (r["doc_id"], r["window_idx"]): (r["rms_x1e6"], r["n_zero_cross"])
+        for r in df.mapInPandas(
+            audio_features_batched,
+            schema=(
+                "doc_id bigint, window_idx bigint, "
+                "rms_x1e6 bigint, n_zero_cross bigint"
+            ),
+        ).collect()
+    }
+    expect = {}
+    for doc_id, payload, mt in payloads:
+        x = decode_pcm(bytes(payload), mt)
+        for w in range(len(x) // WINDOW):
+            chunk = x[w * WINDOW : (w + 1) * WINDOW]
+            expect[(doc_id, w)] = (
+                int(round(float(np.sqrt(np.mean(chunk**2))) * 1e6)),
+                int(np.count_nonzero(np.diff(np.sign(chunk)))),
+            )
+    assert got == expect and len(got) == 6
+
+
+def test_ppm_codec_through_spark_pipeline(spark):
+    """REAL P6/P5 netpbm payloads decode through the mapInPandas
+    feature stage — thumb_mean equals the local grayscale mean."""
+    import numpy as np
+
+    from terasort_spark.sources.media import decode_ppm, extract_features_batched
+
+    rgb = (np.arange(48, dtype=np.uint8) * 5 % 251).tobytes()
+    ppm = b"P6\n# test\n4 4\n255\n" + rgb
+    pgm = b"P5 6 2 255\n" + bytes(range(12))
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(ppm), "image/ppm"),
+            (2, bytearray(pgm), "image/pgm"),
+        ],
+        "doc_id bigint, payload binary, media_type string",
+    )
+    got = {
+        r["doc_id"]: r["thumb_mean"]
+        for r in df.mapInPandas(
+            extract_features_batched,
+            schema=(
+                "doc_id bigint, media_type string, n_bytes bigint, "
+                "sha1_8 string, thumb_mean double"
+            ),
+        ).collect()
+    }
+    assert got[1] == pytest.approx(float(decode_ppm(ppm).mean()))
+    assert got[2] == pytest.approx(float(decode_ppm(pgm).mean()))
+    assert got[2] == pytest.approx(5.5)  # mean of 0..11
+
+
 def test_agg_approx_within_hll_error(spark, sf_dir):
     approx = {
         r["l_returnflag"]: r["approx_parts"]
@@ -365,16 +448,32 @@ def test_gemm_topk_equals_hof_topk(spark, sf_dir):
     order, so a cosine landing on a 0.00005 rounding boundary may
     round to the adjacent 4dp value on a different BLAS build."""
     hof = {
-        (r["q_id"], r["c_id"], r["rn"]): r["cosine"]
+        (r["q_id"], r["c_id"]): r["cosine"]
         for r in _Q["sim_cosine_topk"](spark, sf_dir).collect()
     }
     gemm = {
-        (r["q_id"], r["c_id"], r["rn"]): r["cosine"]
+        (r["q_id"], r["c_id"]): r["cosine"]
         for r in _Q["sim_cosine_gemm"](spark, sf_dir).collect()
     }
-    assert gemm.keys() == hof.keys()
-    for key, cos in gemm.items():
-        assert abs(cos - hof[key]) <= 1e-4, (key, cos, hof[key])
+    # Membership, not ranks: a 4dp rounding flip between equal-cosine
+    # neighbors may swap adjacent rn values, which is not a bug. A flip
+    # at the k boundary may even swap membership — tolerate a candidate
+    # in one result but not the other only if its cosine sits within
+    # 1e-4 of the other side's worst (rank-k) cosine for that query.
+    worst_hof = {}
+    for (q, _c), cos in hof.items():
+        worst_hof[q] = min(worst_hof.get(q, cos), cos)
+    worst_gemm = {}
+    for (q, _c), cos in gemm.items():
+        worst_gemm[q] = min(worst_gemm.get(q, cos), cos)
+    for key in gemm.keys() ^ hof.keys():
+        q = key[0]
+        cos = gemm.get(key, hof.get(key))
+        boundary = worst_hof[q] if key in gemm else worst_gemm[q]
+        assert abs(cos - boundary) <= 1e-4, ("boundary flip too large", key, cos)
+    for key in gemm.keys() & hof.keys():
+        assert abs(gemm[key] - hof[key]) <= 1e-4, (key, gemm[key], hof[key])
+    assert len(gemm.keys() & hof.keys()) >= len(hof) - len(worst_hof)  # ≤1 flip per query
 
 
 def test_kmeans_matches_numpy_lloyd(spark, sf_dir):

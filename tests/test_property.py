@@ -133,7 +133,7 @@ def test_pack_layout_valid_for_any_token_sizes(spark, sizes, context):
 )
 @given(
     host=st.text(alphabet="abcdefXYZ.", min_size=1, max_size=12),
-    path=st.text(alphabet="abcZ019/_-", min_size=0, max_size=15),
+    path=st.text(alphabet="abcZ019/_-&", min_size=0, max_size=15),
     query=st.sampled_from(
         [
             "",
@@ -141,6 +141,7 @@ def test_pack_layout_valid_for_any_token_sizes(spark, sizes, context):
             "?utm_source=x&keep=1",
             "?keep=1&utm_medium=z",
             "?a=1&utm_source=x&b=2",
+            "?utm_a=1&utm_b=2&keep=1",
             "?keep=1",
         ]
     ),
@@ -175,3 +176,27 @@ def test_url_canonicalization_idempotent(spark, host, path, query, frag, slash):
     assert "utm_" not in a, (url, a)
     if kept:
         assert a.split("?", 1)[1] == "&".join(kept), (url, a)
+    # A literal '&' in the path (legal per RFC 3986) must never be
+    # rewritten to '?' — the r2-advice bug class. Trailing slashes are
+    # only stripped when nothing follows them, so compare accordingly.
+    expected_path = f"https://{host.lower()}/{path}" + ("/" if slash else "")
+    if "?" in a:
+        assert a.split("?", 1)[0] == expected_path, (url, a)
+    else:
+        assert a == expected_path.rstrip("/"), (url, a)
+
+
+def test_url_literal_ampersand_path_survives(spark):
+    """Regression (ADVICE r2): https://h/a&b has no utm param, so the
+    promote step must not fire — the path's '&' survives unchanged."""
+    from terasort_spark.operators.llm_dedup import canonical_url
+
+    cases = [
+        ("https://h/a&b", "https://h/a&b"),
+        ("https://h/a&b?utm_s=1", "https://h/a&b"),
+        ("https://h/a&b?utm_s=1&keep=2", "https://h/a&b?keep=2"),
+        ("https://h/a&b?keep=2", "https://h/a&b?keep=2"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["c"] for r in df.select(canonical_url("url").alias("c")).collect()]
+    assert got == [want for _, want in cases], got
