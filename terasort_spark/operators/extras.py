@@ -222,7 +222,13 @@ def _roundtrip_dir(fmt: str) -> str:
     return os.path.join(tempfile.gettempdir(), f"terasort_spark_src_{fmt}")
 
 
-@register("source_csv")  # file-format round trip → rows-only
+@register(
+    "source_csv",
+    # round-trip identity oracle: the CSV write+read must reproduce the
+    # source table's values exactly (doubles survive via shortest-repr
+    # round-trip, timestamps are midnight-precision)
+    oracle="SELECT * FROM orders",
+)
 def source_csv(spark, sf_dir):
     """CSV source: write orders as headered CSV, read back with explicit
     schema (never inference at scale — one pass saved, types pinned)."""
@@ -237,7 +243,10 @@ def source_csv(spark, sf_dir):
     return spark.read.schema(schema).option("header", True).csv(out)
 
 
-@register("source_jsonl")  # file-format round trip → rows-only
+@register(
+    "source_jsonl",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
 def source_jsonl(spark, sf_dir):
     """JSON-lines source round trip with explicit schema."""
     out = _roundtrip_dir("jsonl")
@@ -304,7 +313,10 @@ def scan_sample(spark, sf_dir):
     )
 
 
-@register("source_orc")  # file-format round trip → rows-only
+@register(
+    "source_orc",
+    oracle="SELECT * FROM supplier",
+)
 def source_orc(spark, sf_dir):
     """ORC source round trip (built-in columnar alternative to parquet;
     same pushdown/pruning machinery). Avro is not bundled in this
@@ -316,7 +328,10 @@ def source_orc(spark, sf_dir):
     return spark.read.orc(out)
 
 
-@register("source_text")  # line-oriented source → rows-only
+@register(
+    "source_text",
+    oracle=r"SELECT regexp_replace(text, '[\r\n]', ' ', 'g') AS value FROM documents",
+)
 def source_text(spark, sf_dir):
     """Plain-text source: one row per line — the rawest ingest format a
     training-data pipeline starts from (wet/warc-style dumps). Written
@@ -507,7 +522,18 @@ def source_binaryfile(spark, sf_dir):
     ).orderBy("file_name")
 
 
-@register("source_csv_permissive")  # malformed-row handling → rows-only
+@register(
+    "source_csv_permissive",
+    # deterministic outcome: all N real rows parse, the 2 injected
+    # malformed lines land in _corrupt_record
+    oracle="""
+SELECT count(*) + 2 AS n_rows,
+       CAST(2 AS BIGINT) AS n_corrupt,
+       count(*) AS n_good,
+       CAST(count(*) AS INTEGER) AS n_expected_good
+FROM nation
+""",
+)
 def source_csv_permissive(spark, sf_dir):
     """PERMISSIVE CSV parsing with corrupt-record capture: malformed
     lines land in _corrupt_record instead of failing the job — the

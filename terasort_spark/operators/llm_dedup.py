@@ -424,7 +424,7 @@ _URL_RAW_SQL = """
 
 @register(
     "dedup_urlnorm",
-    oracle=f"""
+    oracle=rf"""
 WITH raw AS (
     SELECT doc_id, {_URL_RAW_SQL} AS url FROM documents
 ),

@@ -26,13 +26,14 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from terasort_spark.catalog import table
+from terasort_spark.operators.llm_similarity import COSINE_TOPK_ORACLE
 from terasort_spark.registry import register
 
 TOP_K = 5
 N_QUERIES = 10  # vec_id < 10, matching sim_cosine_topk
 
 
-@register("sim_cosine_gemm")  # numpy-GEMM pipeline → rows-only check
+@register("sim_cosine_gemm", oracle=COSINE_TOPK_ORACLE)
 def sim_cosine_gemm(spark, sf_dir):
     """GEMM-blocked cosine top-5 for the same 10 query vectors as
     `sim_cosine_topk` — identical output contract (q_id, c_id, cosine

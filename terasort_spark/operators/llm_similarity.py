@@ -108,9 +108,11 @@ def _norm_sql(a):
 _COSINE_SQL = f"{_dot_sql('q.embedding', 'c.embedding')} / ({_norm_sql('q.embedding')} * {_norm_sql('c.embedding')})"
 
 
-@register(
-    "sim_cosine_topk",
-    oracle=f"""
+# Shared by sim_cosine_topk and sim_cosine_gemm: both declare the same
+# (q_id, c_id, cosine@4dp, rn) contract, so the same DuckDB twin grades
+# both — the GEMM path's BLAS dot products land on identical 4dp values
+# (proven row-identical to the HOF path in tests/test_llm.py).
+COSINE_TOPK_ORACLE = f"""
 SELECT q_id, c_id, cosine, rn
 FROM (
   SELECT q.vec_id AS q_id, c.vec_id AS c_id,
@@ -122,8 +124,10 @@ FROM (
   JOIN embeddings c ON c.vec_id != q.vec_id
 )
 WHERE rn <= 5
-""",
-)
+"""
+
+
+@register("sim_cosine_topk", oracle=COSINE_TOPK_ORACLE)
 def sim_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-5 for 10 query vectors.
 

@@ -51,15 +51,40 @@ def multimodal_join(spark, sf_dir):
     )
 
 
-@register("multimodal_features")  # pandas-UDF pipeline → rows-only check
+# The fake codec is sha256-based, so DuckDB can replay the whole Python
+# decode in SQL: digest byte i of sha256(text) is the hex pair at
+# substr(hex, 2i+1, 2). That turns these pandas-UDF pipelines from
+# rows-only checks into full value-hash oracles.
+def _sha_byte(i: int, hex_col: str = "hx") -> str:
+    return f"CAST('0x'||substr({hex_col}, {2 * i + 1}, 2) AS INT)"
+
+
+_THUMB_MEAN_SQL = (
+    "(" + " + ".join(_sha_byte(i) for i in range(16)) + ") / 16.0"
+)
+
+
+@register(
+    "multimodal_features",
+    oracle=f"""
+WITH h AS (SELECT doc_id, text, sha256(text) AS hx FROM documents)
+SELECT doc_id,
+       'fake/raw' AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       substr(hx, 1, 8) AS sha_8,
+       {_THUMB_MEAN_SQL} AS thumb_mean
+FROM h
+""",
+)
 def multimodal_features(spark, sf_dir):
     """Binary-column feature extraction through the real Arrow path:
     documents.text is packed into a binary payload column (standing in
     for image bytes), then a ``mapInPandas`` stage extracts per-blob
-    features (byte length, sha1 prefix, fake 4x4 thumbnail mean) in
+    features (byte length, sha256 prefix, fake 4x4 thumbnail mean) in
     vectorized pandas batches. The Spark-side plumbing — schema,
     iterator batching, partition preservation — is exactly what a real
-    image decode would use; only the codec is faked."""
+    image decode would use; only the codec is faked (deterministically,
+    from sha256, which is why the DuckDB oracle can replay it)."""
     from terasort_spark.sources.media import extract_features_batched
 
     d = (
@@ -72,12 +97,31 @@ def multimodal_features(spark, sf_dir):
     )
     out_schema = (
         "doc_id bigint, media_type string, n_bytes bigint, "
-        "sha1_8 string, thumb_mean double"
+        "sha_8 string, thumb_mean double"
     )
     return d.mapInPandas(extract_features_batched, schema=out_schema)
 
 
-@register("multimodal_resize")  # Arrow-native pipeline → rows-only check
+def _pool_sql(r: int, c: int) -> str:
+    # 2x2 mean pool over the row-major 4x4 thumbnail: pool cell (r, c)
+    # covers digest bytes 8r+2c, +1, +4, +5
+    base = 8 * r + 2 * c
+    idx = (base, base + 1, base + 4, base + 5)
+    return "(" + " + ".join(_sha_byte(i) for i in idx) + ") / 4.0"
+
+
+@register(
+    "multimodal_resize",
+    oracle=f"""
+WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents)
+SELECT doc_id,
+       {_pool_sql(0, 0)} AS p00,
+       {_pool_sql(0, 1)} AS p01,
+       {_pool_sql(1, 0)} AS p10,
+       {_pool_sql(1, 1)} AS p11
+FROM h
+""",
+)
 def multimodal_resize(spark, sf_dir):
     """Thumbnail resize (2x2 mean pool of the fake decode) through
     ``mapInArrow`` — one level below mapInPandas: the UDF consumes raw
@@ -98,7 +142,24 @@ def multimodal_resize(spark, sf_dir):
     )
 
 
-@register("multimodal_framesample")  # pandas-UDF pipeline → rows-only check
+@register(
+    "multimodal_framesample",
+    # text is ASCII in this corpus, so DuckDB's character-indexed substr
+    # slices the same bytes the Python side slices from the utf-8
+    # payload; md5(substr(..)) then hashes identical frame bytes.
+    oracle="""
+WITH f AS (
+    SELECT doc_id, text,
+           greatest(1, octet_length(encode(text)) // 64) AS nf
+    FROM documents
+)
+SELECT doc_id,
+       CAST(i AS INT) AS frame_idx,
+       CAST(nf AS INT) AS n_frames,
+       md5(substr(text, CAST(i * 64 + 1 AS BIGINT), 64)) AS frame_md5
+FROM f, unnest(generate_series(0, CAST(nf - 1 AS BIGINT), 4)) AS t(i)
+""",
+)
 def multimodal_framesample(spark, sf_dir):
     """Video frame sampling: each binary payload is treated as a frame
     container (fixed 64-byte "frames"); every k-th frame is selected and

@@ -80,7 +80,16 @@ def source_json(spark, sf_dir):
     )
 
 
-@register("sink_parquet")  # round-trip; rows-only check by the driver
+@register(
+    "sink_parquet",
+    # round-trip identity oracle: partitioned write + re-read must
+    # reproduce orders exactly (partition column type/order restored)
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       o_orderdate, o_orderpriority
+FROM orders
+""",
+)
 def sink_parquet(spark, sf_dir):
     """Write + re-read round-trip. Scale note: output is partitioned by a
     low-cardinality column — the layout a 100 TB pipeline would use for

@@ -87,8 +87,10 @@ def extract_features_batched(
                 "doc_id": pdf["doc_id"],
                 "media_type": pdf["media_type"],
                 "n_bytes": payloads.map(len).astype("int64"),
-                "sha1_8": payloads.map(
-                    lambda b: hashlib.sha1(bytes(b)).hexdigest()[:8]
+                # sha256 (not sha1): DuckDB has sha256 but no sha1, so
+                # the oracle can recompute the same fingerprint in SQL
+                "sha_8": payloads.map(
+                    lambda b: hashlib.sha256(bytes(b)).hexdigest()[:8]
                 ),
                 "thumb_mean": payloads.combine(
                     pdf["media_type"],

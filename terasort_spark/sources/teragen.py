@@ -25,6 +25,7 @@ empty; see SURVEY.md §0):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -33,6 +34,7 @@ from pyspark.sql import functions as F
 
 KEY_LEN = 10
 VALUE_LEN = 90
+RECORD_LEN = KEY_LEN + VALUE_LEN
 DEFAULT_SEED = 42
 
 
@@ -69,6 +71,44 @@ def terasort(df: DataFrame, n_partitions: int = 32) -> DataFrame:
     GraySort comparator; Tungsten compares via the 8-byte key prefix
     (the built-in equivalent of the reference's OptimizedText)."""
     return df.repartitionByRange(n_partitions, "key").sortWithinPartitions("key")
+
+
+def write_tera_files(sorted_df: DataFrame, out_dir: str) -> list[str]:
+    """R5 sink contract (reconstructed pub:TeraOutputFormat semantics —
+    SURVEY.md §2a): one file per partition of raw concatenated 100-byte
+    records (no header, no framing), named part-<index> so that
+    concatenating the files in name order reproduces the globally
+    sorted dataset. Executors write their own partition directly — the
+    local-mode twin of TeraOutputFormat's per-reducer DFS file; no data
+    moves through the driver. Empty partitions still emit a (zero-byte)
+    file, matching Hadoop's behavior. Returns paths in index order."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_partition(idx: int, rows) -> Iterator[tuple[int, str]]:
+        path = os.path.join(out_dir, f"part-{idx:05d}.dat")
+        with open(path, "wb") as f:
+            for row in rows:
+                f.write(bytes(row["key"]))
+                f.write(bytes(row["value"]))
+        yield (idx, path)
+
+    paths = dict(sorted_df.rdd.mapPartitionsWithIndex(write_partition).collect())
+    return [paths[i] for i in sorted(paths)]
+
+
+def read_tera_files(spark: SparkSession, out_dir: str) -> DataFrame:
+    """R1 source contract (reconstructed pub:TeraInputFormat semantics):
+    fixed-width 100-byte binary records → (key BINARY, value BINARY)
+    rows. ``binaryRecords`` splits exactly at record boundaries and
+    parallelizes by file, so a 100 TB directory scans with the same
+    code; the 10/90 key/value split happens JVM-side off each record."""
+    rdd = spark.sparkContext.binaryRecords(
+        os.path.join(out_dir, "part-*.dat"), RECORD_LEN
+    )
+    return spark.createDataFrame(
+        rdd.map(lambda b: (b[:KEY_LEN], b[KEY_LEN:])),
+        schema="key binary, value binary",
+    )
 
 
 def _summarize_partitions(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

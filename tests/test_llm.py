@@ -69,11 +69,11 @@ def test_multimodal_features_schema_and_determinism(spark, sf_dir):
         "doc_id",
         "media_type",
         "n_bytes",
-        "sha1_8",
+        "sha_8",
         "thumb_mean",
     ]
-    rows = {r["doc_id"]: (r["n_bytes"], r["sha1_8"], r["thumb_mean"]) for r in df.collect()}
-    again = {r["doc_id"]: (r["n_bytes"], r["sha1_8"], r["thumb_mean"]) for r in df.collect()}
+    rows = {r["doc_id"]: (r["n_bytes"], r["sha_8"], r["thumb_mean"]) for r in df.collect()}
+    again = {r["doc_id"]: (r["n_bytes"], r["sha_8"], r["thumb_mean"]) for r in df.collect()}
     assert rows == again
     assert all(0 <= v[2] <= 255 for v in rows.values())
 
@@ -159,7 +159,7 @@ def test_ppm_codec_through_spark_pipeline(spark):
             extract_features_batched,
             schema=(
                 "doc_id bigint, media_type string, n_bytes bigint, "
-                "sha1_8 string, thumb_mean double"
+                "sha_8 string, thumb_mean double"
             ),
         ).collect()
     }
