@@ -322,9 +322,12 @@ def agg_heavyhitters(spark, sf_dir):
     )
     from pyspark.sql import Window
 
+    # Bound the candidate set with ORDER BY + LIMIT first
+    # (TakeOrderedAndProject: per-partition 20-row heaps) — the rank
+    # window then runs over 20 rows, never the full distinct-token
+    # table, which at corpus scale is itself billions of rows.
+    top = est.orderBy(F.desc("est"), F.asc("tok")).limit(20)
     w = Window.orderBy(F.desc("est"), F.asc("tok"))
-    return (
-        est.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
-        .select("rank", "tok", "est")
+    return top.select(
+        F.row_number().over(w).alias("rank"), "tok", "est"
     )

@@ -54,11 +54,18 @@ def tpch_q3_shape(spark, sf_dir):
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
     )
+    # Top-k as ORDER BY + LIMIT (plans as TakeOrderedAndProject: per-
+    # partition k-row heaps, driver merges k*P rows) — then the rank
+    # column is a window over the already-bounded 10 rows. No
+    # unpartitioned window ever sees the unbounded aggregate.
+    top = agg.orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(10)
     w = Window.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
-    return (
-        agg.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
-        .select("l_orderkey", "o_orderdate", "o_orderpriority", "revenue", "rn")
+    return top.select(
+        "l_orderkey",
+        "o_orderdate",
+        "o_orderpriority",
+        "revenue",
+        F.row_number().over(w).alias("rn"),
     )
 
 
@@ -147,11 +154,17 @@ def tpch_q10_shape(spark, sf_dir):
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
     )
+    # Same top-k shape as tpch_q3_shape: TakeOrderedAndProject bounds
+    # the input to 20 rows BEFORE the rank window — r3's form ranked
+    # the whole aggregate through one single-partition window task.
+    top = agg.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20)
     w = Window.orderBy(F.desc("revenue"), F.asc("c_custkey"))
-    return (
-        agg.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 20)
-        .select("c_custkey", "c_name", "n_name", "revenue", "rn")
+    return top.select(
+        "c_custkey",
+        "c_name",
+        "n_name",
+        "revenue",
+        F.row_number().over(w).alias("rn"),
     )
 
 

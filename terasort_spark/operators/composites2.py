@@ -414,11 +414,13 @@ def tpch_q21_shape(spark, sf_dir):
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+    # Top-20 via TakeOrderedAndProject (per-partition heaps) before the
+    # rank window sees anything — the window input is bounded at 20
+    # rows, never the full supplier aggregate.
+    top = agg.orderBy(F.desc("numwait"), F.asc("s_name")).limit(20)
     w = Window.orderBy(F.desc("numwait"), F.asc("s_name"))
-    return (
-        agg.withColumn("rn", F.row_number().over(w).cast("integer"))
-        .filter(F.col("rn") <= 20)
-        .select("s_name", "numwait", "rn")
+    return top.select(
+        "s_name", "numwait", F.row_number().over(w).cast("integer").alias("rn")
     )
 
 

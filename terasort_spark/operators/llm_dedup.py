@@ -125,11 +125,14 @@ def minhash_pairs(spark, sf_dir, tau: float = 0.8, per_doc_cap: int | None = Non
         # rows instead of B²/2 — the difference between a dense-corpus
         # dedup that finishes and one that quadratically explodes. Two-
         # stage heuristic: each bucket contributes a doc's cap NEAREST
-        # (largest) smaller ids, then a final per-doc window keeps the
-        # cap smallest of that nearest-biased union — a bounded subset
-        # of the true cap-smallest candidates, not that exact set.
-        from pyspark.sql import Window
-
+        # (largest) smaller ids, then ONE groupBy per b_id dedups the
+        # per-band candidates (collect_set), sorts, and slices the cap
+        # smallest of that nearest-biased union — a bounded subset of
+        # the true cap-smallest candidates, not that exact set. Doing
+        # dedup + cap inside a single aggregation (instead of
+        # dropDuplicates + a row_number window, r3's form) costs one
+        # shuffle, not three; the aggregated state per b_id is bounded
+        # at cap * N_BANDS ids, so no reducer can blow up on a hot doc.
         grouped = buckets.groupBy("band", "bucket").agg(
             F.sort_array(F.collect_set("doc_id")).alias("ids")
         )
@@ -146,12 +149,15 @@ def minhash_pairs(spark, sf_dir, tau: float = 0.8, per_doc_cap: int | None = Non
                 )
             ).alias("a_id"),
         )
-        w = Window.partitionBy("b_id").orderBy("a_id")
         pairs = (
-            cand.dropDuplicates(["a_id", "b_id"])
-            .withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") <= per_doc_cap)
-            .drop("_rk")
+            cand.groupBy("b_id")
+            .agg(
+                F.slice(
+                    F.array_sort(F.collect_set("a_id")), 1, per_doc_cap
+                ).alias("a_ids")
+            )
+            .select("b_id", F.explode("a_ids").alias("a_id"))
+            .select("a_id", "b_id")
         )
     else:
         pairs = (
@@ -433,8 +439,8 @@ canon AS (
            lower(regexp_extract(url, '^(https?://[^/]+)', 1)) ||
            regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
                substr(url, len(regexp_extract(url, '^(https?://[^/]+)', 1)) + 1),
-               '#.*$', ''), '&utm_[^&#]*', '', 'g'), '\?utm_[^&#]*&', '?'),
-               '\?utm_[^&#]*$', ''), '/+$', '')
+               '#.*$', ''), '&utm_[^&#]*', '', 'g'), '\?utm_[^&#]*&', '?', 'g'),
+               '\?utm_[^&#]*$', '', 'g'), '/+$', '')
            AS canonical
     FROM raw
 )

@@ -44,7 +44,14 @@ def sim_cosine_gemm(spark, sf_dir):
     sequential zip_with fold, so pre-rounding values can differ by a
     few ULPs and a cosine sitting exactly on a 0.00005 boundary could
     round differently. In practice ids and ranks agree exactly
-    (asserted in tests), with cosines compared at 1e-4 tolerance."""
+    (asserted in tests), with cosines compared at 1e-4 tolerance.
+
+    Accepted risk (ADVICE r3): the strict value-hash oracle passes on
+    this container's BLAS empirically; a different BLAS build could in
+    principle flip a boundary cosine the tolerance-based test would
+    tolerate but the driver's exact hash would not. Kept because the
+    operator's purpose is demonstrating the GEMM throughput path with
+    a hard external check; a mismatch would localize instantly here."""
     e = table(spark, sf_dir, "embeddings")
     qrows = (
         e.where(F.col("vec_id") < N_QUERIES)

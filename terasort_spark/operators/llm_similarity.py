@@ -661,6 +661,12 @@ def emb_kmeans(spark, sf_dir):
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
+    # The base vectors are re-read KMEANS_ITER+2 times (init, one
+    # assignment per Lloyd round, final assignment); materialize them
+    # ONCE so each round reads cached blocks instead of re-running the
+    # parquet scan + cast — the same reuse pattern dedup_cluster and
+    # graph_pagerank apply to their loop state.
+    e = e.localCheckpoint(eager=True)
     init = e.orderBy("vec_id").limit(K_CLUSTERS).collect()
     centroids = [list(r["v"]) for r in init]
     for _ in range(KMEANS_ITER):

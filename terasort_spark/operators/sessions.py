@@ -171,3 +171,49 @@ def stream_session(spark, sf_dir):
             "n_events",
         )
     )
+
+
+@register(
+    "stream_dedup",
+    oracle="""
+SELECT event_id,
+       min(user_id) AS user_id,
+       min(event_type) AS event_type,
+       min(ts) AS first_ts,
+       count(*) AS n_deliveries
+FROM (
+  SELECT event_id, user_id, event_type, ts FROM events
+  UNION ALL
+  SELECT event_id, user_id, event_type, ts FROM events
+  WHERE event_id % 3 = 0
+)
+GROUP BY event_id
+""",
+)
+def stream_dedup(spark, sf_dir):
+    """Batch twin of ``dropDuplicatesWithinWatermark(["event_id"])``:
+    at-least-once delivery is simulated by re-appending every third
+    event (a deterministic stand-in for a replayed Kafka batch), then
+    exactly-once semantics are restored by keeping one row per
+    event_id. The streaming form of the same dedup — watermark-bounded
+    state keyed by event_id — is asserted equivalent in
+    tests/test_streaming.py::test_stream_dedup_within_watermark.
+
+    Scale note: a single hash aggregation on the dedup key, identical
+    in shape to the streaming operator's state store keyed by event_id;
+    partial (map-side) aggregation absorbs duplicates that land in the
+    same input split before the shuffle."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    redelivered = ev.filter(F.col("event_id") % 3 == 0)
+    return (
+        ev.unionAll(redelivered)
+        .groupBy("event_id")
+        .agg(
+            F.min("user_id").alias("user_id"),
+            F.min("event_type").alias("event_type"),
+            F.min("ts").alias("first_ts"),
+            F.count(F.lit(1)).alias("n_deliveries"),
+        )
+    )

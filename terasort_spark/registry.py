@@ -93,15 +93,18 @@ def _load() -> None:
         importlib.import_module(mod)
 
 
-# Queries the round-1 driver run already graded green (or rows-only by
-# design). The driver grades registry entries in dict order with a bounded
-# budget (r1 stopped after the first 50), so entries without a CORRECTNESS
-# row yet are yielded FIRST and these proven ones last. agg_collect is
-# deliberately absent: it failed in r1 (raw array column) and must be
-# regraded after the array_join fix.
+# Queries a past driver round already graded green (or rows-only by
+# design): r1's 50 plus the identical 50-entry slice r2/r3 both graded
+# (CORRECTNESS_r0{1,2,3}.json). The driver grades registry entries in dict
+# order with a bounded per-round budget, so entries without a CORRECTNESS
+# row yet are yielded FIRST and these proven ones last; the rotation
+# advances by appending each round's graded names here.
+# sink_parquet is deliberately absent: r1 recorded it rows-only before its
+# oracle existed, so one regrade slot buys a hash-green row.
 _ALREADY_GRADED = (
+    # --- round 1 ---
     "scan_full", "scan_project", "scan_pushdown", "source_json",
-    "sink_parquet", "sink_partitioned_pruned", "scan_provenance",
+    "sink_partitioned_pruned", "scan_provenance",
     "source_json_dirty", "project_arith", "filter_compound", "project_case",
     "filter_null3vl", "filter_in_subquery", "join_inner", "join_broadcast",
     "join_left", "join_full", "join_semi", "join_anti", "join_cross",
@@ -112,13 +115,55 @@ _ALREADY_GRADED = (
     "win_firstlast", "sort_rank", "topk_limit", "topk_pergroup",
     "set_union_all", "set_union", "set_intersect", "set_except",
     "stream_tumbling", "stream_sliding",
+    # --- rounds 2+3 (same slice both rounds; all green or rows-by-design) ---
+    "agg_collect", "sessionize", "stream_session",
+    "fn_string", "fn_date", "fn_math", "fn_cond", "fn_cast", "fn_regex",
+    "fn_array", "fn_explode", "fn_map", "fn_json", "fn_hash",
+    "udf_python", "udf_pandas", "udaf_pandas", "udtf_split",
+    "udf_grouped_map", "teragen", "terasort",
+    "text_wordcount", "text_stats", "text_quality", "text_langid",
+    "text_fingerprint", "text_pii_scrub", "text_gopher_rules",
+    "text_repetition", "dedup_exact", "dedup_minhash", "dedup_simhash",
+    "dedup_embcos", "dedup_cluster", "dedup_urlnorm", "dedup_substring",
+    "sim_jaccard", "sim_cosine_topk", "knn_label", "sim_cosine_ivf",
+    "sim_ngram", "emb_centroid", "emb_quantize", "emb_covariance",
+    "emb_pca_power", "emb_kmeans", "sim_cosine_pq",
+    "multimodal_join", "multimodal_features", "multimodal_resize",
+)
+
+# Never-graded entries pulled to the very front of the rotation so this
+# round's 50-entry budget lands on the highest-evidence-value rows first:
+# the 21 TPC-H shapes, the regrade slots (sink_parquet's now-existing
+# oracle, stream_dedup's new batch twin), the perf-flagged graph/gemm/
+# audio/bigram queries, and every remaining source format.
+_GRADE_FIRST = (
+    "sink_parquet", "stream_dedup",
+    "tpch_q2_shape", "tpch_q3_shape", "tpch_q4_shape", "tpch_q5_shape",
+    "tpch_q6_shape", "tpch_q7_shape", "tpch_q8_shape", "tpch_q9_shape",
+    "tpch_q10_shape", "tpch_q11_shape", "tpch_q12_shape", "tpch_q13_shape",
+    "tpch_q14_shape", "tpch_q15_shape", "tpch_q16_shape", "tpch_q17_shape",
+    "tpch_q18_shape", "tpch_q19_shape", "tpch_q20_shape", "tpch_q21_shape",
+    "tpch_q22_shape", "corr_scalar_subquery",
+    "graph_pagerank", "graph_triangles", "sim_cosine_gemm", "text_bigram_lm",
+    "multimodal_audio", "multimodal_framesample",
+    "source_csv", "source_jsonl", "source_orc", "source_text",
+    "source_binaryfile", "source_csv_permissive",
+    "text_contamination", "pack_sequences", "sample_mixture",
+    "events_funnel", "events_retention", "events_rfm", "events_anomaly",
+    "text_vocab_coverage", "emb_norm_stats", "text_tfidf", "text_tokens",
+    "etl_upsert", "etl_scd2", "ml_linreg",
 )
 
 
 def _graded_last(d: dict) -> dict:
-    front = {k: v for k, v in d.items() if k not in _ALREADY_GRADED}
+    first = {k: d[k] for k in _GRADE_FIRST if k in d and k not in _ALREADY_GRADED}
+    front = {
+        k: v
+        for k, v in d.items()
+        if k not in _ALREADY_GRADED and k not in first
+    }
     back = {k: d[k] for k in _ALREADY_GRADED if k in d}
-    return {**front, **back}
+    return {**first, **front, **back}
 
 
 def queries() -> dict[str, QueryFn]:

@@ -39,6 +39,19 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Long-lived sessions (the 186-query bench loop runs ~750 jobs in
+        # one JVM) accumulate status-store state even with the UI off;
+        # cap retention so late queries aren't taxed by listener-bus and
+        # heap growth from the first hundred (r3 saw an across-the-board
+        # ~1.4x in-suite drift vs isolated runs).
+        .config("spark.sql.ui.retainedExecutions", "8")
+        .config("spark.ui.retainedJobs", "100")
+        .config("spark.ui.retainedStages", "200")
+        .config("spark.ui.retainedTasks", "2000")
+        # Periodic JVM GC (default 30min) also drives ContextCleaner's
+        # weak-reference processing; 5min keeps checkpoint/broadcast
+        # blocks from piling up across a long suite.
+        .config("spark.cleaner.periodicGC.interval", "5min")
     )
     return builder.getOrCreate()
 

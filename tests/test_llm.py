@@ -473,7 +473,13 @@ def test_gemm_topk_equals_hof_topk(spark, sf_dir):
         assert abs(cos - boundary) <= 1e-4, ("boundary flip too large", key, cos)
     for key in gemm.keys() & hof.keys():
         assert abs(gemm[key] - hof[key]) <= 1e-4, (key, gemm[key], hof[key])
-    assert len(gemm.keys() & hof.keys()) >= len(hof) - len(worst_hof)  # ≤1 flip per query
+    # ≤1 membership flip PER QUERY (a global bound would let all the
+    # tolerated flips land on one query and hide a real divergence)
+    flips_per_q: dict = {}
+    for q, _c in gemm.keys() ^ hof.keys():
+        flips_per_q[q] = flips_per_q.get(q, 0) + 1
+    # each flip contributes 2 symmetric-difference keys (one side each)
+    assert all(n <= 2 for n in flips_per_q.values()), flips_per_q
 
 
 def test_kmeans_matches_numpy_lloyd(spark, sf_dir):
@@ -544,3 +550,16 @@ def test_pq_recall_beats_ivf_bar(spark, sf_dir):
     pq = {(r["q_id"], r["c_id"]) for r in pq_rows}
     recall = len(exact & pq) / len(exact)
     assert recall >= 0.5, f"PQ recall@5 {recall:.2f}"
+
+
+def test_documents_text_is_ascii_for_byte_char_oracles(spark, sf_dir):
+    """multimodal_framesample's oracle equates DuckDB character-indexed
+    substr with Python byte slicing, which holds only while
+    documents.text is pure ASCII (ADVICE r3). Guard the equivalence so
+    corpus drift becomes a clear test failure instead of a silent
+    value-hash mismatch."""
+    from terasort_spark.catalog import table
+
+    d = table(spark, sf_dir, "documents")
+    n_multibyte = d.filter(F.octet_length("text") != F.length("text")).count()
+    assert n_multibyte == 0

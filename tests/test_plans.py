@@ -224,3 +224,19 @@ def test_sample_pergroup_plans_window_group_limit(spark, sf_dir):
     per lang before the exchange — without it the full corpus shuffles."""
     plan = executed_plan(_Q["sample_pergroup"](spark, sf_dir))
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_topk_shapes_bound_rank_window_with_take_ordered(spark, sf_dir):
+    """tpch_q3/q10/q21 + agg_heavyhitters (r3 'weak' finding): the
+    global rank must consume a TakeOrderedAndProject-bounded k-row
+    input, never the full aggregate through one single-partition window
+    task. The Window node must sit ABOVE the bounded top-k in the tree
+    (i.e. it ranks the k merged rows), which the printed plan shows as
+    Window appearing before TakeOrderedAndProject top-down."""
+    for name in ("tpch_q3_shape", "tpch_q10_shape", "tpch_q21_shape",
+                 "agg_heavyhitters"):
+        plan = executed_plan(_Q[name](spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan, f"{name}:\n{plan}"
+        assert plan.index("Window") < plan.index("TakeOrderedAndProject"), (
+            f"{name}: Window below the top-k bound:\n{plan}"
+        )
