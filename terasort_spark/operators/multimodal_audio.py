@@ -109,7 +109,49 @@ def audio_features_batched(
         )
 
 
-@register("multimodal_audio")  # pandas-UDF pipeline → rows-only check
+@register(
+    "multimodal_audio",
+    # Full SQL replay of the fake/pcm decode: payload byte i IS
+    # ascii(char i) of documents.text (pure-ASCII corpus — guarded by
+    # tests/test_llm.py::test_documents_text_is_ascii...), sample =
+    # (byte - 128)/128, full 256-sample windows only. ASCII bytes are
+    # all < 128 so every sample is negative — the zero-cross lag chain
+    # still computes sign transitions generally rather than hardcoding
+    # 0. Rounding note: Python's round() is banker's at an exact .5;
+    # floor(x+0.5) is half-up — a sqrt landing exactly on a .5 at 1e6
+    # scale is the only divergence point (measure-zero; same accepted
+    # risk class as sim_cosine_gemm's BLAS boundary).
+    oracle=f"""
+WITH chars AS (
+  SELECT doc_id,
+         CAST(i - 1 AS BIGINT) AS pos,
+         (ascii(substr(text, CAST(i AS INT), 1)) - 128.0) / 128.0 AS s,
+         CAST(len(text) // {WINDOW} AS BIGINT) AS n_win
+  FROM documents, unnest(range(1, len(text) + 1)) AS t(i)
+),
+samples AS (
+  SELECT doc_id,
+         pos // {WINDOW} AS window_idx,
+         s,
+         CASE WHEN s > 0 THEN 1 WHEN s < 0 THEN -1 ELSE 0 END AS sgn,
+         pos
+  FROM chars
+  WHERE pos // {WINDOW} < n_win
+),
+flagged AS (
+  SELECT doc_id, window_idx, s,
+         CASE WHEN lag(sgn) OVER w IS NOT NULL
+               AND lag(sgn) OVER w <> sgn THEN 1 ELSE 0 END AS zc
+  FROM samples
+  WINDOW w AS (PARTITION BY doc_id, window_idx ORDER BY pos)
+)
+SELECT doc_id, window_idx,
+       CAST(floor(sqrt(avg(s * s)) * 1000000 + 0.5) AS BIGINT) AS rms_x1e6,
+       CAST(sum(zc) AS BIGINT) AS n_zero_cross
+FROM flagged
+GROUP BY doc_id, window_idx
+""",
+)
 def multimodal_audio(spark, sf_dir):
     """Windowed audio features over binary payloads (documents.text
     bytes standing in for PCM): per 256-sample window, RMS energy

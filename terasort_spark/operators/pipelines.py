@@ -282,19 +282,21 @@ FROM (
 def join_asof_fwd(spark, sf_dir):
     """FORWARD as-of join: for each order, the first shipment at or
     after the order date (the mirror of join_asof's backward lookup).
-    Expressed as join + per-key min-rank — one shuffle on the order
-    key; at scale the window prunes inside the sort
-    (WindowGroupLimit), so no full per-key materialization."""
+    Expressed as join + per-key min(struct) — a HASH aggregation with
+    map-side combine, not a sort-based window: each pre-shuffle
+    partition collapses to one candidate row per order key before the
+    exchange, and no per-key sort ever materializes. min over a struct
+    compares lexicographically, so (l_shipdate, l_linenumber) ordering
+    reproduces the min-rank row exactly."""
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
     j = o.join(li, o.o_orderkey == li.l_orderkey).filter(
         F.col("l_shipdate") >= F.col("o_orderdate")
     )
-    w = Window.partitionBy("o_orderkey").orderBy("l_shipdate", "l_linenumber")
     return (
-        j.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("o_orderkey", "o_orderdate", F.col("l_shipdate").alias("first_ship"))
+        j.groupBy("o_orderkey", "o_orderdate")
+        .agg(F.min(F.struct("l_shipdate", "l_linenumber")).alias("first"))
+        .select("o_orderkey", "o_orderdate", F.col("first.l_shipdate").alias("first_ship"))
     )
 
 

@@ -217,3 +217,37 @@ def stream_dedup(spark, sf_dir):
             F.count(F.lit(1)).alias("n_deliveries"),
         )
     )
+
+
+@register(
+    "stream_stateful",
+    oracle="""
+SELECT user_id, event_id,
+       CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_n
+FROM events
+""",
+)
+def stream_stateful(spark, sf_dir):
+    """Batch twin of the applyInPandasWithState running-count operator
+    (tests/test_streaming.py::test_stream_stateful_running_count): the
+    stateful stream emits, per user, the event count after each
+    micro-batch; replayed over the at-rest table that is the running
+    count at every event, a per-user window sum. The streaming form's
+    final emission per user equals this query's last row per user —
+    asserted in the replay test.
+
+    Scale note: one shuffle on user_id (exactly the stateful
+    operator's state partitioning); per-user state is a single counter
+    either way."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("running_n"),
+    )
