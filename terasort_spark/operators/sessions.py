@@ -251,3 +251,82 @@ def stream_stateful(spark, sf_dir):
         "event_id",
         F.count(F.lit(1)).over(w).cast("long").alias("running_n"),
     )
+
+
+WM_DELAY_MIN = 10  # watermark delay (matches tests/test_streaming.py)
+
+
+@register(
+    "late_data",
+    oracle=f"""
+WITH arr AS (
+  SELECT event_id, event_type, ts,
+         max(ts) OVER (ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS max_prev
+  FROM events
+)
+SELECT event_id, event_type,
+       CASE WHEN max_prev IS NOT NULL
+             AND ts < max_prev - INTERVAL {WM_DELAY_MIN} MINUTE
+            THEN TRUE ELSE FALSE END AS is_late
+FROM arr
+""",
+)
+def late_data(spark, sf_dir):
+    """Batch replay of watermark lateness: arrival order = event_id,
+    watermark before event i = max(ts of earlier arrivals) - delay, and
+    an event is LATE iff its ts falls below that watermark — exactly
+    the row-drop rule Structured Streaming applies
+    (tests/test_streaming.py::test_late_data_dropped_after_watermark
+    asserts the streaming side).
+
+    The global prefix-max is computed with the TWO-PASS pattern (the
+    same mechanism as terasort's total order), not a single-partition
+    window: bucket by arrival-key range, per-bucket running max, then
+    one bounded collect of per-bucket maxima (<= one TIMESTAMP per
+    bucket — model-state-sized, independent of data volume) broadcast
+    back as each bucket's carry-in. No task ever sees more than its
+    own bucket. The bucket id is a PURE FUNCTION of the key (id-span
+    chunks from one min/max agg), not repartitionByRange — sampled
+    range boundaries can differ between the window branch and the
+    maxima branch of the same query, silently misaligning the carry."""
+    ev = table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).collect()[0]
+    n_buckets = 32
+    chunk = max(1, (hi - lo) // n_buckets + 1)
+    parts = ev.withColumn(
+        "pid", ((F.col("event_id") - F.lit(lo)) / F.lit(chunk)).cast("int")
+    )
+    w_in = (
+        Window.partitionBy("pid")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = parts.withColumn("local_prev_max", F.max("ts").over(w_in))
+    # one row per partition -> prefix max over earlier partitions
+    # (range partitions are ordered by event_id, so pid order IS
+    # arrival order across partitions)
+    maxima = sorted(
+        (r["pid"], r["pmax"])
+        for r in parts.groupBy("pid").agg(F.max("ts").alias("pmax")).collect()
+    )
+    prefix, best = [], None
+    for pid, pmax in maxima:
+        prefix.append((pid, best))
+        best = pmax if best is None or pmax > best else best
+    carry = spark.createDataFrame(
+        prefix, "pid int, carry_max timestamp"
+    )
+    glob_prev = F.greatest("local_prev_max", "carry_max")
+    wm = glob_prev - F.expr(f"INTERVAL {WM_DELAY_MIN} MINUTES")
+    return (
+        local.join(F.broadcast(carry), "pid", "left")
+        .select(
+            "event_id",
+            "event_type",
+            F.when(F.col("ts") < wm, F.lit(True))
+            .otherwise(F.lit(False))
+            .alias("is_late"),
+        )
+    )

@@ -115,6 +115,12 @@ def test_two_pass_global_rank_matches_window(spark, sf_dir):
     parts = li.repartitionByRange(
         8, F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
     ).withColumn("pid", F.spark_partition_id())
+    # Materialize the partitioning ONCE: repartitionByRange draws fresh
+    # sampled boundaries per evaluation, so the sizes branch and the
+    # ranking branch below could otherwise see different pid layouts
+    # (the bug class late_data avoids by deriving pid as a pure
+    # function of the key).
+    parts = parts.localCheckpoint(eager=True)
     sizes = {
         r["pid"]: r["n"]
         for r in parts.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()
