@@ -2,11 +2,13 @@
 
 Images/audio/video are opaque ``binary`` payloads with typed metadata
 columns; decode/feature-extract runs as Arrow-batched ``mapInPandas``
-(the real plumbing — schema, batching, partitioning), with the actual
-codec behind ``terasort_spark.sources.media.decode_image`` which is a
-deterministic fake here (no image libs in this container) and raises
-``NotImplementedError`` for real formats. See tests/test_multimodal.py
-for the batch-shape and schema assertions.
+(the real plumbing — schema, batching, partitioning), with the codec
+behind ``terasort_spark.sources.media.decode_image``: REAL stdlib-only
+decoders for PNG (zlib + de-filtering) and netpbm P5/P6, the
+deterministic ``fake/raw`` test codec for the oracle-replayable
+declared queries, and ``NotImplementedError`` only for formats whose
+codecs genuinely need external libraries (JPEG, MP4). See
+tests/test_llm.py for codec + batch-shape assertions.
 """
 
 from __future__ import annotations

@@ -1,10 +1,12 @@
 """Multimodal decode layer.
 
-The container has no image/audio codecs, so ``decode_image`` is a
-deterministic fake for ``media_type='fake/raw'`` and raises
-``NotImplementedError`` for real formats — the Spark-side plumbing
-(Arrow batches, schemas, partitioning) in
-``terasort_spark/operators/multimodal.py`` is real and tested.
+REAL, dependency-free decoders: netpbm P5/P6 (``decode_ppm``) and PNG
+(``decode_png`` — stdlib zlib inflate + full de-filtering), alongside
+the deterministic ``fake/raw`` test codec. Only formats whose codecs
+genuinely cannot be built from the stdlib (JPEG's DCT+Huffman, MP4)
+raise ``NotImplementedError`` where PIL/ffmpeg would slot in. The
+Spark-side plumbing (Arrow batches, schemas, partitioning) in
+``terasort_spark/operators/multimodal.py`` is the same for all of them.
 """
 
 from __future__ import annotations
@@ -15,8 +17,97 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
-# Formats that genuinely need external codecs (PIL/ffmpeg).
-UNSUPPORTED_FORMATS = ("image/jpeg", "image/png", "video/mp4")
+# Formats that genuinely need external codecs (PIL/ffmpeg). PNG is NOT
+# here: its compression is stdlib zlib, so decode_png below is a real,
+# dependency-free decoder. JPEG (DCT+Huffman) and MP4 (container+codec
+# zoo) are the remaining genuine boundaries.
+UNSUPPORTED_FORMATS = ("image/jpeg", "video/mp4")
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """REAL PNG decode with no external codec: chunk walk, zlib
+    inflate (stdlib), per-scanline de-filtering (None/Sub/Up/Average/
+    Paeth), 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette),
+    4 (gray+alpha), 6 (RGBA), no interlace. Returns float64 grayscale
+    (H, W) via BT.601 luma, matching decode_ppm's contract."""
+    import struct
+    import zlib
+
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos, ihdr, plte, idat = len(_PNG_SIG), None, None, []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # len + type + data + crc (crc not verified)
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise NotImplementedError(
+            f"PNG depth={depth} interlace={interlace}: only 8-bit "
+            "non-interlaced supported"
+        )
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"bad PNG color type {color}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels  # bytes per pixel at depth 8
+    for y in range(h):
+        row = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        ftype = raw[y * (stride + 1)]
+        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.uint8)
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for x in range(bpp, stride):
+                row[x] = (row[x] + row[x - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            row = bytearray((np.frombuffer(bytes(row), np.uint8) + prev).astype(np.uint8).tobytes())
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                a = row[x - bpp] if x >= bpp else 0
+                row[x] = (row[x] + ((a + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = row[x - bpp] if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa_ <= pb_ and pa_ <= pc_ else b if pb_ <= pc_ else c
+                row[x] = (row[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {ftype}")
+        out[y] = np.frombuffer(bytes(row), dtype=np.uint8)
+    px = out.reshape(h, w, channels).astype(np.float64)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        rgb = plte[out.reshape(h, w)].astype(np.float64)
+        return rgb[..., 0] * 0.299 + rgb[..., 1] * 0.587 + rgb[..., 2] * 0.114
+    if color == 0:
+        return px[..., 0]
+    if color == 4:  # gray + alpha: alpha ignored for luma
+        return px[..., 0]
+    # RGB / RGBA
+    return px[..., 0] * 0.299 + px[..., 1] * 0.587 + px[..., 2] * 0.114
 
 
 def decode_ppm(payload: bytes) -> np.ndarray:
@@ -56,12 +147,14 @@ def decode_ppm(payload: bytes) -> np.ndarray:
 def decode_image(payload: bytes, media_type: str) -> np.ndarray:
     """Decode an image payload to a float64 grayscale array.
 
-    'image/ppm' / 'image/pgm' are REAL decodes (stdlib-only netpbm
-    parser); 'fake/raw' is the deterministic test codec (4x4 thumbnail
-    from the payload's sha256); compressed formats still raise where
-    PIL/ffmpeg would slot in."""
+    'image/ppm' / 'image/pgm' / 'image/png' are REAL decodes
+    (stdlib-only netpbm parser; zlib-based PNG decoder); 'fake/raw' is
+    the deterministic test codec (4x4 thumbnail from the payload's
+    sha256); JPEG/MP4 still raise where PIL/ffmpeg would slot in."""
     if media_type in ("image/ppm", "image/pgm"):
         return decode_ppm(payload)
+    if media_type == "image/png":
+        return decode_png(payload)
     if media_type in UNSUPPORTED_FORMATS:
         raise NotImplementedError(
             f"no codec for {media_type} in this environment; "

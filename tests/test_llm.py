@@ -563,3 +563,107 @@ def test_documents_text_is_ascii_for_byte_char_oracles(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
     n_multibyte = d.filter(F.octet_length("text") != F.length("text")).count()
     assert n_multibyte == 0
+
+
+def _encode_png(arr, color_type, filters, palette=None):
+    """Minimal in-test PNG encoder (struct+zlib): 8-bit, chooses the
+    given filter type per scanline and applies its ENCODE transform, so
+    the decoder's de-filtering of every filter type is exercised."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h = arr.shape[0]
+    w = arr.shape[1]
+    ch = 1 if arr.ndim == 2 else arr.shape[2]
+    flat = arr.reshape(h, w * ch).astype(np.int64)
+    bpp = ch
+    raw = bytearray()
+    for y in range(h):
+        f = filters[y % len(filters)]
+        raw.append(f)
+        row = flat[y]
+        prev = flat[y - 1] if y > 0 else np.zeros(w * ch, dtype=np.int64)
+        for x in range(w * ch):
+            a = int(row[x - bpp]) if x >= bpp else 0
+            b = int(prev[x])
+            c = int(prev[x - bpp]) if x >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else b if pb <= pc else c
+            raw.append((int(row[x]) - pred) & 0xFF)
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    out += chunk(b"IDAT", zlib.compress(bytes(raw)))
+    return out + chunk(b"IEND", b"")
+
+
+def test_png_codec_all_filters_and_color_types(spark):
+    """REAL PNG payloads (stdlib zlib encoder in-test) decode through
+    decode_png for every filter type (None/Sub/Up/Average/Paeth) and
+    color types gray/RGB/palette/RGBA; grayscale matches the BT.601
+    luma of the source pixels exactly."""
+    import numpy as np
+
+    from terasort_spark.sources.media import decode_png, extract_features_batched
+
+    rng = np.random.RandomState(7)
+
+    def luma(rgb):
+        return rgb[..., 0] * 0.299 + rgb[..., 1] * 0.587 + rgb[..., 2] * 0.114
+
+    # gray, every filter type across rows
+    g = rng.randint(0, 256, size=(7, 5)).astype(np.uint8)
+    png = _encode_png(g, 0, filters=[0, 1, 2, 3, 4])
+    assert np.array_equal(decode_png(png), g.astype(np.float64))
+
+    # RGB, Paeth + Average heavy
+    rgb = rng.randint(0, 256, size=(6, 4, 3)).astype(np.uint8)
+    png = _encode_png(rgb, 2, filters=[4, 3, 1, 2])
+    assert np.allclose(decode_png(png), luma(rgb.astype(np.float64)))
+
+    # RGBA: alpha must be ignored for luma
+    rgba = rng.randint(0, 256, size=(5, 5, 4)).astype(np.uint8)
+    png = _encode_png(rgba, 6, filters=[4])
+    assert np.allclose(decode_png(png), luma(rgba[..., :3].astype(np.float64)))
+
+    # palette
+    pal = rng.randint(0, 256, size=(16, 3))
+    idx = rng.randint(0, 16, size=(4, 6)).astype(np.uint8)
+    png = _encode_png(idx, 3, filters=[1, 4], palette=pal)
+    assert np.allclose(decode_png(png), luma(pal[idx].astype(np.float64)))
+
+    # and through the Spark mapInPandas feature stage, as a real format
+    df = spark.createDataFrame(
+        [(1, bytearray(_encode_png(g, 0, filters=[0, 1, 2, 3, 4])), "image/png")],
+        "doc_id bigint, payload binary, media_type string",
+    )
+    got = df.mapInPandas(
+        extract_features_batched,
+        schema=(
+            "doc_id bigint, media_type string, n_bytes bigint, "
+            "sha_8 string, thumb_mean double"
+        ),
+    ).collect()
+    assert got[0]["thumb_mean"] == pytest.approx(float(g.mean()))
