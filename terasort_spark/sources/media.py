@@ -1,7 +1,8 @@
 """Multimodal decode layer.
 
-REAL, dependency-free decoders: netpbm P5/P6 (``decode_ppm``) and PNG
-(``decode_png`` — stdlib zlib inflate + full de-filtering), alongside
+REAL, dependency-free decoders: netpbm P5/P6 (``decode_ppm``), PNG
+(``decode_png`` — stdlib zlib inflate + full de-filtering), BMP
+(``decode_bmp``) and GIF (``decode_gif`` — from-scratch LZW), alongside
 the deterministic ``fake/raw`` test codec. Only formats whose codecs
 genuinely cannot be built from the stdlib (JPEG's DCT+Huffman, MP4)
 raise ``NotImplementedError`` where PIL/ffmpeg would slot in. The
@@ -144,17 +145,170 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     return rgb[..., 0] * 0.299 + rgb[..., 1] * 0.587 + rgb[..., 2] * 0.114
 
 
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """REAL BMP decode (uncompressed BI_RGB, 24-bit truecolor or 8-bit
+    palette, BITMAPINFOHEADER): pure struct parsing — BMP has no
+    compression layer at all in its common form. Rows are 4-byte
+    padded, stored bottom-up (top-down when height is negative), BGR
+    channel order. Returns float64 grayscale (H, W) via BT.601 luma."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    (hdr_size, w, h) = struct.unpack_from("<Iii", payload, 14)
+    (planes, bpp) = struct.unpack_from("<HH", payload, 26)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if hdr_size < 40 or compression != 0 or bpp not in (8, 24):
+        raise NotImplementedError(
+            f"BMP bpp={bpp} compression={compression}: only uncompressed "
+            "8/24-bit BITMAPINFOHEADER supported"
+        )
+    top_down, h = h < 0, abs(h)
+    stride = (w * (bpp // 8) + 3) & ~3
+    raster = np.frombuffer(
+        payload[data_off : data_off + stride * h], dtype=np.uint8
+    )
+    if raster.size != stride * h:
+        raise ValueError("truncated BMP raster")
+    rows = raster.reshape(h, stride)
+    if not top_down:
+        rows = rows[::-1]
+    if bpp == 24:
+        bgr = rows[:, : w * 3].reshape(h, w, 3).astype(np.float64)
+        return bgr[..., 2] * 0.299 + bgr[..., 1] * 0.587 + bgr[..., 0] * 0.114
+    # 8-bit palette: BGRX quads between the two headers
+    n_colors = (data_off - 14 - hdr_size) // 4
+    pal = np.frombuffer(
+        payload[14 + hdr_size : 14 + hdr_size + n_colors * 4], dtype=np.uint8
+    ).reshape(-1, 4)
+    idx = rows[:, :w]
+    bgr = pal[idx][..., :3].astype(np.float64)
+    return bgr[..., 2] * 0.299 + bgr[..., 1] * 0.587 + bgr[..., 0] * 0.114
+
+
+def _lzw_decode(data: bytes, min_code: int, n_expected: int) -> bytearray:
+    """GIF-variant LZW: variable-width little-endian-packed codes,
+    CLEAR resets the table, width grows when the next free code no
+    longer fits (cap 12 bits)."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    code_size = min_code + 1
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(clear)}
+    next_code, prev = end + 1, None
+    out = bytearray()
+    bitpos, total_bits = 0, len(data) * 8
+    while bitpos + code_size <= total_bits and len(out) < n_expected:
+        c = 0
+        for i in range(code_size):
+            c |= ((data[(bitpos + i) >> 3] >> ((bitpos + i) & 7)) & 1) << i
+        bitpos += code_size
+        if c == clear:
+            code_size = min_code + 1
+            table = {i: bytes([i]) for i in range(clear)}
+            next_code, prev = end + 1, None
+            continue
+        if c == end:
+            break
+        if prev is None:
+            entry = table[c]
+        elif c in table:
+            entry = table[c]
+        elif c == next_code:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("corrupt LZW stream")
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        out += entry
+        prev = entry
+    return out
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """REAL GIF decode with a from-scratch LZW: header + color tables
+    via struct, sub-block reassembly, variable-width LZW inflate,
+    optional interlace row reorder. First image frame only (animation
+    frames after the first are ignored). Returns float64 grayscale
+    (H, W) via BT.601 luma."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    _, _, flags = struct.unpack_from("<HHB", payload, 6)
+    pos, gct = 13, None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(payload[pos : pos + 3 * n], np.uint8).reshape(-1, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:  # extension: label then sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _, _, iw, ih, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
+            pos += 10
+            ct = gct
+            if iflags & 0x80:  # local color table
+                n = 2 << (iflags & 7)
+                ct = np.frombuffer(
+                    payload[pos : pos + 3 * n], np.uint8
+                ).reshape(-1, 3)
+                pos += 3 * n
+            if ct is None:
+                raise ValueError("GIF image without a color table")
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos] != 0:
+                sz = payload[pos]
+                data += payload[pos + 1 : pos + 1 + sz]
+                pos += 1 + sz
+            pos += 1
+            idx = _lzw_decode(bytes(data), min_code, iw * ih)
+            if len(idx) < iw * ih:
+                raise ValueError("truncated GIF raster")
+            arr = np.frombuffer(bytes(idx), np.uint8).reshape(ih, iw)
+            if iflags & 0x40:  # interlaced: rows arrive in 4 passes
+                order = (
+                    list(range(0, ih, 8))
+                    + list(range(4, ih, 8))
+                    + list(range(2, ih, 4))
+                    + list(range(1, ih, 2))
+                )
+                out = np.zeros_like(arr)
+                out[order] = arr
+                arr = out
+            rgb = ct[arr].astype(np.float64)
+            return rgb[..., 0] * 0.299 + rgb[..., 1] * 0.587 + rgb[..., 2] * 0.114
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"bad GIF block 0x{block:02x}")
+    raise ValueError("GIF contains no image data")
+
+
 def decode_image(payload: bytes, media_type: str) -> np.ndarray:
     """Decode an image payload to a float64 grayscale array.
 
-    'image/ppm' / 'image/pgm' / 'image/png' are REAL decodes
-    (stdlib-only netpbm parser; zlib-based PNG decoder); 'fake/raw' is
+    'image/ppm' / 'image/pgm' / 'image/png' / 'image/bmp' / 'image/gif'
+    are REAL decodes (stdlib-only parsers; zlib-based PNG; from-scratch
+    LZW for GIF); 'fake/raw' is
     the deterministic test codec (4x4 thumbnail from the payload's
     sha256); JPEG/MP4 still raise where PIL/ffmpeg would slot in."""
     if media_type in ("image/ppm", "image/pgm"):
         return decode_ppm(payload)
     if media_type == "image/png":
         return decode_png(payload)
+    if media_type == "image/bmp":
+        return decode_bmp(payload)
+    if media_type == "image/gif":
+        return decode_gif(payload)
     if media_type in UNSUPPORTED_FORMATS:
         raise NotImplementedError(
             f"no codec for {media_type} in this environment; "

@@ -667,3 +667,150 @@ def test_png_codec_all_filters_and_color_types(spark):
         ),
     ).collect()
     assert got[0]["thumb_mean"] == pytest.approx(float(g.mean()))
+
+
+def test_bmp_codec(spark):
+    """REAL BMP payloads (in-test struct encoder): 24-bit truecolor
+    bottom-up with row padding, and 8-bit palette — grayscale equals
+    BT.601 luma of the source pixels."""
+    import struct
+
+    import numpy as np
+
+    from terasort_spark.sources.media import decode_bmp
+
+    rng = np.random.RandomState(11)
+
+    def luma_rgb(rgb):
+        return rgb[..., 0] * 0.299 + rgb[..., 1] * 0.587 + rgb[..., 2] * 0.114
+
+    def encode_bmp24(rgb):
+        h, w, _ = rgb.shape
+        stride = (w * 3 + 3) & ~3
+        raster = bytearray()
+        for y in range(h - 1, -1, -1):  # bottom-up
+            row = bytearray()
+            for x in range(w):
+                r, g, b = rgb[y, x]
+                row += bytes((int(b), int(g), int(r)))  # BGR
+            row += b"\x00" * (stride - len(row))
+            raster += row
+        info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 0, 0, 0, 0)
+        off = 14 + 40
+        head = b"BM" + struct.pack("<IHHI", off + len(raster), 0, 0, off)
+        return head + info + bytes(raster)
+
+    def encode_bmp8(idx, pal):
+        h, w = idx.shape
+        stride = (w + 3) & ~3
+        raster = bytearray()
+        for y in range(h - 1, -1, -1):
+            raster += bytes(int(v) for v in idx[y]) + b"\x00" * (stride - w)
+        quads = bytearray()
+        for r, g, b in pal:
+            quads += bytes((int(b), int(g), int(r), 0))
+        info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(raster), 0, 0, len(pal), 0)
+        off = 14 + 40 + len(quads)
+        head = b"BM" + struct.pack("<IHHI", off + len(raster), 0, 0, off)
+        return head + info + bytes(quads) + bytes(raster)
+
+    rgb = rng.randint(0, 256, size=(5, 3, 3))
+    assert np.allclose(decode_bmp(encode_bmp24(rgb)), luma_rgb(rgb.astype(np.float64)))
+
+    pal = rng.randint(0, 256, size=(16, 3))
+    idx = rng.randint(0, 16, size=(4, 6))
+    assert np.allclose(
+        decode_bmp(encode_bmp8(idx, pal)), luma_rgb(pal[idx].astype(np.float64))
+    )
+
+
+def test_gif_codec_lzw_roundtrip(spark):
+    """REAL GIF payloads (in-test real LZW encoder with table growth
+    and width bumps): decode_gif must reproduce the source pixels
+    exactly through the from-scratch LZW inflate, including an
+    interlaced variant."""
+    import struct
+
+    import numpy as np
+
+    from terasort_spark.sources.media import decode_gif
+
+    rng = np.random.RandomState(13)
+
+    def lzw_encode(indices, min_code):
+        clear, end = 1 << min_code, (1 << min_code) + 1
+        code_size = min_code + 1
+        out, acc, nbits = bytearray(), 0, 0
+
+        def emit(code):
+            nonlocal acc, nbits
+            acc |= code << nbits
+            nbits += code_size
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+
+        table = {bytes([i]): i for i in range(clear)}
+        next_code = end + 1
+        emit(clear)
+        buf = b""
+        for px in indices:
+            nb = buf + bytes([int(px)])
+            if nb in table:
+                buf = nb
+                continue
+            emit(table[buf])
+            if next_code < 4096:
+                table[nb] = next_code
+                next_code += 1
+                # encoder runs one entry AHEAD of the decoder, so it
+                # widens when next_code == (1 << code_size) + 1
+                if next_code == (1 << code_size) + 1 and code_size < 12:
+                    code_size += 1
+            buf = bytes([int(px)])
+        if buf:
+            emit(table[buf])
+        emit(end)
+        if nbits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    def encode_gif(idx, pal, interlaced=False):
+        h, w = idx.shape
+        n_bits = 8  # 256-entry table
+        head = b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | (n_bits - 1), 0, 0)
+        gct = bytearray()
+        for r, g, b in pal:
+            gct += bytes((int(r), int(g), int(b)))
+        rows = idx
+        if interlaced:
+            order = (
+                list(range(0, h, 8))
+                + list(range(4, h, 8))
+                + list(range(2, h, 4))
+                + list(range(1, h, 2))
+            )
+            rows = idx[order]
+        lzw = lzw_encode(rows.ravel(), 8)
+        img = b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlaced else 0)
+        img += bytes([8])
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            img += bytes([len(chunk)]) + chunk
+        img += b"\x00"
+        return head + bytes(gct) + img + b"\x3b"
+
+    def luma(rgb):
+        return rgb[..., 0] * 0.299 + rgb[..., 1] * 0.587 + rgb[..., 2] * 0.114
+
+    pal = rng.randint(0, 256, size=(256, 3))
+    # 32x32 random 8-bit pixels -> several LZW width bumps (9->10 bits)
+    idx = rng.randint(0, 256, size=(32, 32))
+    got = decode_gif(encode_gif(idx.astype(np.uint8), pal))
+    assert np.allclose(got, luma(pal[idx].astype(np.float64)))
+
+    # interlaced variant must reorder rows back correctly
+    idx2 = rng.randint(0, 256, size=(17, 9))
+    got2 = decode_gif(encode_gif(idx2.astype(np.uint8), pal, interlaced=True))
+    assert np.allclose(got2, luma(pal[idx2].astype(np.float64)))

@@ -300,3 +300,42 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_partition_count_invariance_of_sensitive_queries(spark, sf_dir):
+    """SCALE.md principle 5: rerunning any declared query with a
+    different shuffle partitioning must yield identical bytes. The
+    full 189-query sweep at partitions 7 vs 32 ran clean in round 4;
+    CI keeps the most partitioning-sensitive classes under watch —
+    seeded samplers, partition-id-derived logic (late_data's carry,
+    teragen's per-partition generator), iterative model state, and
+    LSH bucketing."""
+    import hashlib
+
+    from terasort_spark.compare import _canon
+    from terasort_spark.registry import queries
+
+    qs = queries()
+    sensitive = [
+        "late_data", "scan_sample", "scan_stratified", "sample_pergroup",
+        "sample_mixture", "teragen", "terasort", "emb_kmeans",
+        "dedup_minhash", "sort_rank",
+    ]
+
+    def result_hash(df):
+        rows = sorted(tuple(_canon(v) for v in r) for r in df.collect())
+        return hashlib.sha256(repr(rows).encode()).hexdigest()
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        mismatched = []
+        for name in sensitive:
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+            h32 = result_hash(qs[name](spark, sf_dir))
+            spark.conf.set("spark.sql.shuffle.partitions", "7")
+            h7 = result_hash(qs[name](spark, sf_dir))
+            if h32 != h7:
+                mismatched.append(name)
+        assert not mismatched, mismatched
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
