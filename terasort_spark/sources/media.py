@@ -4,8 +4,9 @@ REAL, dependency-free decoders: netpbm P5/P6 (``decode_ppm``), PNG
 (``decode_png`` — stdlib zlib inflate + full de-filtering), BMP
 (``decode_bmp``) and GIF (``decode_gif`` — from-scratch LZW), alongside
 the deterministic ``fake/raw`` test codec. Only formats whose codecs
-genuinely cannot be built from the stdlib (JPEG's DCT+Huffman, MP4)
-raise ``NotImplementedError`` where PIL/ffmpeg would slot in. The
+genuinely cannot be built from the stdlib (MP4's container+codec zoo)
+raise ``NotImplementedError`` where ffmpeg would slot in. Baseline JPEG
+decodes for real too (``sources/jpeg.py`` — from-scratch DCT+Huffman). The
 Spark-side plumbing (Arrow batches, schemas, partitioning) in
 ``terasort_spark/operators/multimodal.py`` is the same for all of them.
 """
@@ -18,11 +19,11 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
-# Formats that genuinely need external codecs (PIL/ffmpeg). PNG is NOT
-# here: its compression is stdlib zlib, so decode_png below is a real,
-# dependency-free decoder. JPEG (DCT+Huffman) and MP4 (container+codec
-# zoo) are the remaining genuine boundaries.
-UNSUPPORTED_FORMATS = ("image/jpeg", "video/mp4")
+# Formats that genuinely need external codecs (ffmpeg): video/audio
+# containers. Every common still-image format decodes for real with
+# stdlib + numpy — PNG (zlib), baseline JPEG (from-scratch DCT+Huffman,
+# sources/jpeg.py), GIF (from-scratch LZW), BMP, netpbm.
+UNSUPPORTED_FORMATS = ("video/mp4",)
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -297,8 +298,9 @@ def decode_image(payload: bytes, media_type: str) -> np.ndarray:
     """Decode an image payload to a float64 grayscale array.
 
     'image/ppm' / 'image/pgm' / 'image/png' / 'image/bmp' / 'image/gif'
-    are REAL decodes (stdlib-only parsers; zlib-based PNG; from-scratch
-    LZW for GIF); 'fake/raw' is
+    / 'image/jpeg' are REAL decodes (stdlib-only parsers; zlib-based
+    PNG; from-scratch LZW for GIF and DCT+Huffman for baseline JPEG);
+    'fake/raw' is
     the deterministic test codec (4x4 thumbnail from the payload's
     sha256); JPEG/MP4 still raise where PIL/ffmpeg would slot in."""
     if media_type in ("image/ppm", "image/pgm"):
@@ -309,6 +311,10 @@ def decode_image(payload: bytes, media_type: str) -> np.ndarray:
         return decode_bmp(payload)
     if media_type == "image/gif":
         return decode_gif(payload)
+    if media_type == "image/jpeg":
+        from terasort_spark.sources.jpeg import decode_jpeg_luma
+
+        return decode_jpeg_luma(payload)
     if media_type in UNSUPPORTED_FORMATS:
         raise NotImplementedError(
             f"no codec for {media_type} in this environment; "

@@ -79,10 +79,12 @@ def test_multimodal_features_schema_and_determinism(spark, sf_dir):
 
 
 def test_multimodal_real_codec_raises(spark):
+    # every still-image format now decodes for real; only video
+    # containers remain a genuine external-codec boundary
     from terasort_spark.sources.media import decode_image
 
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff", "image/jpeg")
+        decode_image(b"\x00\x00\x00\x18ftypmp42", "video/mp4")
 
 
 def test_wav_codec_through_spark_pipeline(spark):
