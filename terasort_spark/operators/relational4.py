@@ -101,10 +101,18 @@ def agg_mode(spark, sf_dir):
 
 @register(
     "fn_sequence",
+    # The oracle unrolls the three slots as start + k*INTERVAL rather
+    # than using generate_series: DuckDB's generate_series accumulates
+    # the step ITERATIVELY (Jan 29 -> Feb 28 -> Mar 28, the clamp
+    # sticks), while Spark's sequence() computes start + k*month
+    # (Jan 29 + 2 months = Mar 29). The two agree except for month-end
+    # dates crossing February — absent at sf0.01, 5 rows at sf0.1.
     oracle="""
-SELECT o_orderkey, CAST(unnest(generate_series(
-           o_orderdate, o_orderdate + INTERVAL 2 MONTH, INTERVAL 1 MONTH
-       )) AS DATE) AS bill_month
+SELECT o_orderkey, CAST(unnest([
+           o_orderdate,
+           o_orderdate + INTERVAL 1 MONTH,
+           o_orderdate + INTERVAL 2 MONTH
+       ]) AS DATE) AS bill_month
 FROM orders
 WHERE o_orderkey % 1000 = 0
 """,
