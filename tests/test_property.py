@@ -200,3 +200,133 @@ def test_url_literal_ampersand_path_survives(spark):
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r["c"] for r in df.select(canonical_url("url").alias("c")).collect()]
     assert got == [want for _, want in cases], got
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=24),
+    color=st.sampled_from([0, 2, 6]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    data=st.data(),
+)
+def test_png_roundtrip_property(h, w, color, seed, data):
+    """Any random image, any per-row filter choice, any color type:
+    encode (in-test) then decode_png must reproduce the exact luma."""
+    import numpy as np
+
+    from terasort_spark.sources.media import decode_png
+    from tests.test_llm import _encode_png
+
+    rng = np.random.RandomState(seed)
+    ch = {0: None, 2: 3, 6: 4}[color]
+    shape = (h, w) if ch is None else (h, w, ch)
+    img = rng.randint(0, 256, size=shape).astype(np.uint8)
+    filters = data.draw(
+        st.lists(st.integers(min_value=0, max_value=4), min_size=1, max_size=h)
+    )
+    got = decode_png(_encode_png(img, color, filters=filters))
+    if color == 0:
+        want = img.astype(np.float64)
+    else:
+        rgb = img[..., :3].astype(np.float64)
+        want = rgb[..., 0] * 0.299 + rgb[..., 1] * 0.587 + rgb[..., 2] * 0.114
+    assert np.allclose(got, want)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=20),
+    w=st.integers(min_value=1, max_value=20),
+    n_colors=st.integers(min_value=2, max_value=256),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_gif_roundtrip_property(h, w, n_colors, seed):
+    """Random palette images of any size through the real LZW encoder/
+    decoder pair — exercises code-width growth at every table size."""
+    import numpy as np
+
+    from terasort_spark.sources.media import decode_gif
+
+    rng = np.random.RandomState(seed)
+    pal = rng.randint(0, 256, size=(256, 3))
+    idx = rng.randint(0, n_colors, size=(h, w))
+    got = decode_gif(_gif_encode_for_property(idx.astype(np.uint8), pal))
+    rgb = pal[idx].astype(np.float64)
+    want = rgb[..., 0] * 0.299 + rgb[..., 1] * 0.587 + rgb[..., 2] * 0.114
+    assert np.allclose(got, want)
+
+
+def _gif_encode_for_property(idx, pal):
+    import struct
+
+    def lzw_encode(indices, min_code):
+        clear, end = 1 << min_code, (1 << min_code) + 1
+        code_size = min_code + 1
+        out, acc, nbits = bytearray(), 0, 0
+
+        def emit(code):
+            nonlocal acc, nbits
+            acc |= code << nbits
+            nbits += code_size
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+
+        table = {bytes([i]): i for i in range(clear)}
+        next_code = end + 1
+        emit(clear)
+        buf = b""
+        for px in indices:
+            nb = buf + bytes([int(px)])
+            if nb in table:
+                buf = nb
+                continue
+            emit(table[buf])
+            if next_code < 4096:
+                table[nb] = next_code
+                next_code += 1
+                if next_code == (1 << code_size) + 1 and code_size < 12:
+                    code_size += 1
+            buf = bytes([int(px)])
+        if buf:
+            emit(table[buf])
+        emit(end)
+        if nbits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    h, w = idx.shape
+    head = b"GIF89a" + struct.pack("<HHBBB", w, h, 0x87, 0, 0)
+    gct = bytearray()
+    for r, g, b in pal:
+        gct += bytes((int(r), int(g), int(b)))
+    lzw = lzw_encode(idx.ravel(), 8)
+    img = b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0) + bytes([8])
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        img += bytes([len(chunk)]) + chunk
+    img += b"\x00"
+    return head + bytes(gct) + img + b"\x3b"
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    h=st.integers(min_value=8, max_value=32).filter(lambda v: v % 8 == 0),
+    w=st.integers(min_value=8, max_value=32).filter(lambda v: v % 8 == 0),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_jpeg_roundtrip_property(h, w, seed):
+    """Random grayscale images through the real JPEG encoder/decoder:
+    flat quantization bounds the error to DCT-coefficient rounding."""
+    import numpy as np
+
+    from terasort_spark.sources.jpeg import decode_jpeg_luma
+    from tests.test_jpeg import _encode_jpeg
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, size=(h, w)).astype(np.float64)
+    got = decode_jpeg_luma(_encode_jpeg(img))
+    assert got.shape == img.shape
+    assert np.max(np.abs(got - img)) < 5.0
