@@ -220,6 +220,60 @@ def stream_dedup(spark, sf_dir):
 
 
 @register(
+    "stream_join",
+    oracle="""
+SELECT p.event_id AS p_id,
+       c.event_id AS c_id,
+       CAST((epoch_us(p.ts) - epoch_us(c.ts)) // 60000000 AS BIGINT)
+           AS gap_min
+FROM (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase') p
+JOIN (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE
+""",
+)
+def stream_join(spark, sf_dir):
+    """Batch twin of the watermarked stream-stream interval join
+    (tests/test_streaming.py::test_stream_stream_join_equals_batch):
+    each purchase joins the same user's clicks in the preceding 30
+    minutes. The streaming form watermarks BOTH sides so the state
+    store can evict clicks older than max(event time) - delay - range;
+    replayed over the at-rest table the identical join condition gives
+    the identical pairs, which is what the replay test asserts.
+
+    Scale note: the equi-key (user_id) carries the shuffle; the time
+    range is a residual predicate evaluated inside each hash-join
+    match, so cost is one shuffle per side — never a cartesian. The
+    gap_min projection uses integer microsecond arithmetic (exact
+    cross-engine, no double rounding)."""
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+    )
+    gap_us = F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("c_ts"))
+    return p.join(c, cond).select(
+        "p_id",
+        "c_id",
+        F.floor(gap_us / F.lit(60_000_000)).cast("long").alias("gap_min"),
+    )
+
+
+@register(
     "stream_stateful",
     oracle="""
 SELECT user_id, event_id,

@@ -140,6 +140,7 @@ def _graded_names() -> frozenset:
 # audio/bigram queries, and every remaining source format.
 _GRADE_FIRST = (
     "sink_parquet", "stream_dedup", "stream_stateful", "late_data",
+    "stream_join",
     "tpch_q2_shape", "tpch_q3_shape", "tpch_q4_shape", "tpch_q5_shape",
     "tpch_q6_shape", "tpch_q7_shape", "tpch_q8_shape", "tpch_q9_shape",
     "tpch_q10_shape", "tpch_q11_shape", "tpch_q12_shape", "tpch_q13_shape",

@@ -10,7 +10,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from terasort_spark.catalog import table
-from terasort_spark.plans.checks import executed_plan
+from terasort_spark.plans.checks import executed_plan, formatted_plan
 
 
 def test_bucketed_join_avoids_shuffle(spark, sf_dir):
@@ -339,3 +339,42 @@ def test_partition_count_invariance_of_sensitive_queries(spark, sf_dir):
         assert not mismatched, mismatched
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def test_dynamic_partition_pruning_prunes_fact_scan(spark, sf_dir, tmp_path):
+    """Dynamic partition pruning: a fact table partitioned on a join key
+    must scan ONLY the partitions the (filtered) dim side selects, with
+    the pruning predicate injected at runtime from the dim's broadcast
+    result — Spark plans it as a `dynamicpruning` expression in the fact
+    scan's PartitionFilters. At 100 TB this is the difference between
+    reading one month and reading a decade when a query constrains the
+    fact only through a dimension attribute."""
+    import os
+
+    fact_dir = os.path.join(str(tmp_path), "orders_by_year")
+    o = table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    o.write.mode("overwrite").partitionBy("o_year").parquet(fact_dir)
+
+    years = [
+        r["o_year"]
+        for r in o.select("o_year").distinct().collect()
+    ]
+    assert len(years) > 1, "need multiple partitions for pruning to matter"
+    # dim: one attribute row per year; the query filters on the ATTRIBUTE,
+    # so static pruning can't see the year set — only DPP can
+    dim = spark.createDataFrame(
+        [(y, "target" if y == min(years) else "other") for y in years],
+        "d_year int, d_class string",
+    )
+    fact = spark.read.parquet(fact_dir)
+    j = fact.join(
+        dim.filter(F.col("d_class") == "target"),
+        fact["o_year"] == dim["d_year"],
+    )
+    plan = formatted_plan(j)
+    assert "dynamicpruning" in plan, plan
+    # and the result is the single target year's rows
+    n_target = o.filter(F.col("o_year") == min(years)).count()
+    assert j.count() == n_target
