@@ -86,11 +86,14 @@ def main() -> None:
         "n_queries": len(medians),
     }
     print(json.dumps(full))
-    try:
-        with open(os.path.join(REPO, "BENCH_QUERIES.json"), "w") as f:
-            json.dump(full, f, indent=1, sort_keys=True)
-    except OSError as exc:  # pragma: no cover
-        print(f"# could not write BENCH_QUERIES.json: {exc}", file=sys.stderr)
+    # A BENCH_ONLY-filtered run is a local iteration aid; only a full
+    # sweep may replace the committed per-query snapshot.
+    if not only:
+        try:
+            with open(os.path.join(REPO, "BENCH_QUERIES.json"), "w") as f:
+                json.dump(full, f, indent=1, sort_keys=True)
+        except OSError as exc:  # pragma: no cover
+            print(f"# could not write BENCH_QUERIES.json: {exc}", file=sys.stderr)
     slowest = dict(
         sorted(medians.items(), key=lambda kv: kv[1], reverse=True)[:15]
     )

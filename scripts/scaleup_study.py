@@ -1,0 +1,153 @@
+"""Empirical scaling study (SCALE.md §"Measured scaling").
+
+The graded corpus tops out at sf0.1; this script manufactures 2x/5x/10x
+scale-ups of the four tables the LLM-pipeline operators read (documents,
+embeddings, events, lineitem) and measures how each operator family's
+wall-clock actually grows — the local proxy for "would this survive
+100x?". Copies are id-offset so keys stay unique; each document copy is
+prefixed with a copy token so exact-dedup keeps copies distinct while
+cross-copy Jaccard similarity stays ~1 (near-dup clusters grow K-fold —
+the WORST case for LSH bucketing, which is the point: the per-doc
+candidate cap must keep dedup_minhash near-linear even as every bucket
+gets K times hotter).
+
+terasort is scaled directly through teragen's row count (1M -> 10M
+100-byte records = ~1 GB sorted at 10x).
+
+Output: one JSON line per (query, K) to stdout + a markdown table with
+the fitted scaling exponent alpha where t(K) ~ K^alpha (alpha <= ~1.1
+is linear; the study fails loudly if any measured operator goes
+super-linear past 1.5). Run:  python scripts/scaleup_study.py
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from terasort_spark.registry import queries  # noqa: E402
+from terasort_spark.session import get_spark  # noqa: E402
+from terasort_spark.sources.teragen import teragen, terasort  # noqa: E402
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT = os.path.join("/tmp", "terasort_spark_scaleup")
+SCALES = (1, 2, 5, 10)
+REPS = 2  # after one discarded warm-up
+
+# query name -> tables it needs materialized at scale
+MEASURED = {
+    "dedup_exact": ("documents",),
+    "dedup_minhash": ("documents",),
+    "dedup_simhash": ("documents",),
+    "text_quality": ("documents",),
+    "text_langid": ("documents",),
+    "sim_cosine_topk": ("embeddings",),
+    "sim_cosine_gemm": ("embeddings",),
+    "sim_cosine_ivf": ("embeddings",),
+    "sessionize": ("events",),
+    "agg_group": ("lineitem",),
+}
+
+OFFSETS = {  # per-copy id offsets, far above any base id
+    "documents": ("doc_id", 10_000_000),
+    "embeddings": ("vec_id", 10_000_000),
+    "events": ("event_id", 1_000_000_000),
+    "lineitem": ("l_orderkey", 100_000_000),
+}
+
+
+def build_scale(spark, k: int, tables: set[str]) -> str:
+    d = os.path.join(OUT, f"x{k}")
+    for t in tables:
+        dst = os.path.join(d, f"{t}.parquet")
+        if os.path.exists(dst):
+            continue
+        base = spark.read.parquet(os.path.join(BASE, f"{t}.parquet"))
+        key, off = OFFSETS[t]
+        copies = []
+        for i in range(k):
+            c = base.withColumn(key, F.col(key) + F.lit(i * off))
+            if t == "documents" and i > 0:
+                # distinct bytes per copy (exact dedup must NOT collapse
+                # copies) while keeping cross-copy Jaccard ~1 (near-dup
+                # clusters genuinely grow K-fold)
+                c = c.withColumn(
+                    "text", F.concat(F.lit(f"c{i} "), F.col("text"))
+                )
+            if t == "events" and i > 0:
+                # separate user populations per copy: sessions stay
+                # per-user-sized, the partition count grows — the shape
+                # a 10x event stream actually has
+                c = c.withColumn("user_id", F.col("user_id") + F.lit(i * 10_000))
+            copies.append(c)
+        df = copies[0]
+        for c in copies[1:]:
+            df = df.unionByName(c)
+        df.write.mode("overwrite").parquet(dst)
+    return d
+
+
+def timed(fn, *args):
+    times = []
+    for rep in range(REPS + 1):
+        t0 = time.perf_counter()
+        fn(*args)
+        dt = time.perf_counter() - t0
+        if rep > 0:
+            times.append(dt)
+    return round(statistics.median(times), 3)
+
+
+def main() -> None:
+    spark = get_spark(app_name="terasort-spark-scaleup")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = queries()
+    needed = set().union(*MEASURED.values())
+    results: dict[str, dict[int, float]] = {}
+
+    for k in SCALES:
+        d = build_scale(spark, k, needed)
+        for name in MEASURED:
+            t = timed(lambda: qs[name](spark, d).collect())
+            results.setdefault(name, {})[k] = t
+            print(json.dumps({"query": name, "scale": k, "sec": t}), flush=True)
+        # terasort scales by generated row count, not table files
+        n = 1_000_000 * k
+        t = timed(
+            lambda: terasort(
+                teragen(spark, n, n_partitions=32), n_partitions=32
+            ).count()
+        )
+        results.setdefault("terasort_1Mx", {})[k] = t
+        print(json.dumps({"query": "terasort_1Mx", "scale": k, "sec": t}), flush=True)
+
+    print("\n| query | 1x (s) | 2x | 5x | 10x | alpha (t~K^a) |")
+    print("|---|---|---|---|---|---|")
+    bad = []
+    for name, row in results.items():
+        alpha = math.log(row[10] / row[1]) / math.log(10) if row[1] > 0 else 0.0
+        print(
+            f"| {name} | {row[1]} | {row[2]} | {row[5]} | {row[10]} "
+            f"| {alpha:.2f} |"
+        )
+        if alpha > 1.5 and row[10] > 2.0:
+            bad.append((name, round(alpha, 2)))
+    if bad:
+        print(f"SUPER-LINEAR: {bad}", file=sys.stderr)
+        sys.exit(1)
+    print("all measured operators scale with alpha <= 1.5")
+
+
+if __name__ == "__main__":
+    main()
