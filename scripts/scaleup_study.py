@@ -43,7 +43,7 @@ from terasort_spark.sources.teragen import teragen, terasort  # noqa: E402
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT = os.path.join("/tmp", "terasort_spark_scaleup")
 SCALES = (1, 2, 5, 10)
-REPS = 2  # after one discarded warm-up
+REPS = int(os.environ.get("SCALEUP_REPS", "2"))  # after one discarded warm-up
 
 # query name -> tables it needs materialized at scale
 MEASURED = {
