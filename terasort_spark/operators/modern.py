@@ -1,0 +1,223 @@
+"""Modern Spark 4 surface: VARIANT, pipe SQL, collations, XML source,
+and RAG-style document chunking.
+
+These queries exercise engine features introduced in Spark 4.x that a
+user migrating from any reference engine would expect a current
+PySpark-native stack to cover:
+
+- ``fn_variant``    — semi-structured shredding via the open VARIANT
+  type (``parse_json`` → ``variant_get``): the scale path for JSON-heavy
+  event logs, because variant decode happens once at the scan and typed
+  extraction is codegen, not per-row string re-parsing.
+- ``sql_pipe``      — SQL pipe syntax (``|>``), the linear dataflow
+  dialect; compiles to the identical Catalyst plan as the classic form.
+- ``fn_collate``    — collation-aware comparison/distinct
+  (``COLLATE UTF8_LCASE``): case-insensitive semantics pushed into the
+  engine instead of ``lower()`` wrappers at every call site.
+- ``source_xml``    — built-in XML source (Spark 4 absorbed spark-xml):
+  write + schema-pinned read round trip.
+- ``text_chunk``    — overlapping token-window chunking (window 16,
+  stride 12): the RAG/pretraining primitive that splits each document
+  into retrieval units. Pure codegen (split/sequence/explode/slice) —
+  no UDF, no shuffle until a consumer aggregates; at 100 TB the fan-out
+  is a bounded per-row multiplier (~n_tokens/stride), never a join.
+
+Determinism: D1–D6 conventions from ``operators/_util`` apply; chunk
+hashes are md5 over the exact joined token string on both engines.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from terasort_spark.catalog import table
+from terasort_spark.registry import register
+
+# Chunking geometry: 16-token windows, stride 12 (25% overlap).
+CHUNK_W = 16
+CHUNK_S = 12
+
+
+@register(
+    "fn_variant",
+    oracle="""
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+""",
+)
+def fn_variant(spark, sf_dir):
+    """Shred events.props (JSON strings) into VARIANT once, then do all
+    typed extraction with ``variant_get`` — at 100 TB this parses each
+    payload exactly once into the binary variant encoding; every
+    downstream field access is an O(1) path lookup in codegen, unlike
+    ``get_json_object`` which re-parses the string per call."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_type",
+            F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+_PIPE_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       floor((CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)) * 10000 + 0.5) / 10000 AS sum_qty,
+       floor((CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,6))) AS DOUBLE)) * 10000 + 0.5) / 10000 AS sum_disc_price,
+       COUNT(*) AS n
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("sql_pipe", oracle=_PIPE_ORACLE)
+def sql_pipe(spark, sf_dir):
+    """SQL pipe syntax (Spark 4 ``|>``): the same pricing-summary
+    aggregate as ``agg_group``, written as a linear dataflow. Pipe
+    operators are pure surface syntax — Catalyst receives the identical
+    logical plan (filter → partial agg → exchange → final agg), so every
+    scale property of the classic form carries over unchanged
+    (asserted plan-identical in tests/test_modern.py)."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+FROM lineitem
+|> WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+|> EXTEND l_extendedprice * (1 - l_discount) AS disc_price
+|> AGGREGATE
+     floor(CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) * 10000 + 0.5) / 10000 AS sum_qty,
+     floor(CAST(sum(CAST(disc_price  AS DECIMAL(25,6))) AS DOUBLE) * 10000 + 0.5) / 10000 AS sum_disc_price,
+     COUNT(*) AS n
+   GROUP BY l_returnflag, l_linestatus
+"""
+    )
+
+
+@register(
+    "fn_collate",
+    oracle="""
+WITH mixed AS (
+  SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+              ELSE lower(c_mktsegment) END AS seg
+  FROM customer
+)
+SELECT COUNT(DISTINCT seg)        AS n_distinct_binary,
+       COUNT(DISTINCT lower(seg)) AS n_distinct_ci,
+       CAST(SUM(CASE WHEN lower(seg) = 'building' THEN 1 ELSE 0 END) AS BIGINT) AS n_building
+FROM mixed
+""",
+)
+def fn_collate(spark, sf_dir):
+    """Collation-aware semantics (Spark 4 ``COLLATE UTF8_LCASE``): the
+    engine-native form of case-insensitive comparison. A case-mixed
+    segment column yields 10 binary-distinct values but 5 under the
+    case-insensitive collation, and collated equality matches both
+    casings of 'BUILDING'. At scale this beats ``lower()`` wrappers:
+    the collation is part of the type, so every comparison/join/group on
+    the column is consistently case-insensitive without per-call-site
+    normalization expressions."""
+    c = table(spark, sf_dir, "customer")
+    mixed = c.select(
+        F.when(
+            F.col("c_custkey") % 2 == 0, F.upper("c_mktsegment")
+        )
+        .otherwise(F.lower("c_mktsegment"))
+        .alias("seg")
+    )
+    return mixed.select(
+        F.expr("seg COLLATE UTF8_BINARY").alias("seg_bin"),
+        F.expr("seg COLLATE UTF8_LCASE").alias("seg_ci"),
+    ).agg(
+        F.countDistinct("seg_bin").alias("n_distinct_binary"),
+        F.countDistinct("seg_ci").alias("n_distinct_ci"),
+        F.sum(
+            F.when(F.expr("seg_ci = 'BuIlDiNg' COLLATE UTF8_LCASE"), 1).otherwise(0)
+        ).alias("n_building"),
+    )
+
+
+@register("source_xml", oracle="SELECT * FROM nation")
+def source_xml(spark, sf_dir):
+    """XML source round trip (built-in since Spark 4 absorbed
+    spark-xml): write nation as <rows><row>…</row></rows>, read back
+    with the schema pinned from the parquet original — no inference
+    pass, so types survive exactly. XML is a row-framed format like
+    JSONL: splittable per file, scans parallelize across files."""
+    out = os.path.join(tempfile.gettempdir(), "terasort_spark_src_xml")
+    shutil.rmtree(out, ignore_errors=True)
+    nation = table(spark, sf_dir, "nation")
+    (
+        nation.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "rows")
+        .option("rowTag", "row")
+        .save(out)
+    )
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "row")
+        .schema(nation.schema)
+        .load(out)
+    )
+
+
+@register(
+    "text_chunk",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t, len(string_split(text, ' ')) AS n
+  FROM documents
+), starts AS (
+  SELECT doc_id, t, unnest(generate_series(1, n, {CHUNK_S})) AS chunk_start
+  FROM toks
+)
+SELECT doc_id,
+       chunk_start,
+       len(list_slice(t, chunk_start, chunk_start + {CHUNK_W} - 1)) AS chunk_len,
+       md5(array_to_string(list_slice(t, chunk_start, chunk_start + {CHUNK_W} - 1), ' ')) AS chunk_md5
+FROM starts
+""",
+)
+def text_chunk(spark, sf_dir):
+    """Overlapping token-window chunking: every document becomes
+    ceil(n_tokens/stride) chunks of ≤16 tokens with 4-token overlap —
+    the unit RAG indexes and packing pipelines consume. All codegen:
+    split → sequence(1, n, stride) → explode → slice → md5. The fan-out
+    multiplier is bounded by document length over stride, so a 100 TB
+    corpus chunks in one narrow-dependency map stage with zero
+    shuffles; chunk identity is content-addressed (md5 of the exact
+    token string), making downstream chunk-level dedup a groupBy away."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("t")).withColumn(
+        "n", F.size("t")
+    )
+    return (
+        toks.withColumn(
+            "chunk_start",
+            F.explode(F.sequence(F.lit(1), F.col("n"), F.lit(CHUNK_S))),
+        )
+        .withColumn("chunk", F.slice(F.col("t"), F.col("chunk_start"), CHUNK_W))
+        .select(
+            "doc_id",
+            F.col("chunk_start").cast("bigint").alias("chunk_start"),
+            F.size("chunk").cast("bigint").alias("chunk_len"),
+            F.md5(F.array_join("chunk", " ").cast("binary")).alias("chunk_md5"),
+        )
+    )

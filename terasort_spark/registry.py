@@ -65,6 +65,7 @@ _OPERATOR_MODULES = (
     "terasort_spark.operators.multimodal_audio",
     "terasort_spark.operators.llm_gemm",
     "terasort_spark.operators.llm_lm",
+    "terasort_spark.operators.modern",
 )
 
 _loaded = False

@@ -1,0 +1,119 @@
+"""Behavior and plan tests for the Spark-4 modern-surface module
+(operators/modern.py): VARIANT, pipe SQL, collations, XML source,
+token-window chunking. Oracle parity itself is covered by the
+registry-wide twin in test_oracle.py; these tests pin the properties
+the oracle can't see (plan identity, coverage invariants, collation
+semantics)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from terasort_spark.operators.modern import CHUNK_S, CHUNK_W
+from terasort_spark.registry import queries
+
+_Q = queries()
+
+
+def test_sql_pipe_plan_identical_to_classic_form(spark, sf_dir):
+    """Pipe syntax is pure surface: the optimized plan must equal the
+    classic SELECT's plan (same filter -> partial agg -> exchange ->
+    final agg), so every scale property carries over."""
+    piped = _Q["sql_pipe"](spark, sf_dir)
+    classic = spark.sql(
+        """
+SELECT l_returnflag, l_linestatus,
+       floor(CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) * 10000 + 0.5) / 10000 AS sum_qty,
+       floor(CAST(sum(CAST(disc_price AS DECIMAL(25,6))) AS DOUBLE) * 10000 + 0.5) / 10000 AS sum_disc_price,
+       COUNT(*) AS n
+FROM (
+  SELECT *, l_extendedprice * (1 - l_discount) AS disc_price
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+)
+GROUP BY l_returnflag, l_linestatus
+"""
+    )
+
+    def canon(df):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        # strip expression ids (#123) which differ per analysis run
+        import re
+
+        return re.sub(r"#\d+L?", "#", plan)
+
+    assert canon(piped) == canon(classic)
+
+
+def test_variant_extraction_matches_json_path(spark, sf_dir):
+    """variant_get through parse_json agrees row-for-row with the
+    legacy string-path get_json_object on the same payloads."""
+    from terasort_spark.catalog import table
+
+    e = table(spark, sf_dir, "events").limit(200)
+    both = e.select(
+        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("v"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("j"),
+    )
+    assert both.filter(~(F.col("v").eqNullSafe(F.col("j")))).count() == 0
+
+
+def test_collation_counts(spark, sf_dir):
+    """Case-mixing doubles the binary-distinct segment count; the
+    UTF8_LCASE collation collapses it back to the true 5 segments."""
+    row = _Q["fn_collate"](spark, sf_dir).collect()[0]
+    assert row.n_distinct_ci == 5
+    assert row.n_distinct_binary == 10
+    assert row.n_building > 0
+
+
+def test_xml_roundtrip_preserves_rows_and_types(spark, sf_dir):
+    from terasort_spark.catalog import table
+
+    out = _Q["source_xml"](spark, sf_dir)
+    orig = table(spark, sf_dir, "nation")
+    assert out.schema == orig.schema
+    assert out.exceptAll(orig).count() == 0
+    assert orig.exceptAll(out).count() == 0
+
+
+def test_chunking_covers_every_token_with_declared_overlap(spark, sf_dir):
+    """Coverage invariant: per document, chunk starts are exactly
+    1, 1+S, 1+2S, ... <= n_tokens; consecutive full chunks overlap by
+    W-S tokens; the union of [start, start+len) intervals covers
+    [1, n_tokens] with no gap."""
+    from terasort_spark.catalog import table
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n")
+    )
+    chunks = _Q["text_chunk"](spark, sf_dir)
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.max(F.col("chunk_start") + F.col("chunk_len") - 1).alias("max_end"),
+        F.min("chunk_start").alias("first_start"),
+    )
+    joined = per_doc.join(d, "doc_id")
+    bad = joined.filter(
+        (F.col("first_start") != 1)
+        | (F.col("max_end") != F.col("n"))
+        | (F.col("n_chunks") != F.ceil(F.col("n") / F.lit(CHUNK_S)))
+    )
+    assert bad.count() == 0
+    # stride spacing: every start is ≡ 1 (mod S)
+    assert chunks.filter((F.col("chunk_start") - 1) % CHUNK_S != 0).count() == 0
+    # full chunks are exactly W tokens; only the ≤ ceil(W/S) tail chunks may be short
+    short = chunks.filter(F.col("chunk_len") < CHUNK_W)
+    tail = chunks.join(d, "doc_id").filter(
+        F.col("chunk_start") + CHUNK_W - 1 > F.col("n")
+    )
+    assert short.count() == tail.count()
+
+
+def test_chunking_plan_has_no_shuffle(spark, sf_dir):
+    """Chunking is a narrow map stage: scan -> project -> generate ->
+    project. Any Exchange in the plan would mean the 100 TB corpus gets
+    shuffled just to be split into chunks."""
+    df = _Q["text_chunk"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
