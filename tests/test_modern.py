@@ -117,3 +117,58 @@ def test_chunking_plan_has_no_shuffle(spark, sf_dir):
     df = _Q["text_chunk"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_dedup_chunk_partitions_chunks_exactly(spark, sf_dir):
+    """Every chunk is either canonical or duplicate (n_chunks =
+    n_canonical + n_dup per doc), and the corpus-wide canonical count
+    equals the number of distinct chunk hashes."""
+    d = _Q["dedup_chunk"](spark, sf_dir)
+    assert d.filter(
+        F.col("n_chunks") != F.col("n_canonical") + F.col("n_dup")
+    ).count() == 0
+    chunks = _Q["text_chunk"](spark, sf_dir)
+    n_distinct = chunks.select("chunk_md5").distinct().count()
+    total_canonical = d.agg(F.sum("n_canonical")).collect()[0][0]
+    assert total_canonical == n_distinct
+
+
+def test_mrl_shortlist_recall_and_shape(spark, sf_dir):
+    """Two-stage MRL ranking: exactly 5 results per query with dense
+    ranks, and recall vs the exact full-dim top-5 stays above the
+    isotropic-worst-case floor (prefix carries 1/4 of the variance on
+    random vectors; MRL-trained embeddings would concentrate it)."""
+    mrl = _Q["sim_cosine_mrl"](spark, sf_dir).collect()
+    per_q = {}
+    for r in mrl:
+        per_q.setdefault(r.q_id, []).append(r.rn)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+    exact = {(r.q_id, r.c_id) for r in _Q["sim_cosine_topk"](spark, sf_dir).collect()}
+    got = {(r.q_id, r.c_id) for r in mrl}
+    assert len(got & exact) / len(exact) >= 0.4
+
+
+def test_sketch_rollup_merge_is_lossless_and_accurate(spark, sf_dir):
+    """The re-aggregation property that makes sketches the 100 TB
+    distinct-count design: unioning the per-priority partial sketches
+    yields the IDENTICAL estimate to sketching the whole column in one
+    pass (same hashes, same registers), and the estimate tracks the
+    exact distinct count within HLL lgK=12 error (<2% at these
+    cardinalities)."""
+    from terasort_spark.catalog import table
+
+    rows = {
+        r.o_orderpriority: r.n_custkeys
+        for r in _Q["agg_sketch_rollup"](spark, sf_dir).collect()
+    }
+    o = table(spark, sf_dir, "orders")
+    direct = (
+        o.agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+        .select(F.hll_sketch_estimate("sk").alias("est"))
+        .collect()[0]
+        .est
+    )
+    assert rows["ALL"] == direct
+    exact = o.select("o_custkey").distinct().count()
+    assert abs(rows["ALL"] - exact) / exact < 0.02
+    assert max(v for k, v in rows.items() if k != "ALL") <= rows["ALL"]
