@@ -297,3 +297,61 @@ def emb_norm_stats(spark, sf_dir):
         rnd(F.min("nrm"), "min_norm"),
         rnd(F.max("nrm"), "max_norm"),
     )
+
+
+@register(
+    "events_attribution",
+    oracle="""
+WITH seq AS (
+    SELECT event_type, value,
+           last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                      IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS channel
+    FROM events
+)
+SELECT coalesce(channel, 'direct') AS channel,
+       count(*) AS n_purchases,
+       floor(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) * 10000 + 0.5)
+           / 10000 AS attributed_value
+FROM seq WHERE event_type = 'purchase'
+GROUP BY 1
+""",
+)
+def events_attribution(spark, sf_dir):
+    """Last-touch attribution: each purchase's value is credited to the
+    user's most recent non-purchase event type before it ('direct' if
+    none) — the standard marketing-attribution query, expressed as
+    last(..., ignorenulls) over an UNBOUNDED PRECEDING .. 1 PRECEDING
+    frame rather than a self-join.
+
+    Scale notes: one shuffle on user_id for the window (per-user
+    history is small and bounded by session behaviour, so no skew),
+    then a map-side-combining sum over a |event_types|-bounded key
+    space. The naive formulation — as-of self-join of purchases
+    against all prior events — shuffles events twice and risks a range
+    join; the window form scans once. Exact DECIMAL sum keeps the
+    4dp-rounded totals partition-order-independent (D1)."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    channel = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.withColumn("channel", channel)
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("channel", F.lit("direct")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            rnd(
+                F.sum(F.col("value").cast(DEC)).cast("double"),
+                "attributed_value",
+            ),
+        )
+    )

@@ -9,6 +9,7 @@ with only scan + one shuffle per aggregation.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from terasort_spark.catalog import table
@@ -436,4 +437,90 @@ def text_repetition(spark, sf_dir):
         n_tri.cast("long").alias("n_trigrams"),
         n_uniq.cast("long").alias("n_unique"),
         rnd(F.lit(1.0) - n_uniq.cast("double") / n_tri, "dup_frac"),
+    )
+
+
+_WINNOW_K = 3  # token k-gram size
+_WINNOW_W = 4  # winnowing window (guarantee threshold t = W + K - 1)
+
+
+@register(
+    "text_winnowing",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, string_split(lower(text), ' ') AS t,
+           len(string_split(lower(text), ' ')) AS n
+    FROM documents
+),
+kg AS (
+    SELECT doc_id, n - {_WINNOW_K} + 1 AS nk,
+           unnest(list_transform(
+               generate_series(1, n - {_WINNOW_K} + 1),
+               i -> struct_pack(
+                   pos := i,
+                   h := md5(array_to_string(
+                       list_slice(t, i, i + {_WINNOW_K} - 1), ' ')))))
+               AS u
+    FROM toks WHERE n >= {_WINNOW_K} + {_WINNOW_W} - 1
+),
+win AS (
+    SELECT doc_id, nk, u.pos AS pos,
+           min(u.h) OVER (PARTITION BY doc_id ORDER BY u.pos
+                          ROWS BETWEEN CURRENT ROW
+                          AND {_WINNOW_W - 1} FOLLOWING) AS wmin
+    FROM kg
+)
+SELECT doc_id,
+       count(DISTINCT wmin) AS n_fp,
+       min(wmin) AS fp_min
+FROM win WHERE pos <= nk - {_WINNOW_W} + 1
+GROUP BY doc_id
+""",
+)
+def text_winnowing(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every token k-gram (k=3),
+    slide a w-hash window (w=4) over the sequence, keep each window's
+    minimum hash; the selected set is a position-robust fingerprint
+    guaranteeing any shared run of w + k - 1 = 6 tokens leaves at
+    least one common selected hash. Emits per-document fingerprint cardinality
+    and the smallest selected hash (the set itself stays distributed —
+    a downstream near-dup join would bucket on selected hashes exactly
+    like dedup_minhash's bands).
+
+    Scale notes: k-gram construction is an array transform inside the
+    scan stage (no join, no self-shuffle); the only shuffle is the
+    per-document window on (doc_id, pos), linear in corpus token count,
+    and fingerprints are md5 STRINGS so the min-window semantics are
+    byte-identical across engines. Window minima over a W-row frame are
+    O(n·W) worst case but W is a small constant — Spark's sliding-frame
+    evaluator never rescans the document."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("toks")
+    )
+    d = d.withColumn("n", F.size("toks")).where(
+        F.col("n") >= _WINNOW_K + _WINNOW_W - 1
+    )
+    kg = d.select(
+        "doc_id",
+        (F.col("n") - _WINNOW_K + 1).alias("nk"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, n - {_WINNOW_K} + 1),"
+                f" i -> md5(concat_ws(' ', slice(toks, i, {_WINNOW_K}))))"
+            )
+        ).alias("pos", "h"),
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, _WINNOW_W - 1)
+    )
+    sel = kg.withColumn("wmin", F.min("h").over(win)).where(
+        # posexplode is 0-based; full windows only (0-based pos <= nk - W)
+        F.col("pos") <= F.col("nk") - _WINNOW_W
+    )
+    return sel.groupBy("doc_id").agg(
+        F.countDistinct("wmin").alias("n_fp"),
+        F.min("wmin").alias("fp_min"),
     )

@@ -190,3 +190,64 @@ def sample_mixture(spark, sf_dir):
             F.col("source") == s, F.lit(_hex_threshold(wgt))
         ).otherwise(threshold)
     return d.where(coin < threshold).select("doc_id", "source", "lang")
+
+
+_LANGS = ("de", "en", "es", "fr")
+
+
+@register(
+    "pipeline_pretrain_funnel",
+    oracle=f"""
+WITH flags AS (
+    SELECT md5(text) AS h,
+           lang IN {_LANGS!r} AS lang_ok,
+           lang IN {_LANGS!r}
+             AND n_chars BETWEEN 100 AND 20000
+             AND len(string_split(text, ' ')) >= 10
+             AND (CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')))
+                 BETWEEN 2 AND 12
+             AS qual_ok
+    FROM documents
+)
+SELECT 1 AS stage_id, 'raw' AS stage, count(*) AS n_docs FROM flags
+UNION ALL
+SELECT 2, 'lang', count(*) FILTER (WHERE lang_ok) FROM flags
+UNION ALL
+SELECT 3, 'quality', count(*) FILTER (WHERE qual_ok) FROM flags
+UNION ALL
+SELECT 4, 'dedup', count(DISTINCT CASE WHEN qual_ok THEN h END) FROM flags
+""",
+)
+def pipeline_pretrain_funnel(spark, sf_dir):
+    """The corpus-admission funnel as ONE aggregation: how many
+    documents survive each pretraining gate — raw -> language filter ->
+    quality filter (length bounds, minimum word count, mean-word-length
+    band) -> exact dedup. The per-stage survivor counts every corpus
+    report leads with, computed without materializing any intermediate
+    stage.
+
+    Scale notes: conditional aggregation folds all four stages into a
+    single scan; the only shuffle is the count(DISTINCT md5) for the
+    dedup stage (hash, not text, so shuffle rows are 32 bytes each).
+    Compare running four separate filter+count jobs: 4 scans and no
+    shared work. Output is 4 rows at any corpus size."""
+    d = table(spark, sf_dir, "documents")
+    words = F.size(F.split(F.col("text"), " "))
+    lang_ok = F.col("lang").isin(*_LANGS)
+    qual_ok = (
+        lang_ok
+        & F.col("n_chars").between(100, 20000)
+        & (words >= 10)
+        & (F.col("n_chars").cast("double") / words).between(2, 12)
+    )
+    row = d.agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(lang_ok.cast("bigint")).alias("n_lang"),
+        F.sum(qual_ok.cast("bigint")).alias("n_qual"),
+        F.countDistinct(F.when(qual_ok, F.md5("text"))).alias("n_dedup"),
+    )
+    return row.selectExpr(
+        "stack(4, 1, 'raw', n_raw, 2, 'lang', n_lang,"
+        " 3, 'quality', n_qual, 4, 'dedup', n_dedup)"
+        " AS (stage_id, stage, n_docs)"
+    )

@@ -66,6 +66,7 @@ _OPERATOR_MODULES = (
     "terasort_spark.operators.llm_gemm",
     "terasort_spark.operators.llm_lm",
     "terasort_spark.operators.modern",
+    "terasort_spark.operators.relational6",
 )
 
 _loaded = False

@@ -80,8 +80,12 @@ def write_tera_files(sorted_df: DataFrame, out_dir: str) -> list[str]:
     concatenating the files in name order reproduces the globally
     sorted dataset. Executors write their own partition directly — the
     local-mode twin of TeraOutputFormat's per-reducer DFS file; no data
-    moves through the driver. Empty partitions still emit a (zero-byte)
-    file, matching Hadoop's behavior. Returns paths in index order."""
+    moves through the driver. Assumes out_dir is visible to both driver
+    and executors (true in local mode and on any shared fs); a
+    non-shared-fs cluster would need Hadoop FileSystem APIs here, as
+    the reference TeraOutputFormat uses. Empty partitions still emit a
+    (zero-byte) file, matching Hadoop's behavior. Returns paths in
+    index order."""
     os.makedirs(out_dir, exist_ok=True)
 
     def write_partition(idx: int, rows) -> Iterator[tuple[int, str]]:
