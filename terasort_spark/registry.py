@@ -67,6 +67,7 @@ _OPERATOR_MODULES = (
     "terasort_spark.operators.llm_lm",
     "terasort_spark.operators.modern",
     "terasort_spark.operators.relational6",
+    "terasort_spark.operators.curation",
 )
 
 _loaded = False
