@@ -68,6 +68,7 @@ _OPERATOR_MODULES = (
     "terasort_spark.operators.modern",
     "terasort_spark.operators.relational6",
     "terasort_spark.operators.curation",
+    "terasort_spark.operators.geo",
 )
 
 _loaded = False
