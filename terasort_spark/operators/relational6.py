@@ -304,30 +304,51 @@ FROM orders"""
     ),
 )
 def profile_table(spark, sf_dir):
-    """One-pass table profiling: per-column null count, exact distinct
-    count, and min/max (rendered portably) for every column of
-    `orders`, computed in a SINGLE aggregation and unpivoted with
-    `stack` — the data-quality summary every ingestion pipeline runs
-    before training-data admission.
+    """Table profiling: per-column null count, exact distinct count,
+    and min/max (rendered portably) for every column of `orders` — the
+    data-quality summary every ingestion pipeline runs before
+    training-data admission. Output is 6 rows regardless of input size.
 
-    100 TB: one scan feeds all columns' metrics (Catalyst expands the
-    multi-distinct into one exchange rather than 6 scans); swap
-    count(DISTINCT) for approx_count_distinct when exactness is not
-    required and the whole profile becomes a single map-side-combining
-    pass. Output is 6 rows regardless of input size."""
+    100 TB design, two passes with bounded shuffles: (1) nulls +
+    min/max for ALL columns in one distinct-free aggregation —
+    map-side partials collapse to one row per partition. (2) exact
+    distinct counts via unpivot-then-two-level-groupBy: stack each row
+    into narrow (col_name, value) pairs, groupBy(col_name, value) —
+    whose map-side combine means the exchange carries only each
+    column's DISTINCT set, not the row stream — then count per column.
+    The earlier single-agg multi-countDistinct form made Catalyst
+    Expand every row ×(cols+1) into one fat exchange (~7× the table
+    through the shuffle); this form shuffles Σ|distinct(c)| narrow
+    rows. Swap stage 2 for approx_count_distinct and the whole profile
+    is a single combining pass (agg_approx shows that surface)."""
     o = table(spark, sf_dir, "orders")
     aggs = []
     for c, t in _PROFILE_COLS:
         aggs += [
             F.sum(F.col(c).isNull().cast("bigint")).alias(f"nn_{c}"),
-            F.countDistinct(c).alias(f"nd_{c}"),
             _render(F.min(F.col(c)), t).alias(f"mn_{c}"),
             _render(F.max(F.col(c)), t).alias(f"mx_{c}"),
         ]
-    stack_args = ", ".join(
-        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c, _ in _PROFILE_COLS
+    stack_base = ", ".join(
+        f"'{c}', nn_{c}, mn_{c}, mx_{c}" for c, _ in _PROFILE_COLS
     )
-    return o.agg(*aggs).selectExpr(
-        f"stack({len(_PROFILE_COLS)}, {stack_args})"
-        " AS (col_name, n_nulls, n_distinct, min_s, max_s)"
+    base = o.agg(*aggs).selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_base})"
+        " AS (col_name, n_nulls, min_s, max_s)"
+    )
+    stack_vals = ", ".join(
+        f"'{c}', CAST({c} AS STRING)" for c, _ in _PROFILE_COLS
+    )
+    nd = (
+        o.selectExpr(
+            f"stack({len(_PROFILE_COLS)}, {stack_vals}) AS (col_name, v)"
+        )
+        .filter(F.col("v").isNotNull())
+        .groupBy("col_name", "v")
+        .agg(F.lit(1))
+        .groupBy("col_name")
+        .agg(F.count(F.lit(1)).alias("n_distinct"))
+    )
+    return base.join(F.broadcast(nd), "col_name").select(
+        "col_name", "n_nulls", "n_distinct", "min_s", "max_s"
     )

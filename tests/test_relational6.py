@@ -131,3 +131,19 @@ def test_profile_table_invariants(spark, sf_dir):
     # rendered doubles carry exactly 2dp
     assert "." in rows["o_totalprice"]["min_s"]
     assert len(rows["o_totalprice"]["max_s"].split(".")[1]) == 2
+
+
+def test_profile_table_distinct_shuffle_is_deduped_not_expanded(spark, sf_dir):
+    """The exact-distinct stage must shuffle each column's DISTINCT set
+    (two-level groupBy with map-side combine), never Expand the row
+    stream x(cols+1) into one fat multi-distinct exchange."""
+    plan = (
+        _Q["profile_table"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Expand" not in plan
+    # two-level distinct: partial aggregate on (col_name, v) below the
+    # exchange, count per col_name above it
+    assert plan.count("HashAggregate") >= 4
