@@ -69,6 +69,7 @@ _OPERATOR_MODULES = (
     "terasort_spark.operators.relational6",
     "terasort_spark.operators.curation",
     "terasort_spark.operators.geo",
+    "terasort_spark.operators.tokenizer",
 )
 
 _loaded = False

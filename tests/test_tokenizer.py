@@ -1,0 +1,103 @@
+"""BPE tokenizer operators (terasort_spark/operators/tokenizer.py).
+Rows-only queries, so semantics are pinned here: independent
+brute-force pair counting over the raw corpus, full-document encode
+replay, determinism, and structural invariants."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from terasort_spark.operators.tokenizer import (
+    END,
+    encode_word,
+    train_bpe,
+)
+from terasort_spark.registry import queries
+
+_Q = queries()
+
+
+def _corpus_words(spark, sf_dir):
+    rows = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        .select("text")
+        .collect()
+    )
+    words = Counter()
+    for r in rows:
+        for w in r["text"].lower().split(" "):
+            if w:
+                words[w] += 1
+    return words
+
+
+def test_first_merge_is_most_frequent_pair_bruteforce(spark, sf_dir):
+    """Rank-0 merge must equal an INDEPENDENT brute-force count of
+    adjacent symbol pairs over the raw corpus (char-level, end marker
+    appended), with the (count desc, pair asc) tie-break."""
+    words = _corpus_words(spark, sf_dir)
+    pairs = Counter()
+    for w, n in words.items():
+        sym = list(w) + [END]
+        for a, b in zip(sym, sym[1:]):
+            pairs[(a, b)] += n
+    expect_pair, expect_n = min(
+        pairs.items(), key=lambda kv: (-kv[1], kv[0])
+    )
+    top = _Q["text_bpe_train"](spark, sf_dir).orderBy("rank").first()
+    assert (top["left"], top["right"]) == expect_pair
+    assert top["pair_count"] == expect_n
+
+
+def test_train_is_deterministic_and_ranks_dense(spark, sf_dir):
+    a = [tuple(r) for r in _Q["text_bpe_train"](spark, sf_dir).collect()]
+    b = [tuple(r) for r in _Q["text_bpe_train"](spark, sf_dir).collect()]
+    assert a == b
+    assert [r[0] for r in a] == list(range(len(a)))
+    # merged pairs are unique
+    assert len({(r[1], r[2]) for r in a}) == len(a)
+
+
+def test_encode_matches_full_document_replay(spark, sf_dir):
+    """Distributed encode (broadcast word→n_sub join) must equal a
+    per-document pure-Python replay that re-encodes every word."""
+    words = _corpus_words(spark, sf_dir)
+    merges = train_bpe(sorted(words.items(), key=lambda kv: (-kv[1], kv[0])))
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_subtokens"])
+        for r in _Q["text_bpe_encode"](spark, sf_dir).collect()
+    }
+    rows = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(
+            F.col("text").isNotNull()
+            & (F.length("text") > 0)
+            & (F.col("doc_id") < 100)
+        )
+        .select("doc_id", "text")
+        .collect()
+    )
+    assert got
+    for r in rows:
+        ws = [w for w in r["text"].lower().split(" ") if w]
+        if not ws:
+            continue
+        expect = (len(ws), sum(len(encode_word(w, merges)) for w in ws))
+        assert got[r["doc_id"]] == expect
+
+
+def test_encode_compresses_and_roundtrips():
+    """Unit semantics: more merges never lengthen a word's encoding,
+    and concatenating the subtokens reproduces word + end marker."""
+    wc = [("banana", 10), ("bandana", 5), ("anna", 3)]
+    merges = train_bpe(wc, n_merges=10)
+    for w, _ in wc:
+        prev = len(w) + 1
+        for k in range(len(merges) + 1):
+            toks = encode_word(w, merges[:k])
+            assert "".join(toks) == w + END
+            assert len(toks) <= prev
+            prev = len(toks)
