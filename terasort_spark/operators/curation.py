@@ -406,6 +406,54 @@ def split_dataset(spark, sf_dir):
     )
 
 
+SAMPLE_K = 20
+
+
+@register(
+    "sample_weighted",
+    oracle=f"""
+SELECT doc_id, source, n_chars,
+       floor(key_es * 10000 + 0.5) / 10000 AS key_es, rank
+FROM (
+  SELECT doc_id, source, n_chars, key_es,
+         CAST(row_number() OVER (ORDER BY key_es DESC, doc_id) AS INTEGER)
+             AS rank
+  FROM (
+    SELECT doc_id, source, n_chars,
+           ln(((doc_id * 2654435761) % 4294967296 + 1) / 4294967297.0)
+               / n_chars AS key_es
+    FROM documents WHERE n_chars > 0
+  )
+)
+WHERE rank <= {SAMPLE_K}
+""",
+)
+def sample_weighted(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis–Spirakis):
+    each doc gets key ln(u)/w — u a DETERMINISTIC content-addressed
+    uniform (Knuth multiplicative hash of doc_id, never rand()), w its
+    weight (n_chars) — and the sample is the k largest keys. One pass,
+    no shuffle beyond the top-k heap merge (TakeOrderedAndProject);
+    retry-, partitioning- and resize-stable like sample_mixture, but
+    weight-proportional instead of Bernoulli. The +1/2^32+1 offsets
+    keep u in (0,1) so ln is finite; integer hash arithmetic and libm
+    ln are identical on both engines, so the oracle is exact."""
+    d = table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) + 1) / F.lit(
+        4294967297.0
+    )
+    key = F.log(u) / F.col("n_chars")
+    ranked = (
+        d.select("doc_id", "source", "n_chars", key.alias("key_es"))
+        .orderBy(F.desc("key_es"), "doc_id")
+        .limit(SAMPLE_K)
+    )
+    w = Window.orderBy(F.desc("key_es"), "doc_id")
+    return ranked.withColumn(
+        "rank", F.row_number().over(w).cast("integer")
+    ).select("doc_id", "source", "n_chars", rnd(F.col("key_es"), "key_es"), "rank")
+
+
 _Z_BITS = 8  # 8+8-bit interleave → 16-bit Morton code
 
 

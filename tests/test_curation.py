@@ -181,3 +181,25 @@ def test_tfidf_pairs_join_is_equi_on_term(spark, sf_dir):
     ]
     # the only BNLJ allowed is the 1-row corpus-stats cross join
     assert all("Cross" in ln for ln in joins)
+
+
+def test_sample_weighted_is_weight_proportional_and_bounded(spark, sf_dir):
+    """Chosen docs' weights must skew above the corpus median (keys are
+    ln(u)/w: larger w pulls keys toward 0 = larger), the plan must
+    bound the rank window with a top-k heap, and reruns are identical."""
+    a = [tuple(r) for r in _Q["sample_weighted"](spark, sf_dir).collect()]
+    b = [tuple(r) for r in _Q["sample_weighted"](spark, sf_dir).collect()]
+    assert a == b and len(a) > 0
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("n_chars") > 0
+    )
+    med = d.approxQuantile("n_chars", [0.5], 0.0)[0]
+    chosen = [r[2] for r in a]  # n_chars column
+    assert sum(chosen) / len(chosen) > med * 0.8
+    plan = (
+        _Q["sample_weighted"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
