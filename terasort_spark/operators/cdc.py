@@ -1,0 +1,113 @@
+"""Change-data-capture over the versioned-table layer
+(terasort_spark/sources/snapshots.py): `scan_changefeed` materializes a
+versioned table (base + one delta of upserts and tombstones) and emits
+the CHANGE FEED between the two versions — op ∈ insert/update/delete
+with old and new values — the read side of Delta/Iceberg
+`table_changes()`.
+
+Scale design: the feed for version n is derived from the version-n
+SEGMENT (delta-sized, hive-partition-pruned at file listing) joined
+against the version-(n-1) snapshot ONLY to classify ops and fetch old
+values — a single equi-join on the table key whose left side is the
+delta, never a diff of two full snapshots. At 100 TB the snapshot side
+prunes to the key column (ReadSchema) and the join broadcasts when the
+delta is small.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from terasort_spark.catalog import table
+from terasort_spark.operators._util import rnd
+from terasort_spark.registry import register
+from terasort_spark.sources.snapshots import read_snapshot, write_version
+
+# deterministic change recipe over orders:
+#   base (v0):  keys with o_orderkey % 4 != 3
+#   upserts v1: keys with o_orderkey % 10 == 0 (price * 1.1) — keys
+#               already in base become updates, others inserts
+#   deletes v1: keys with o_orderkey % 17 == 0 and % 10 != 0 —
+#               tombstones for keys not in base are no-ops (dropped)
+
+
+@register(
+    "scan_changefeed",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 4 <> 3
+),
+ups AS (
+  SELECT o_orderkey, o_totalprice * 1.1 AS new_price FROM orders
+  WHERE o_orderkey % 10 = 0
+),
+dels AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderkey % 17 = 0 AND o_orderkey % 10 <> 0
+)
+SELECT u.o_orderkey AS o_orderkey,
+       CASE WHEN b.o_orderkey IS NULL THEN 'insert' ELSE 'update' END AS op,
+       floor(b.o_totalprice * 10000 + 0.5) / 10000 AS old_price,
+       floor(u.new_price * 10000 + 0.5) / 10000 AS new_price
+FROM ups u LEFT JOIN base b USING (o_orderkey)
+UNION ALL
+SELECT d.o_orderkey, 'delete',
+       floor(b.o_totalprice * 10000 + 0.5) / 10000, NULL
+FROM dels d JOIN base b USING (o_orderkey)
+""",
+)
+def scan_changefeed(spark, sf_dir):
+    """Build the versioned table on disk through the snapshots API,
+    then read the v1 change feed: the v=1 segment (partition-pruned)
+    classified against the v0 snapshot. The oracle replays the same
+    change recipe relationally from `orders`, so the feed's semantics
+    — not just its mechanics — are hash-checked."""
+    root = os.path.join(tempfile.gettempdir(), "terasort_spark_cdc")
+    shutil.rmtree(root, ignore_errors=True)
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    base = o.filter(F.col("o_orderkey") % 4 != 3)
+    write_version(base, root, 0)
+    ups = o.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 1.1
+    )
+    dels = (
+        o.filter(
+            (F.col("o_orderkey") % 17 == 0) & (F.col("o_orderkey") % 10 != 0)
+        )
+        .select("o_orderkey")
+        .withColumn("o_totalprice", F.lit(None).cast("double"))
+        .withColumn("_deleted", F.lit(True))
+    )
+    write_version(
+        ups.withColumn("_deleted", F.lit(False)).unionByName(dels), root, 1
+    )
+
+    seg1 = spark.read.parquet(os.path.join(root, "_v=1"))
+    prev = read_snapshot(spark, root, ["o_orderkey"], version=0).select(
+        "o_orderkey", F.col("o_totalprice").alias("old_price_raw")
+    )
+    j = seg1.join(prev, "o_orderkey", "left")
+    op = (
+        F.when(F.col("_deleted"), F.lit("delete"))
+        .when(F.col("old_price_raw").isNull(), F.lit("insert"))
+        .otherwise(F.lit("update"))
+    )
+    return (
+        j.withColumn("op", op)
+        # a tombstone for a key absent from the previous snapshot is a
+        # no-op, exactly as lake formats drop it from the feed
+        .filter(~(F.col("_deleted") & F.col("old_price_raw").isNull()))
+        .select(
+            "o_orderkey",
+            "op",
+            rnd(F.col("old_price_raw"), "old_price"),
+            rnd(
+                F.when(~F.col("_deleted"), F.col("o_totalprice")),
+                "new_price",
+            ),
+        )
+    )

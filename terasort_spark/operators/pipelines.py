@@ -361,3 +361,56 @@ def agg_stringagg(spark, sf_dir):
         F.array_join(F.sort_array(F.collect_list("c_name")), "|").alias("names"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "events_sequence_match",
+    oracle="""
+WITH j AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+             AS journey,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id
+)
+SELECT user_id, n_events, substr(journey, 1, 20) AS journey20,
+       CASE WHEN regexp_matches(journey, 's.*c.*p') THEN 1 ELSE 0 END
+           AS has_funnel,
+       CAST(strpos(journey, 'p') AS BIGINT) AS first_purchase_pos
+FROM j
+""",
+)
+def events_sequence_match(spark, sf_dir):
+    """Sequence-pattern matching over per-user event journeys (the
+    MATCH_RECOGNIZE / CEP shape): encode each user's time-ordered
+    events as a one-char-per-event string, then run ordinary regexes
+    against it — funnel detection becomes 's.*c.*p', position queries
+    become strpos. ONE shuffle on user_id; the journey is built by
+    sorting INSIDE the aggregate (sort_array over (ts, event_id)
+    structs — deterministic at any partitioning, same D5 rule as
+    agg_stringagg), and the regex is codegen over a per-user string
+    whose length is the user's event count — state bounded per key,
+    which is also exactly the applyInPandasWithState layout the
+    streaming variant would use."""
+    ev = table(spark, sf_dir, "events")
+    j = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("c"))
+                    )
+                ),
+                lambda x: x["c"],
+            ),
+            "",
+        ).alias("journey"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    return j.select(
+        "user_id",
+        "n_events",
+        F.substring("journey", 1, 20).alias("journey20"),
+        F.col("journey").rlike("s.*c.*p").cast("int").alias("has_funnel"),
+        F.instr("journey", "p").cast("bigint").alias("first_purchase_pos"),
+    )

@@ -70,6 +70,7 @@ _OPERATOR_MODULES = (
     "terasort_spark.operators.curation",
     "terasort_spark.operators.geo",
     "terasort_spark.operators.tokenizer",
+    "terasort_spark.operators.cdc",
 )
 
 _loaded = False

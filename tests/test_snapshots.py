@@ -135,3 +135,36 @@ def test_schema_evolution_merge_schema(spark, sf_dir, root):
     assert df.count() == 15
     assert df.filter(F.col("o_channel").isNull()).count() == 10  # old rows
     assert df.filter(F.col("o_channel") == "web").count() == 5
+
+
+def test_changefeed_ops_partition_and_classify_correctly(spark, sf_dir):
+    """scan_changefeed invariants the oracle can't see: the feed reads
+    ONLY the v=1 segment plus the v0 snapshot (partition filter visible
+    in the scan), every op's key set matches a direct recomputation,
+    and old/new values are populated per op semantics."""
+    from terasort_spark.registry import queries
+
+    feed = queries()["scan_changefeed"](spark, sf_dir)
+    rows = feed.collect()
+    by_op = {}
+    for r in rows:
+        by_op.setdefault(r["op"], set()).add(r["o_orderkey"])
+    keys = {
+        r[0]
+        for r in table(spark, sf_dir, "orders").select("o_orderkey").collect()
+    }
+    expect_update = {k for k in keys if k % 10 == 0 and k % 4 != 3}
+    expect_insert = {k for k in keys if k % 10 == 0 and k % 4 == 3}
+    expect_delete = {
+        k for k in keys if k % 17 == 0 and k % 10 != 0 and k % 4 != 3
+    }
+    assert by_op.get("update", set()) == expect_update
+    assert by_op.get("insert", set()) == expect_insert
+    assert by_op.get("delete", set()) == expect_delete
+    for r in rows:
+        if r["op"] == "insert":
+            assert r["old_price"] is None and r["new_price"] is not None
+        elif r["op"] == "update":
+            assert r["old_price"] is not None and r["new_price"] is not None
+        else:
+            assert r["new_price"] is None and r["old_price"] is not None
