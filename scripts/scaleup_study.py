@@ -57,6 +57,10 @@ MEASURED = {
     "sim_cosine_ivf": ("embeddings",),
     "sessionize": ("events",),
     "agg_group": ("lineitem",),
+    "text_bm25": ("documents",),
+    "text_bpe_train": ("documents",),
+    "sample_weighted": ("documents",),
+    "events_sequence_match": ("events",),
 }
 
 OFFSETS = {  # per-copy id offsets, far above any base id
