@@ -281,3 +281,76 @@ def join_asof(spark, sf_dir):
         .filter(F.col("is_p") == 1)
         .select("event_id", "user_id", "ts", "last_click_ts")
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT * FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, p.ts,
+       CASE
+         WHEN back IS NULL THEN fwd
+         WHEN fwd IS NULL THEN back
+         WHEN date_diff('second', back, p.ts)
+              <= date_diff('second', p.ts, fwd) THEN back
+         ELSE fwd
+       END AS nearest_click_ts
+FROM (
+  SELECT p.event_id, p.user_id, p.ts,
+         (SELECT max(c.ts) FROM c
+          WHERE c.user_id = p.user_id AND c.ts <= p.ts) AS back,
+         (SELECT min(c.ts) FROM c
+          WHERE c.user_id = p.user_id AND c.ts > p.ts) AS fwd
+  FROM p
+) p
+""",
+)
+def join_asof_nearest(spark, sf_dir):
+    """Nearest-neighbor as-of join: for each purchase, the click by the
+    same user CLOSEST in time in either direction (sensor/trade
+    alignment semantics; ties at equal distance break backward). Still
+    the linear union+window formulation — one shuffle on user_id, a
+    backward last() and a forward first() over the same tagged stream —
+    never a |purchases|x|clicks| range join. The oracle is an
+    INDEPENDENT formulation (correlated min/max subqueries), so the
+    window algebra is cross-checked, not mirrored."""
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts",
+        F.lit(None).cast("timestamp").alias("click_ts"),
+    )
+    tagged = clicks.withColumn("is_p", F.lit(0)).unionByName(
+        purchases.withColumn("is_p", F.lit(1))
+    )
+    order = [F.col("ts"), F.col("is_p"), F.col("event_id")]
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    back = F.last("click_ts", ignorenulls=True).over(wb)
+    fwd = F.first("click_ts", ignorenulls=True).over(wf)
+    nearest = (
+        F.when(back.isNull(), fwd)
+        .when(fwd.isNull(), back)
+        .when(
+            F.col("ts").cast("long") - back.cast("long")
+            <= fwd.cast("long") - F.col("ts").cast("long"),
+            back,
+        )
+        .otherwise(fwd)
+    )
+    return (
+        tagged.withColumn("nearest_click_ts", nearest)
+        .filter(F.col("is_p") == 1)
+        .select("event_id", "user_id", "ts", "nearest_click_ts")
+    )

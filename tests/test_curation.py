@@ -203,3 +203,35 @@ def test_sample_weighted_is_weight_proportional_and_bounded(spark, sf_dir):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_morton_code_is_bijective_and_neighbor_tight(spark):
+    """Property check on the Z-order key: the codegen bit-interleave
+    must be a bijection [0,256)x[0,256) -> [0,65536) matching the
+    reference Python interleave, so contiguous z-ranges are exactly
+    the quadrants the row-group stats test relies on."""
+    import random
+
+    from terasort_spark.operators.curation import _morton
+
+    rng = random.Random(7)
+    pts = [(rng.randrange(256), rng.randrange(256)) for _ in range(200)]
+    pts += [(0, 0), (255, 255), (255, 0), (0, 255)]
+    df = spark.createDataFrame(pts, "x int, y int")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select(
+            "x", "y", _morton(F.col("x"), F.col("y")).alias("z")
+        ).collect()
+    }
+
+    def ref(x, y):
+        z = 0
+        for i in range(8):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    for (x, y), z in got.items():
+        assert z == ref(x, y)
+    assert len(set(got.values())) == len(got)  # injective on the sample
