@@ -71,6 +71,7 @@ _OPERATOR_MODULES = (
     "terasort_spark.operators.geo",
     "terasort_spark.operators.tokenizer",
     "terasort_spark.operators.cdc",
+    "terasort_spark.operators.ml",
 )
 
 _loaded = False
