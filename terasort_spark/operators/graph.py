@@ -60,6 +60,8 @@ def graph_pagerank(spark, sf_dir):
     # distinct once instead of re-shuffling edges per round.
     nodes = edges.select("src").distinct().localCheckpoint(eager=True)
     n_nodes = nodes.count()  # scalar cardinality, not a data collect
+    if n_nodes == 0:  # empty corpus → empty graph, not a crash
+        return spark.createDataFrame([], "doc_id bigint, rank_x1000 double")
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     for _ in range(N_ITER):
         contribs = (

@@ -58,6 +58,10 @@ def sim_cosine_gemm(spark, sf_dir):
         .select("vec_id", "embedding")
         .collect()
     )  # tiny, fixed-size query set — the broadcast side
+    if not qrows:  # empty corpus → no queries, not a crash
+        return spark.createDataFrame(
+            [], "q_id bigint, c_id bigint, cosine double, rn int"
+        )
     q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     q_mat = np.array(
         [np.asarray(r["embedding"], dtype=np.float64) for r in qrows]

@@ -573,6 +573,8 @@ def emb_pca_power(spark, sf_dir):
         import pandas as pd
 
         for pdf in batches:
+            if len(pdf) == 0:  # empty Arrow batch / empty partition
+                continue
             x = np.stack(pdf["embedding"].to_numpy()).astype("float64")
             yield pd.DataFrame(
                 {
@@ -586,6 +588,8 @@ def emb_pca_power(spark, sf_dir):
     parts = e.mapInPandas(
         partials, schema="xtx array<double>, xsum array<double>, n long"
     ).collect()  # one row per Arrow batch — bounded by partitioning, not data
+    if not parts:  # empty corpus → no component, not a crash
+        return spark.createDataFrame([], "pos int, loading double")
     xtx = np.sum([np.array(r.xtx) for r in parts], axis=0)
     xsum = np.sum([np.array(r.xsum) for r in parts], axis=0)
     n = sum(r.n for r in parts)
@@ -668,6 +672,8 @@ def emb_kmeans(spark, sf_dir):
     # graph_pagerank apply to their loop state.
     e = e.localCheckpoint(eager=True)
     init = e.orderBy("vec_id").limit(K_CLUSTERS).collect()
+    if not init:  # empty corpus → no clusters, not a crash
+        return spark.createDataFrame([], "cid int, n_vecs bigint, sse double")
     centroids = [list(r["v"]) for r in init]
     for _ in range(KMEANS_ITER):
         assigned = _kmeans_assign(e, centroids)
@@ -721,6 +727,10 @@ def sim_cosine_pq(spark, sf_dir):
     # one driver job seeds everything: the PQ_K smallest-id vectors give
     # both the dimensionality and the initial codebooks (sliced locally)
     seed = e.filter(F.col("vec_id") < PQ_K).collect()
+    if not seed:  # empty corpus → no codebooks, not a crash
+        return spark.createDataFrame(
+            [], "q_id bigint, c_id bigint, cosine double, rn int"
+        )
     dim = len(seed[0]["v"])
     assert dim % PQ_SUB == 0, (
         f"embedding dim {dim} not divisible by PQ_SUB={PQ_SUB}: the "

@@ -69,6 +69,11 @@ def standardized_features(spark, sf_dir):
         )
     m = raw.agg(*aggs).first()
     n = m["n"]
+    if not n:  # empty corpus → no model, not a crash
+        empty = spark.createDataFrame(
+            [], "x0 double, x1 double, x2 double, x3 double, y double"
+        )
+        return empty, 0
     mu = {c: m[f"s_{c}"] / n for c in RAW}
     sd = {
         c: math.sqrt(max(m[f"ss_{c}"] / n - mu[c] * mu[c], 1e-12))
@@ -103,6 +108,8 @@ def ml_logreg(spark, sf_dir):
     accuracy — rows-only by declared design (iterative);
     numpy-replay-pinned in tests/test_ml.py."""
     X, n = standardized_features(spark, sf_dir)
+    if n == 0:
+        return spark.createDataFrame([], "name string, value double")
     w = [0.0] * len(FEATS)
     for _ in range(N_ITER):
         err = F.lit(1.0) / (F.lit(1.0) + F.exp(-_margin(w))) - F.col("y")

@@ -96,13 +96,11 @@ def sink_parquet(spark, sf_dir):
     partition pruning on later reads."""
     out = os.path.join(tempfile.gettempdir(), "terasort_spark_sink_parquet")
     shutil.rmtree(out, ignore_errors=True)
-    (
-        table(spark, sf_dir, "orders")
-        .write.mode("overwrite")
-        .partitionBy("o_orderstatus")
-        .parquet(out)
-    )
-    df = spark.read.parquet(out)
+    src = table(spark, sf_dir, "orders")
+    src.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    # explicit schema: the writer knows it, and an all-empty (or
+    # empty-partition) output directory then still reads back cleanly
+    df = spark.read.schema(src.schema).parquet(out)
     # partitionBy reads the partition column back as string; restore type
     # and original column order for a stable schema.
     return df.select(
@@ -129,15 +127,10 @@ def sink_partitioned_pruned(spark, sf_dir):
     sink-fidelity check too (vs sink_parquet's weaker rows-only)."""
     out = os.path.join(tempfile.gettempdir(), "terasort_spark_sink_part")
     shutil.rmtree(out, ignore_errors=True)
-    (
-        table(spark, sf_dir, "documents")
-        .select("doc_id", "lang", "n_chars")
-        .write.mode("overwrite")
-        .partitionBy("lang")
-        .parquet(out)
-    )
+    src = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    src.write.mode("overwrite").partitionBy("lang").parquet(out)
     return (
-        spark.read.parquet(out)
+        spark.read.schema(src.schema).parquet(out)
         .filter(F.col("lang") == "en")
         .select("doc_id", F.col("lang").cast("string").alias("lang"), "n_chars")
     )

@@ -347,6 +347,10 @@ def late_data(spark, sf_dir):
     maxima branch of the same query, silently misaligning the carry."""
     ev = table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
     lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).collect()[0]
+    if lo is None:  # empty stream → nothing can be late, not a crash
+        return spark.createDataFrame(
+            [], "event_id bigint, event_type string, is_late boolean"
+        )
     n_buckets = 32
     chunk = max(1, (hi - lo) // n_buckets + 1)
     parts = ev.withColumn(
