@@ -22,7 +22,8 @@ from terasort_spark.registry import register
     "udf_python",
     oracle="""
 SELECT event_id,
-       CASE WHEN value < 10 THEN 'low'
+       CASE WHEN value IS NULL THEN NULL
+            WHEN value < 10 THEN 'low'
             WHEN value < 100 THEN 'mid'
             ELSE 'high' END AS bucket
 FROM events
@@ -36,6 +37,8 @@ def udf_python(spark, sf_dir):
 
     @F.udf("string")
     def bucket(v: float) -> str:
+        if v is None:  # SQL semantics: NULL in -> NULL out
+            return None
         if v < 10:
             return "low"
         if v < 100:
@@ -111,6 +114,8 @@ def udtf_split(spark, sf_dir):
     @udtf(returnType="word: string, pos: int")
     class SplitWords:
         def eval(self, text: str):
+            if text is None:  # NULL text splits to no rows
+                return
             for i, w in enumerate(text.split(" ")):
                 yield w, i + 1
 

@@ -142,9 +142,10 @@ def win_median(spark, sf_dir):
     n = F.size(arr)
     lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
     hi = F.element_at(arr, (n / 2).cast("int") + 1)
-    return ev.select(
-        "event_id", "user_id", rnd((lo + hi) / 2.0, "roll_median")
-    )
+    # collect_list drops NULLs, so an all-NULL frame has n = 0: the
+    # median is NULL (matching median() semantics), never index 0
+    med = F.when(n > 0, (lo + hi) / 2.0)
+    return ev.select("event_id", "user_id", rnd(med, "roll_median"))
 
 
 @register(

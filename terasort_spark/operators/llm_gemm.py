@@ -52,7 +52,11 @@ def sim_cosine_gemm(spark, sf_dir):
     tolerate but the driver's exact hash would not. Kept because the
     operator's purpose is demonstrating the GEMM throughput path with
     a hard external check; a mismatch would localize instantly here."""
-    e = table(spark, sf_dir, "embeddings")
+    # a null vector has no cosine: drop before the numpy path, matching
+    # the HOF twin where null arrays yield null cosines that never rank
+    e = table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     qrows = (
         e.where(F.col("vec_id") < N_QUERIES)
         .select("vec_id", "embedding")
@@ -70,6 +74,8 @@ def sim_cosine_gemm(spark, sf_dir):
 
     def topk_per_batch(batches):
         for pdf in batches:
+            if len(pdf) == 0:  # empty Arrow batch / empty partition
+                continue
             c_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             c_mat = np.array(
                 [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]

@@ -494,6 +494,8 @@ def emb_covariance(spark, sf_dir):
         import pandas as pd
 
         for pdf in batches:
+            if len(pdf) == 0:  # empty Arrow batch / empty partition
+                continue
             x = np.stack(pdf["embedding"].to_numpy()).astype("float64")
             dim = x.shape[1]
             acc = np.zeros((dim, dim), dtype="int64")
@@ -526,7 +528,10 @@ def emb_covariance(spark, sf_dir):
         (F.sum(F.col("v").cast("decimal(25,6)")).cast("double") / F.count(F.lit(1))).alias("m")
     )
     prods = (
-        e.select("embedding")
+        # null vectors contribute no cells in the oracle's unnest — drop
+        # them before the Arrow path for the same semantics
+        e.filter(F.col("embedding").isNotNull())
+        .select("embedding")
         .mapInPandas(prod_partials, schema="i int, j int, q long, cnt long")
         .groupBy("i", "j")
         .agg(
@@ -584,7 +589,11 @@ def emb_pca_power(spark, sf_dir):
                 }
             )
 
-    e = table(spark, sf_dir, "embeddings").select("embedding")
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())  # null vectors are unscoreable
+        .select("embedding")
+    )
     parts = e.mapInPandas(
         partials, schema="xtx array<double>, xsum array<double>, n long"
     ).collect()  # one row per Arrow batch — bounded by partitioning, not data
@@ -662,8 +671,13 @@ def emb_kmeans(spark, sf_dir):
     shuffle of K x dim cells per iteration, the emb_centroid pattern.
     Only K x dim centroid doubles ever reach the driver per round;
     vectors never move. Empty clusters keep their previous centroid."""
-    e = table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())  # null vectors are unscoreable
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
     )
     # The base vectors are re-read KMEANS_ITER+2 times (init, one
     # assignment per Lloyd round, final assignment); materialize them
@@ -721,8 +735,13 @@ def sim_cosine_pq(spark, sf_dir):
     only (q_id, c_id, partial) triples with map-side combine. No
     all-pairs step anywhere. Candidate norms ride alongside the codes
     (exact), as real PQ indexes store them."""
-    e = table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())  # null vectors are unscoreable
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
     )
     # one driver job seeds everything: the PQ_K smallest-id vectors give
     # both the dimensionality and the initial codebooks (sliced locally)

@@ -69,7 +69,8 @@ _THUMB_MEAN_SQL = (
 @register(
     "multimodal_features",
     oracle=f"""
-WITH h AS (SELECT doc_id, text, sha256(text) AS hx FROM documents)
+WITH h AS (SELECT doc_id, text, sha256(text) AS hx FROM documents
+           WHERE text IS NOT NULL)
 SELECT doc_id,
        'fake/raw' AS media_type,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -91,6 +92,7 @@ def multimodal_features(spark, sf_dir):
 
     d = (
         table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())  # no payload without bytes
         .select(
             "doc_id",
             F.encode(F.col("text"), "utf-8").alias("payload"),
@@ -115,7 +117,8 @@ def _pool_sql(r: int, c: int) -> str:
 @register(
     "multimodal_resize",
     oracle=f"""
-WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents)
+WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents
+           WHERE text IS NOT NULL)
 SELECT doc_id,
        {_pool_sql(0, 0)} AS p00,
        {_pool_sql(0, 1)} AS p01,
@@ -133,10 +136,14 @@ def multimodal_resize(spark, sf_dir):
     codec stays behind the same stub boundary as multimodal_features."""
     from terasort_spark.sources.media import resize_batched_arrow
 
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.encode(F.col("text"), "utf-8").alias("payload"),
-        F.lit("fake/raw").alias("media_type"),
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())  # no payload without bytes
+        .select(
+            "doc_id",
+            F.encode(F.col("text"), "utf-8").alias("payload"),
+            F.lit("fake/raw").alias("media_type"),
+        )
     )
     return d.mapInArrow(
         resize_batched_arrow,
@@ -153,7 +160,7 @@ def multimodal_resize(spark, sf_dir):
 WITH f AS (
     SELECT doc_id, text,
            greatest(1, octet_length(encode(text)) // 64) AS nf
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
 )
 SELECT doc_id,
        CAST(i AS INT) AS frame_idx,
@@ -195,8 +202,10 @@ def multimodal_framesample(spark, sf_dir):
                 }
             )
 
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())  # no payload without bytes
+        .select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
     )
     return d.mapInPandas(
         sample_frames,

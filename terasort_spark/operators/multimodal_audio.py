@@ -128,6 +128,7 @@ WITH chars AS (
          (ascii(substr(text, CAST(i AS INT), 1)) - 128.0) / 128.0 AS s,
          CAST(len(text) // {WINDOW} AS BIGINT) AS n_win
   FROM documents, unnest(range(1, len(text) + 1)) AS t(i)
+  WHERE text IS NOT NULL
 ),
 samples AS (
   SELECT doc_id,
@@ -158,10 +159,14 @@ def multimodal_audio(spark, sf_dir):
     (x1e6, integer — float-sum order never observable) and
     zero-crossing count. The downstream consumer drops silent/noisy
     windows exactly like a VAD filter would."""
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.encode(F.col("text"), "utf-8").alias("payload"),
-        F.lit("fake/pcm").alias("media_type"),
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())  # no payload without bytes
+        .select(
+            "doc_id",
+            F.encode(F.col("text"), "utf-8").alias("payload"),
+            F.lit("fake/pcm").alias("media_type"),
+        )
     )
     return d.mapInPandas(
         audio_features_batched,
