@@ -560,7 +560,12 @@ def source_csv_permissive(spark, sf_dir):
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .csv(out)
-        .cache()  # SPARK-21610: corrupt-record col needs materialized scan
+        # SPARK-21610: the corrupt-record column needs a materialized
+        # scan. localCheckpoint, NOT cache(): cache is keyed on the
+        # logical plan, so a rerun against the same tmp path with
+        # different file contents (another sf_dir) would silently reuse
+        # the stale cached relation.
+        .localCheckpoint(eager=True)
     )
     return df.agg(
         F.count(F.lit(1)).alias("n_rows"),
