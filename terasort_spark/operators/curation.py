@@ -517,3 +517,83 @@ def scan_zorder(spark, sf_dir):
     return back.filter(
         F.col("x").between(16, 23) & F.col("y").between(96, 103)
     ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+CONTAIN_TAU = 0.6
+CONTAIN_BOUND = 200
+
+
+@register(
+    "sim_containment",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t
+  FROM documents
+  WHERE doc_id < {CONTAIN_BOUND} AND text IS NOT NULL AND length(text) > 0
+),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM toks, unnest(range(1, len(t) - 1)) AS r(i)
+  WHERE len(t) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS k
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT a_id, b_id,
+       floor(CAST(k AS DOUBLE) / na.n * 10000 + 0.5) / 10000 AS containment
+FROM shared JOIN sizes na ON na.doc_id = a_id
+WHERE CAST(k AS DOUBLE) / na.n >= {CONTAIN_TAU}
+""",
+)
+def sim_containment(spark, sf_dir):
+    """Asymmetric containment C(a→b) = |S(a) ∩ S(b)| / |S(a)| over
+    distinct 3-token shingles — the quote/excerpt detector Jaccard
+    misses: a short doc fully quoted inside a long one has high
+    containment but low Jaccard (the union is dominated by the long
+    doc). Pairs form ONLY through shared shingles (equi-join on the
+    shingle — the inverted-index pattern, never a doc×doc product);
+    shingling itself is a zero-shuffle array transform. The threshold
+    compares exact integer ratios, so pair membership is
+    engine-invariant. Demonstrated on a bounded slice like
+    sim_tfidf_cosine; the unbounded scale path hashes shingles and caps
+    hot buckets exactly as dedup_minhash does."""
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+        & (F.length("text") > 0)
+        & (F.col("doc_id") < CONTAIN_BOUND)
+    )
+    toks = d.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("t")
+    ).filter(F.size("t") >= 3)
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 3),"
+                " i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+            )
+        ).alias("s"),
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    na = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
+    c = F.col("k").cast("double") / F.col("na")
+    return (
+        shared.join(F.broadcast(na), "a_id")
+        .filter(c >= CONTAIN_TAU)
+        .select("a_id", "b_id", rnd(c, "containment"))
+    )
