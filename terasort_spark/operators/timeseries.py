@@ -101,3 +101,96 @@ def ts_rollup(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         rnd(F.sum(F.col("value").cast(DEC)).cast("double"), "sum_value"),
     )
+
+
+# Holt's linear-trend smoothing, fixed 8-step horizon. The recursion is
+# UNROLLED into straight-line arithmetic on both engines, so the oracle
+# is exact: identical IEEE ops in identical order, no iteration
+# machinery anywhere. Smoothing constants are binary-exact.
+HOLT_ALPHA = 0.5
+HOLT_BETA = 0.25
+HOLT_STEPS = 8
+
+
+def _holt_oracle() -> str:
+    a, b = HOLT_ALPHA, HOLT_BETA
+    xs = ",\n         ".join(
+        f"max(CASE WHEN i = {k} THEN value END) AS x{k}"
+        for k in range(1, HOLT_STEPS + 1)
+    )
+    lines = ["l1 AS (SELECT *, x1 AS l_1, x2 - x1 AS b_1 FROM first8)"]
+    for k in range(2, HOLT_STEPS + 1):
+        lines.append(
+            f"l{k} AS (SELECT *, {a} * x{k} + {1 - a} * (l_{k - 1} + b_{k - 1})"
+            f" AS l_{k}, {b} * (({a} * x{k} + {1 - a} * (l_{k - 1} + b_{k - 1}))"
+            f" - l_{k - 1}) + {1 - b} * b_{k - 1} AS b_{k} FROM l{k - 1})"
+        )
+    n = HOLT_STEPS
+    chain = ",\n".join(lines)
+    return f"""
+WITH seq AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS i
+  FROM events
+),
+first8 AS (
+  SELECT user_id,
+         {xs}
+  FROM seq WHERE i <= {n}
+  GROUP BY user_id
+  HAVING count(*) >= {n}
+),
+{chain}
+SELECT user_id,
+       {o_rnd(f'l_{n}', 'level')},
+       {o_rnd(f'b_{n}', 'trend')},
+       {o_rnd(f'l_{n} + 1 * b_{n}', 'fc_1')},
+       {o_rnd(f'l_{n} + 2 * b_{n}', 'fc_2')},
+       {o_rnd(f'l_{n} + 3 * b_{n}', 'fc_3')}
+FROM l{n}
+"""
+
+
+@register("ts_holt_forecast", oracle=_holt_oracle())
+def ts_holt_forecast(spark, sf_dir):
+    """Holt double-exponential (level + trend) smoothing over each
+    user's first 8 events, forecasting 1-3 steps ahead — the
+    trend-aware upgrade of ts_ewma's flat smoothing, i.e. the shape of
+    capacity forecasting / anomaly baselines over entity time series.
+
+    Scale design: ONE shuffle on user_id pivots the bounded first-8
+    window into columns (conditional aggregates, map-side combined);
+    the coupled recursion l_k = αx_k + (1-α)(l+b), b_k = β(l_k-l) +
+    (1-β)b then UNROLLS into straight-line whole-stage-codegen
+    arithmetic — no loop, no UDF, no driver state, and the oracle runs
+    the literally identical expression DAG, so results are exact. Per-
+    key state is a constant 8 columns regardless of history length
+    (the smoothing horizon is the operator's parameter, as in any
+    streaming EWMA/Holt implementation)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("i", F.row_number().over(w)).filter(
+        F.col("i") <= HOLT_STEPS
+    )
+    first8 = seq.groupBy("user_id").agg(
+        *[
+            F.max(F.when(F.col("i") == k, F.col("value"))).alias(f"x{k}")
+            for k in range(1, HOLT_STEPS + 1)
+        ],
+        F.count(F.lit(1)).alias("n_pts"),
+    ).filter(F.col("n_pts") >= HOLT_STEPS)
+    a, bta = HOLT_ALPHA, HOLT_BETA
+    l, b = F.col("x1"), F.col("x2") - F.col("x1")
+    for k in range(2, HOLT_STEPS + 1):
+        l_new = a * F.col(f"x{k}") + (1 - a) * (l + b)
+        b = bta * (l_new - l) + (1 - bta) * b
+        l = l_new
+    return first8.select(
+        "user_id",
+        rnd(l, "level"),
+        rnd(b, "trend"),
+        rnd(l + 1 * b, "fc_1"),
+        rnd(l + 2 * b, "fc_2"),
+        rnd(l + 3 * b, "fc_3"),
+    )
