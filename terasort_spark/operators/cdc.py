@@ -111,3 +111,106 @@ def scan_changefeed(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "ivm_incremental_agg",
+    # the oracle recomputes the v1 state FROM SCRATCH; the operator must
+    # reach the same numbers by applying only the delta to the v0 aggregate
+    oracle="""
+WITH v1 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 1.1
+              ELSE o_totalprice END AS price
+  FROM orders
+  WHERE (o_orderkey % 4 <> 3 OR o_orderkey % 10 = 0)
+    AND NOT (o_orderkey % 17 = 0 AND o_orderkey % 10 <> 0)
+)
+SELECT o_orderkey % 100 AS grp,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(price AS DECIMAL(25,6))) AS DOUBLE) AS sum_price
+FROM v1
+GROUP BY o_orderkey % 100
+""",
+)
+def ivm_incremental_agg(spark, sf_dir):
+    """Incremental view maintenance: a grouped aggregate (count +
+    DECIMAL-exact sum per key bucket) kept current by applying the CDC
+    change feed as signed deltas — insert → (+1, +new), update →
+    (0, new−old), delete → (−1, −old) — to the previous materialized
+    aggregate. The v1 base table is NEVER rescanned: inputs are the v0
+    aggregate (materialized-view-sized) and the delta (change-sized),
+    merged with one union + groupBy. This is how a 100 TB continuous
+    aggregate stays fresh at per-batch cost O(changes), not O(table);
+    the oracle recomputes v1 from scratch, so the delta algebra is
+    hash-checked against ground truth, exactly to the cent (DECIMAL
+    deltas — float deltas would drift after enough batches)."""
+    root = os.path.join(tempfile.gettempdir(), "terasort_spark_cdc_ivm")
+    shutil.rmtree(root, ignore_errors=True)
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    base = o.filter(F.col("o_orderkey") % 4 != 3)
+    write_version(base, root, 0)
+    ups = o.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 1.1
+    )
+    dels = (
+        o.filter(
+            (F.col("o_orderkey") % 17 == 0) & (F.col("o_orderkey") % 10 != 0)
+        )
+        .select("o_orderkey")
+        .withColumn("o_totalprice", F.lit(None).cast("double"))
+        .withColumn("_deleted", F.lit(True))
+    )
+    write_version(
+        ups.withColumn("_deleted", F.lit(False)).unionByName(dels), root, 1
+    )
+
+    grp = (F.col("o_orderkey") % 100).alias("grp")
+    dec = "decimal(25,6)"
+    # the materialized v0 aggregate (in production this is a stored table)
+    agg0 = (
+        spark.read.parquet(os.path.join(root, "_v=0"))
+        .groupBy(grp)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("dn"),
+            F.sum(F.col("o_totalprice").cast(dec)).alias("ds"),
+        )
+    )
+    # the signed delta stream, derived from the v=1 segment + v0 snapshot
+    seg1 = spark.read.parquet(os.path.join(root, "_v=1"))
+    prev = read_snapshot(spark, root, ["o_orderkey"], version=0).select(
+        "o_orderkey", F.col("o_totalprice").alias("old_price")
+    )
+    feed = seg1.join(prev, "o_orderkey", "left").filter(
+        ~(F.col("_deleted") & F.col("old_price").isNull())
+    )
+    dn = (
+        F.when(F.col("_deleted"), -1)
+        .when(F.col("old_price").isNull(), 1)
+        .otherwise(0)
+        .cast("bigint")
+    )
+    ds = (
+        F.when(F.col("_deleted"), -F.col("old_price").cast(dec))
+        .when(
+            F.col("old_price").isNull(), F.col("o_totalprice").cast(dec)
+        )
+        .otherwise(
+            F.col("o_totalprice").cast(dec) - F.col("old_price").cast(dec)
+        )
+    )
+    deltas = feed.groupBy(grp).agg(
+        F.sum(dn).alias("dn"), F.sum(ds).alias("ds")
+    )
+    # merge: one union + groupBy over view-sized inputs
+    merged = (
+        agg0.unionByName(deltas)
+        .groupBy("grp")
+        .agg(F.sum("dn").alias("n_orders"), F.sum("ds").alias("s"))
+        .filter(F.col("n_orders") > 0)
+    )
+    return merged.select(
+        "grp",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.col("s").cast("double").alias("sum_price"),
+    )
