@@ -181,12 +181,30 @@ def ts_holt_forecast(spark, sf_dir):
         F.count(F.lit(1)).alias("n_pts"),
     ).filter(F.col("n_pts") >= HOLT_STEPS)
     a, bta = HOLT_ALPHA, HOLT_BETA
-    l, b = F.col("x1"), F.col("x2") - F.col("x1")
+    # Each step's l_k/b_k is materialized as a NAMED column in its own
+    # projection. Inlining them as expression objects instead would
+    # duplicate every prior step's subtree (each step references the
+    # previous level twice and trend twice → ~3^k node blow-up, seconds
+    # of analysis/codegen); multiply-referenced aliases also stop
+    # Catalyst's CollapseProject from re-inlining, so the staged plan
+    # stays linear in the horizon.
+    cur = first8.select(
+        "*",
+        F.col("x1").alias("l_1"),
+        (F.col("x2") - F.col("x1")).alias("b_1"),
+    )
     for k in range(2, HOLT_STEPS + 1):
-        l_new = a * F.col(f"x{k}") + (1 - a) * (l + b)
-        b = bta * (l_new - l) + (1 - bta) * b
-        l = l_new
-    return first8.select(
+        lp, bp = F.col(f"l_{k - 1}"), F.col(f"b_{k - 1}")
+        cur = cur.select(
+            "*",
+            (a * F.col(f"x{k}") + (1 - a) * (lp + bp)).alias(f"l_{k}"),
+        )
+        cur = cur.select(
+            "*",
+            (bta * (F.col(f"l_{k}") - lp) + (1 - bta) * bp).alias(f"b_{k}"),
+        )
+    l, b = F.col(f"l_{HOLT_STEPS}"), F.col(f"b_{HOLT_STEPS}")
+    return cur.select(
         "user_id",
         rnd(l, "level"),
         rnd(b, "trend"),

@@ -185,3 +185,35 @@ def win_firstlast(spark, sf_dir):
         rnd(F.last("c_acctbal").over(w), "bottom_bal"),
         rnd(F.nth_value("c_acctbal", 2).over(w), "second_bal"),
     )
+
+
+@register(
+    "win_pctrank",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       floor(percent_rank() OVER w * 10000 + 0.5) / 10000 AS pct_rank,
+       floor(cume_dist() OVER w * 10000 + 0.5) / 10000 AS cume
+FROM lineitem
+WHERE l_suppkey < 20
+WINDOW w AS (PARTITION BY l_suppkey
+             ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+""",
+)
+def win_pctrank(spark, sf_dir):
+    """Relative-position window functions: percent_rank (rank-1)/(n-1)
+    and cume_dist (rows ≤ current)/n per supplier ordered by price —
+    the normalized-score shape behind percentile features and outlier
+    flags. Deterministic: the order key is made unique with the
+    (orderkey, linenumber) tie-break, so both engines assign identical
+    ranks. Partitioned by a real key — bounded state per task, no
+    global window."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") < 20)
+    w = Window.partitionBy("l_suppkey").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        rnd(F.percent_rank().over(w), "pct_rank"),
+        rnd(F.cume_dist().over(w), "cume"),
+    )
