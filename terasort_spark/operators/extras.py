@@ -614,3 +614,40 @@ def sample_pergroup(spark, sf_dir):
         .filter(F.col("rn") <= 50)
         .select("lang", "doc_id", "h", "rn")
     )
+
+
+@register(
+    "source_corrupt_parquet",
+    # deterministic: the valid file's rows all survive, the corrupt
+    # file contributes nothing and fails nothing
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(n_nationkey AS BIGINT)) AS BIGINT) AS key_sum
+FROM nation
+""",
+)
+def source_corrupt_parquet(spark, sf_dir):
+    """Corrupt-file tolerance: a directory holding one valid parquet
+    file and one truncated/garbage file must still scan — with
+    `ignoreCorruptFiles`, the reader drops unreadable files (logged)
+    instead of failing the job. At 100 TB a few bad objects per million
+    are routine (partial uploads, bitrot, killed writers); a pipeline
+    that dies on the first one never finishes. The flag is scoped to
+    this read via the DataFrameReader option, not set session-wide —
+    silently dropping files is a per-source decision, not a default."""
+    out = _roundtrip_dir("parquet_corrupt")
+    shutil.rmtree(out, ignore_errors=True)
+    n = table(spark, sf_dir, "nation")
+    n.coalesce(1).write.mode("overwrite").parquet(out)
+    # a garbage file with the right extension: magic bytes absent
+    with open(os.path.join(out, "part-corrupt.parquet"), "wb") as f:
+        f.write(b"\x00NOT A PARQUET FILE" * 64)
+    df = (
+        spark.read.option("ignoreCorruptFiles", "true")
+        .schema(n.schema)
+        .parquet(out)
+    )
+    return df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("n_nationkey").cast("bigint")).cast("bigint").alias("key_sum"),
+    )
