@@ -1,6 +1,7 @@
 """Corpus-curation operators: BM25 retrieval scoring, inverted-index
-tf-idf cosine, incremental cross-corpus dedup, deterministic dataset
-splitting, and Z-order multi-dimensional data skipping.
+tf-idf cosine, asymmetric shingle containment, incremental cross-corpus
+dedup, deterministic dataset splitting, weighted sampling without
+replacement, and Z-order multi-dimensional data skipping.
 
 These are the shapes a 100 TB pretraining-corpus pipeline runs between
 raw crawl and tokenizer: score documents against a query (retrieval /
