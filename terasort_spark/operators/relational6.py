@@ -352,3 +352,82 @@ def profile_table(spark, sf_dir):
     return base.join(F.broadcast(nd), "col_name").select(
         "col_name", "n_nulls", "n_distinct", "min_s", "max_s"
     )
+
+
+@register(
+    "dq_expectations",
+    oracle="""
+SELECT 'orderkey_unique' AS check_name,
+       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_violations
+FROM orders
+UNION ALL
+SELECT 'custkey_not_null',
+       CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'custkey_fk_valid', CAST(count(*) AS BIGINT)
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_custkey IS NULL
+UNION ALL
+SELECT 'totalprice_positive',
+       CAST(count(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'orderdate_in_range',
+       CAST(count(*) FILTER (
+           WHERE o_orderdate < TIMESTAMP '1992-01-01'
+              OR o_orderdate >= TIMESTAMP '1999-01-01') AS BIGINT)
+FROM orders
+""",
+)
+def dq_expectations(spark, sf_dir):
+    """Data-quality expectations (the Deequ / dbt-tests shape): declared
+    constraints validated in bulk, one row per check with its violation
+    count — uniqueness of the key, non-null and referentially valid
+    foreign key, value range, date window. The gate every ingest runs
+    before data is admitted downstream.
+
+    Scale design: the four column checks share ONE scan (conditional
+    aggregates, map-side combined — adding a check adds a column, not a
+    pass); the referential check is a single anti-join against the
+    dimension's key column (broadcast when dimension-sized; the scan
+    prunes to the key via ReadSchema). Violation counts rather than
+    booleans so triage starts from the same query that gated."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    scan = o.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("bigint")
+        .alias("orderkey_unique"),
+        F.sum(F.col("o_custkey").isNull().cast("bigint"))
+        .cast("bigint")
+        .alias("custkey_not_null"),
+        F.sum((F.col("o_totalprice") <= 0).cast("bigint"))
+        .cast("bigint")
+        .alias("totalprice_positive"),
+        F.sum(
+            (
+                (F.col("o_orderdate") < F.lit("1992-01-01").cast("timestamp"))
+                | (F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("orderdate_in_range"),
+    )
+    fk = (
+        o.select("o_custkey")
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custkey_fk_valid"))
+    )
+    wide = scan.crossJoin(F.broadcast(fk))
+    names = (
+        "orderkey_unique",
+        "custkey_not_null",
+        "custkey_fk_valid",
+        "totalprice_positive",
+        "orderdate_in_range",
+    )
+    stack = ", ".join(f"'{n}', {n}" for n in names)
+    return wide.selectExpr(
+        f"stack({len(names)}, {stack}) AS (check_name, n_violations)"
+    )
