@@ -388,3 +388,50 @@ def late_data(spark, sf_dir):
             .alias("is_late"),
         )
     )
+
+
+@register(
+    "stream_topk",
+    oracle="""
+SELECT window_start, user_id, n_events, rn
+FROM (
+  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+         user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(row_number() OVER (
+             PARTITION BY time_bucket(INTERVAL 1 HOUR, ts)
+             ORDER BY count(*) DESC, user_id) AS INTEGER) AS rn
+  FROM events
+  GROUP BY 1, 2
+)
+WHERE rn <= 3
+""",
+)
+def stream_topk(spark, sf_dir):
+    """Windowed leaderboard: top-3 most active users per tumbling hour —
+    the canonical streaming top-k. The batch twin here is ALSO the
+    production serving recipe: Structured Streaming maintains only the
+    per-(window, user) counts (mergeable state, bounded by active keys
+    per window), and the rank runs OVER THE AGGREGATED SINK — ranking
+    inside the stream is unsupported and unnecessary, since the sink is
+    windows×users-sized, not event-sized. The replay test
+    (tests/test_streaming.py::test_stream_topk_equals_batch) proves the
+    streamed counts + batch rank reproduce this query exactly. The rank
+    window partitions by window_start — bounded state per task."""
+    ev = table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "user_id"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    rank_w = Window.partitionBy("w").orderBy(
+        F.desc("n_events"), F.asc("user_id")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(rank_w).cast("integer"))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("w.start").alias("window_start"),
+            "user_id",
+            "n_events",
+            "rn",
+        )
+    )

@@ -468,3 +468,31 @@ def test_transform_with_state_running_sum(spark, sf_dir, replay_dir):
         .collect()
     )
     assert sorted(map(tuple, final)) == sorted(map(tuple, want))
+
+
+def test_stream_topk_equals_batch(spark, sf_dir, replay_dir):
+    """Leaderboard pattern: the STREAM maintains only per-(window, user)
+    counts; the rank runs over the aggregated sink (windows x users
+    rows, not events). Streamed counts + batch rank must equal the
+    declared batch twin exactly."""
+    from pyspark.sql import Window
+
+    stagers = stage_chunks(spark, sf_dir, replay_dir, n_chunks=3)
+    counts = (
+        read_stream(spark, replay_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+    sink = run_to_memory(counts, "topk_sink", "complete", stagers, spark)
+    rank_w = Window.partitionBy("w").orderBy(
+        F.desc("n_events"), F.asc("user_id")
+    )
+    got = (
+        sink.withColumn("rn", F.row_number().over(rank_w).cast("integer"))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("w.start").alias("window_start"), "user_id", "n_events", "rn"
+        )
+    )
+    want = queries()["stream_topk"](spark, sf_dir)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
