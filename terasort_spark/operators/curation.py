@@ -159,9 +159,17 @@ def text_bm25(spark, sf_dir):
         sum(
             (c_q6(i) for i in range(1, len(BM25_TERMS))), c_q6(0)
         ).alias("s_q6"),
+        # Membership mirrors the oracle's contrib CTE: a doc qualifies
+        # by MATCHING a term, not by scoring > 0 — when fewer than 10
+        # docs score positive the oracle's top-10 legitimately includes
+        # zero-score matching docs (ordered by doc_id).
+        sum(
+            (F.col(f"tf_{i}") for i in range(1, len(BM25_TERMS))),
+            F.col("tf_0"),
+        ).alias("n_matched"),
     )
     return (
-        scored.filter(F.col("s_q6") > 0)
+        scored.filter(F.col("n_matched") > 0)
         .orderBy(F.desc("s_q6"), "doc_id")
         .limit(10)
         .select(

@@ -349,8 +349,15 @@ def profile_table(spark, sf_dir):
         .groupBy("col_name")
         .agg(F.count(F.lit(1)).alias("n_distinct"))
     )
-    return base.join(F.broadcast(nd), "col_name").select(
-        "col_name", "n_nulls", "n_distinct", "min_s", "max_s"
+    # Left join + coalesce: an all-NULL (or empty-table) column has no
+    # nd row, but its profile row must still appear with n_distinct=0 —
+    # dropping exactly the pathological columns would defeat the profiler.
+    return base.join(F.broadcast(nd), "col_name", "left").select(
+        "col_name",
+        "n_nulls",
+        F.coalesce(F.col("n_distinct"), F.lit(0)).alias("n_distinct"),
+        "min_s",
+        "max_s",
     )
 
 
@@ -395,21 +402,30 @@ def dq_expectations(spark, sf_dir):
     booleans so triage starts from the same query that gated."""
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer").select("c_custkey")
+    # Each SUM is coalesced to 0: on an empty table SUM is NULL while
+    # the oracle's count(*) FILTER is 0, and a NULL violation count
+    # would violate the repo's empty-input-safety principle.
     scan = o.agg(
         (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
         .cast("bigint")
         .alias("orderkey_unique"),
-        F.sum(F.col("o_custkey").isNull().cast("bigint"))
+        F.coalesce(F.sum(F.col("o_custkey").isNull().cast("bigint")), F.lit(0))
         .cast("bigint")
         .alias("custkey_not_null"),
-        F.sum((F.col("o_totalprice") <= 0).cast("bigint"))
+        F.coalesce(F.sum((F.col("o_totalprice") <= 0).cast("bigint")), F.lit(0))
         .cast("bigint")
         .alias("totalprice_positive"),
-        F.sum(
-            (
-                (F.col("o_orderdate") < F.lit("1992-01-01").cast("timestamp"))
-                | (F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
-            ).cast("bigint")
+        F.coalesce(
+            F.sum(
+                (
+                    (F.col("o_orderdate") < F.lit("1992-01-01").cast("timestamp"))
+                    | (
+                        F.col("o_orderdate")
+                        >= F.lit("1999-01-01").cast("timestamp")
+                    )
+                ).cast("bigint")
+            ),
+            F.lit(0),
         )
         .cast("bigint")
         .alias("orderdate_in_range"),

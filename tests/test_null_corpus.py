@@ -47,15 +47,11 @@ def null_sf(spark, sf_dir):
             if c.name in KEYS:
                 cols.append(F.col(c.name))
             else:
-                coin = (
-                    F.abs(
-                        F.hash(
-                            F.lit(c.name),
-                            *(map(F.col, keys) or [F.col(c.name)]),
-                        )
-                    )
-                    % 10
-                )
+                # Materialize the list before the `or`: a map object is
+                # always truthy, so the keyless-table fallback would
+                # otherwise be dead code and the coin constant per column.
+                key_cols = [F.col(k) for k in keys] or [F.col(c.name)]
+                coin = F.abs(F.hash(F.lit(c.name), *key_cols)) % 10
                 cols.append(
                     F.when(coin == 0, F.lit(None).cast(c.dataType))
                     .otherwise(F.col(c.name))

@@ -65,7 +65,16 @@ def test_encode_matches_full_document_replay(spark, sf_dir):
     """Distributed encode (broadcast word→n_sub join) must equal a
     per-document pure-Python replay that re-encodes every word."""
     words = _corpus_words(spark, sf_dir)
-    merges = train_bpe(sorted(words.items(), key=lambda kv: (-kv[1], kv[0])))
+    # Truncate the replay histogram exactly like _word_counts does
+    # (sort by (-count, word), keep VOCAB_CAP): text_bpe_encode trains
+    # on the capped vocab and gives out-of-vocab words the merge-free
+    # char fallback, so the replay must do the same or it breaks
+    # spuriously once corpus vocab exceeds the cap at larger SFs.
+    from terasort_spark.operators.tokenizer import VOCAB_CAP
+
+    capped = sorted(words.items(), key=lambda kv: (-kv[1], kv[0]))[:VOCAB_CAP]
+    vocab = {w for w, _n in capped}
+    merges = train_bpe(capped)
     got = {
         r["doc_id"]: (r["n_words"], r["n_subtokens"])
         for r in _Q["text_bpe_encode"](spark, sf_dir).collect()
@@ -85,7 +94,13 @@ def test_encode_matches_full_document_replay(spark, sf_dir):
         ws = [w for w in r["text"].lower().split(" ") if w]
         if not ws:
             continue
-        expect = (len(ws), sum(len(encode_word(w, merges)) for w in ws))
+        expect = (
+            len(ws),
+            sum(
+                len(encode_word(w, merges)) if w in vocab else len(w) + 1
+                for w in ws
+            ),
+        )
         assert got[r["doc_id"]] == expect
 
 
