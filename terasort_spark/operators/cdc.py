@@ -214,3 +214,77 @@ def ivm_incremental_agg(spark, sf_dir):
         F.col("n_orders").cast("bigint").alias("n_orders"),
         F.col("s").cast("double").alias("sum_price"),
     )
+
+
+@register(
+    "sink_merge",
+    # the oracle recomputes the post-merge table state relationally;
+    # the operator must reach it THROUGH the sink — versioned write,
+    # key-replace merge, physical parquet materialization, re-read
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 4 <> 3
+),
+ups AS (
+  SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice FROM orders
+  WHERE o_orderkey % 10 = 0
+),
+dels AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderkey % 17 = 0 AND o_orderkey % 10 <> 0
+),
+merged AS (
+  SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+         coalesce(u.o_totalprice, b.o_totalprice) AS price_raw
+  FROM base b FULL JOIN ups u ON b.o_orderkey = u.o_orderkey
+)
+SELECT o_orderkey, floor(price_raw * 10000 + 0.5) / 10000 AS price
+FROM merged
+WHERE o_orderkey NOT IN (SELECT o_orderkey FROM dels)
+""",
+)
+def sink_merge(spark, sf_dir):
+    """MERGE INTO as a SINK, re-read-verified: build the versioned
+    table (base + one delta of upserts and tombstones), resolve it with
+    the key-replace merge (one window shuffle on the table key), write
+    the merged state to a physical parquet table, write it AGAIN
+    (simulating a redelivered micro-batch — the key-replace merge is a
+    pure function of its inputs, so redelivery is a no-op), then RE-READ
+    the sink and return that. The oracle recomputes the final state
+    relationally, so the hash match verifies what actually landed on
+    disk — the batch twin of the foreachBatch MERGE sink exercised in
+    tests/test_streaming.py.
+
+    Scale: the merge is one shuffle on the key (delta segments are
+    hive-pruned); the sink write is partition-parallel; at cluster scale
+    the final overwrite becomes MERGE INTO a transactional table but the
+    replace-by-key idempotence argument is identical."""
+    root = os.path.join(tempfile.gettempdir(), "terasort_spark_sink_merge")
+    out = os.path.join(tempfile.gettempdir(), "terasort_spark_sink_merge_out")
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    base = o.filter(F.col("o_orderkey") % 4 != 3)
+    write_version(base, root, 0)
+    ups = o.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 1.1
+    )
+    dels = (
+        o.filter(
+            (F.col("o_orderkey") % 17 == 0) & (F.col("o_orderkey") % 10 != 0)
+        )
+        .select("o_orderkey")
+        .withColumn("o_totalprice", F.lit(None).cast("double"))
+        .withColumn("_deleted", F.lit(True))
+    )
+    write_version(
+        ups.withColumn("_deleted", F.lit(False)).unionByName(dels), root, 1
+    )
+
+    merged = read_snapshot(spark, root, ["o_orderkey"])
+    merged.write.mode("overwrite").parquet(out)
+    # redelivery: the same batch applied twice must leave the sink in
+    # the same state (key-replace merge idempotence, re-read-checked)
+    merged.write.mode("overwrite").parquet(out)
+    sunk = spark.read.schema("o_orderkey bigint, o_totalprice double").parquet(out)
+    return sunk.select("o_orderkey", rnd(F.col("o_totalprice"), "price"))
