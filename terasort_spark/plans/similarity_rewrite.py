@@ -1,0 +1,174 @@
+"""Rule-style rewrite: exact-similarity self-joins → candidate equi-joins
+(the SURVEY §4.2 stretch item).
+
+Catalyst has no rule for similarity self-joins, so the naive logical
+form — ``t a JOIN t b ON a.id < b.id WHERE jaccard(a, b) >= τ`` — plans
+as an O(n²) BroadcastNestedLoopJoin. This module is the plan-builder
+equivalent of a ``Rule[LogicalPlan]``: callers declare the LOGICAL form
+(a tokenized relation + a Jaccard threshold) and ``similarity_self_join``
+selects the physical strategy from the input size, exactly the way
+Catalyst's join selection picks broadcast vs sort-merge from estimates:
+
+  |input| <= SIM_JOIN_EXACT_MAX  →  all-pairs theta join (fine below the
+                                    threshold: no shuffle, one task)
+  |input| >  SIM_JOIN_EXACT_MAX  →  AllPairs/PPJoin prefix-filter
+                                    candidate EQUI-join + exact verify
+
+Crucially the rewrite is SEMANTICS-PRESERVING, not approximate: prefix
+filtering has recall exactly 1 (if J(a,b) >= τ, the rarest
+|s| - ceil(τ|s|) + 1 tokens of each side must intersect), so both
+strategies return identical (a_id, b_id, jaccard) rows and one oracle
+grades either plan. The O(n²) form provably never executes above the
+threshold (tests/test_plans.py asserts no BroadcastNestedLoopJoin /
+CartesianProduct in the physical plan), which is the property that
+matters at 100 TB — the probabilistic path for when even the candidate
+join is too hot (banded MinHash-LSH with per-doc caps) stays a separate
+declared operator (llm_dedup.dedup_minhash) because it trades recall.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from terasort_spark.catalog import table
+from terasort_spark.operators._util import o_rnd, rnd
+from terasort_spark.registry import register
+
+# Above this row count the all-pairs theta join is forbidden; chosen so
+# the declared query (500 docs) exercises the rewritten path while unit
+# corpora (tens of rows) exercise the exact path.
+SIM_JOIN_EXACT_MAX = 256
+
+TAU = Fraction(9, 10)
+
+
+def _jaccard(a_toks, b_toks):
+    return F.size(F.array_intersect(a_toks, b_toks)).cast("double") / F.size(
+        F.array_union(a_toks, b_toks)
+    )
+
+
+def _verify(cand: DataFrame, docs: DataFrame, tau: Fraction) -> DataFrame:
+    """Exact Jaccard over candidate (a_id, b_id) pairs — shared by both
+    physical strategies so their outputs are bit-identical."""
+    t_a = docs.select(F.col("doc_id").alias("a_id"), F.col("toks").alias("a_toks"))
+    t_b = docs.select(F.col("doc_id").alias("b_id"), F.col("toks").alias("b_toks"))
+    return (
+        cand.join(t_a, "a_id")
+        .join(t_b, "b_id")
+        .withColumn("jaccard", rnd(_jaccard("a_toks", "b_toks")))
+        .filter(F.col("jaccard") >= float(tau))
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+def _plan_exact(docs: DataFrame, tau: Fraction) -> DataFrame:
+    """The logical form executed literally: all-pairs theta join."""
+    cand = (
+        docs.select(F.col("doc_id").alias("a_id"))
+        .join(
+            docs.select(F.col("doc_id").alias("b_id")),
+            F.col("a_id") < F.col("b_id"),
+        )
+    )
+    return _verify(cand, docs, tau)
+
+
+def _plan_prefix_filter(docs: DataFrame, tau: Fraction) -> DataFrame:
+    """AllPairs/PPJoin prefix filtering: rank each doc's tokens by
+    ascending document frequency; qualifying pairs must share a token in
+    the first n - ceil(τn) + 1 (rarest) positions, so candidate
+    generation is an equi-join on prefix tokens. ceil(τn) is exact
+    integer arithmetic on τ's numerator/denominator — float τ·n would
+    round the wrong way on exact multiples and drop qualifying pairs."""
+    num, den = tau.numerator, tau.denominator
+    tok = docs.select("doc_id", F.explode("toks").alias("token"))
+    df_counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w_rank = Window.partitionBy("doc_id").orderBy("df", "token")
+    w_doc = Window.partitionBy("doc_id")
+    ranked = (
+        tok.join(df_counts, "token")
+        .withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("n", F.count(F.lit(1)).over(w_doc))
+    )
+    ceil_tau_n = F.floor((num * F.col("n") + den - 1) / den)
+    prefix = ranked.filter(F.col("rn") <= F.col("n") - ceil_tau_n + 1).select(
+        "doc_id", "token"
+    )
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    return _verify(cand, docs, tau)
+
+
+def similarity_self_join(
+    docs: DataFrame,
+    tau: Fraction = TAU,
+    n_rows: int | None = None,
+    force: str | None = None,
+) -> DataFrame:
+    """The rewrite rule's entry point. ``docs`` is (doc_id, toks
+    array<string>); returns (a_id, b_id, jaccard@4dp) with
+    jaccard >= τ and a_id < b_id.
+
+    ``n_rows`` is the size estimate (one count() pass when absent — a
+    cluster engine would read catalog stats instead); ``force`` pins a
+    strategy ('exact' | 'prefix') for equivalence testing."""
+    if force is None:
+        n = docs.count() if n_rows is None else n_rows
+        force = "exact" if n <= SIM_JOIN_EXACT_MAX else "prefix"
+    if force == "exact":
+        return _plan_exact(docs, tau)
+    if force == "prefix":
+        return _plan_prefix_filter(docs, tau)
+    raise ValueError(f"unknown strategy {force!r}")
+
+
+def _docs_toks(spark, sf_dir) -> DataFrame:
+    return (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        .select(
+            "doc_id",
+            F.array_distinct(F.split(F.lower("text"), " ")).alias("toks"),
+        )
+    )
+
+
+@register(
+    "sim_join_autoplan",
+    # The oracle IS the naive logical form — an O(n²) self-join the
+    # rewrite must never physically execute at this size. Hash match
+    # therefore proves the rewrite preserves semantics exactly.
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       {o_rnd("CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / len(list_distinct(a.toks || b.toks))", "jaccard")}
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+WHERE floor(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      / len(list_distinct(a.toks || b.toks)) * 10000 + 0.5) / 10000 >= {float(TAU)}
+""",
+)
+def sim_join_autoplan(spark, sf_dir):
+    """Similarity self-join over the FULL documents table through the
+    rewrite rule: the corpus (500 docs at graded SFs) exceeds
+    SIM_JOIN_EXACT_MAX, so the planner swaps the O(n²) theta join the
+    oracle runs for the prefix-filter equi-join — same rows, no
+    cartesian in the physical plan (plan-asserted in
+    tests/test_plans.py). At 100 TB the size estimate comes from
+    catalog stats and the equi-join buckets stay small because prefix
+    tokens are by construction the corpus's rarest."""
+    return similarity_self_join(_docs_toks(spark, sf_dir))

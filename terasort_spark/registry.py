@@ -72,6 +72,7 @@ _OPERATOR_MODULES = (
     "terasort_spark.operators.tokenizer",
     "terasort_spark.operators.cdc",
     "terasort_spark.operators.ml",
+    "terasort_spark.plans.similarity_rewrite",
 )
 
 _loaded = False

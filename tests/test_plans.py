@@ -240,3 +240,58 @@ def test_topk_shapes_bound_rank_window_with_take_ordered(spark, sf_dir):
         assert plan.index("Window") < plan.index("TakeOrderedAndProject"), (
             f"{name}: Window below the top-k bound:\n{plan}"
         )
+
+
+def test_similarity_rewrite_large_input_never_runs_theta_join(spark, sf_dir):
+    """Above SIM_JOIN_EXACT_MAX the rewrite rule must plan the
+    prefix-filter equi-join: no BroadcastNestedLoopJoin or cartesian
+    product anywhere in the physical plan — the property that keeps an
+    exact-threshold similarity join feasible at 100 TB."""
+    df = _Q["sim_join_autoplan"](spark, sf_dir)
+    assert_no_cartesian(df)
+    plan = executed_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_similarity_rewrite_small_input_uses_exact_form(spark):
+    """Below the threshold the planner executes the logical form
+    literally (theta join) — cheap at this size and zero rewrite
+    machinery; results must equal a pure-Python brute force."""
+    from terasort_spark.plans.similarity_rewrite import (
+        SIM_JOIN_EXACT_MAX,
+        similarity_self_join,
+    )
+
+    rows = [(i, f"alpha beta gamma delta t{i % 4}".split(" ")) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, toks array<string>")
+    assert docs.count() <= SIM_JOIN_EXACT_MAX
+    df = similarity_self_join(docs)
+    plan = executed_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "Cartesian" in plan, plan
+    got = sorted(map(tuple, df.collect()))
+    want = []
+    for i, a in rows:
+        for j, b in rows:
+            if i < j:
+                jac = len(set(a) & set(b)) / len(set(a) | set(b))
+                jac = int(jac * 10000 + 0.5) / 10000
+                if jac >= 0.9:
+                    want.append((i, j, jac))
+    assert got == sorted(want)
+
+
+def test_similarity_rewrite_strategies_are_equivalent(spark, sf_dir):
+    """The rewrite is semantics-preserving: forcing either physical
+    strategy over the same corpus returns identical rows (prefix
+    filtering has recall exactly 1 — it is a rewrite, not an
+    approximation)."""
+    from terasort_spark.plans.similarity_rewrite import (
+        _docs_toks,
+        similarity_self_join,
+    )
+
+    docs = _docs_toks(spark, sf_dir)
+    exact = sorted(map(tuple, similarity_self_join(docs, force="exact").collect()))
+    prefix = sorted(map(tuple, similarity_self_join(docs, force="prefix").collect()))
+    assert exact == prefix
+    assert exact  # non-trivial corpus: some qualifying pairs exist
