@@ -1,0 +1,230 @@
+"""Corpus-quality and data-mixing operators (north-star extension):
+CCNet-style perplexity bucketing, SoftDeDup duplicate weighting,
+temperature-scaled multilingual mixing, and versioned-table time travel
+— the selection/weighting layer a pretraining pipeline runs between raw
+curation and packing.
+
+All four are exact-oracle: the LM scores reuse text_bigram_lm's
+6dp-quantized logprob discipline, the sampling coin is the bit-exact
+splitmix mixer from sources/tera_queries.py (no rand(), no engine RNG),
+and the time-travel read replays relationally.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from terasort_spark.catalog import table
+from terasort_spark.operators._util import o_rnd, rnd
+from terasort_spark.operators.llm_lm import _BIGRAMS_SQL, text_bigram_lm
+from terasort_spark.registry import register
+from terasort_spark.sources.snapshots import read_snapshot, write_version
+from terasort_spark.sources.tera_queries import mix32, mix32_sql
+
+
+@register(
+    "text_ccnet_bucket",
+    oracle=f"""
+WITH bigrams AS ({_BIGRAMS_SQL}),
+model AS (
+    SELECT lang, w1, w2, count(*) AS c12,
+           sum(count(*)) OVER (PARTITION BY lang, w1) AS c1
+    FROM bigrams GROUP BY lang, w1, w2
+),
+scored AS (
+    SELECT b.doc_id,
+           floor(ln(CAST(m.c12 AS DOUBLE) / m.c1) * 1000000 + 0.5)
+               / 1000000 AS lp
+    FROM bigrams b
+    JOIN model m ON b.lang = m.lang AND b.w1 = m.w1 AND b.w2 = m.w2
+),
+doc_scores AS (
+    SELECT doc_id,
+           floor(CAST(sum(CAST(lp AS DECIMAL(25,6))) AS DOUBLE) / count(*)
+                 * 10000 + 0.5) / 10000 AS avg_logprob
+    FROM scored GROUP BY doc_id
+)
+SELECT s.doc_id, d.lang,
+       s.avg_logprob,
+       CASE ntile(3) OVER (PARTITION BY d.lang
+                           ORDER BY s.avg_logprob DESC, s.doc_id)
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+           AS bucket
+FROM doc_scores s JOIN documents d USING (doc_id)
+""",
+)
+def text_ccnet_bucket(spark, sf_dir):
+    """CCNet-style quality bucketing: score every document by its
+    average bigram log-probability under the per-language corpus model
+    (text_bigram_lm's exact-decimal score), then split each language
+    into head/middle/tail terciles — the buckets CCNet feeds to
+    downstream filtering (keep head+middle, sample tail).
+
+    Scale: scoring is text_bigram_lm's two grouped counts + one
+    equi-join; the tercile split is one ntile window PARTITIONED BY
+    LANG (bounded state per language — never a global sort). Ties
+    break on doc_id so bucket assignment is total and reproducible."""
+    scores = text_bigram_lm(spark, sf_dir).select("doc_id", "avg_logprob")
+    langs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(F.desc("avg_logprob"), "doc_id")
+    t = F.ntile(3).over(w)
+    return (
+        scores.join(langs, "doc_id")
+        .withColumn(
+            "bucket",
+            F.when(t == 1, "head").when(t == 2, "middle").otherwise("tail"),
+        )
+        .select("doc_id", "lang", "avg_logprob", "bucket")
+    )
+
+
+@register(
+    "dedup_soft",
+    oracle="""
+WITH copies AS (
+    SELECT doc_id, md5(text) AS h FROM documents
+    WHERE text IS NOT NULL AND length(text) > 0
+),
+sized AS (
+    SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS n_copies
+    FROM copies
+)
+SELECT doc_id, CAST(n_copies AS BIGINT) AS n_copies,
+       floor(1.0 / n_copies * 10000 + 0.5) / 10000 AS weight
+FROM sized
+""",
+)
+def dedup_soft(spark, sf_dir):
+    """SoftDeDup: instead of DROPPING exact duplicates, every document
+    keeps a training weight 1/n_copies of its content-hash group — the
+    duplicate cluster contributes one document's worth of gradient in
+    expectation while preserving every copy's context. Hard dedup is
+    the weight==1-only filter of this output.
+
+    Scale: one window count over the 16-byte content hash — the same
+    single-shuffle bound as dedup_exact, but no survivor election is
+    needed at all. Weights sum to the deduplicated corpus size, an
+    invariant pinned in tests/test_quality.py."""
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    w = Window.partitionBy("h")
+    return (
+        d.select("doc_id", F.md5("text").alias("h"))
+        .withColumn("n_copies", F.count(F.lit(1)).over(w))
+        .select(
+            "doc_id",
+            F.col("n_copies").cast("bigint").alias("n_copies"),
+            rnd(F.lit(1.0) / F.col("n_copies"), "weight"),
+        )
+    )
+
+
+TEMP_ALPHA = 0.5  # temperature: q_i ∝ p_i^α — upweights rare languages
+_COIN_SALT = 7919
+
+
+@register(
+    "sample_temperature",
+    oracle=f"""
+WITH counts AS (
+    SELECT lang, count(*) AS n, sum(count(*)) OVER () AS total
+    FROM documents GROUP BY lang
+),
+rates AS (
+    SELECT lang,
+           sqrt((SELECT min(CAST(n AS DOUBLE) / total) FROM counts)
+                / (CAST(n AS DOUBLE) / total)) AS rate
+    FROM counts
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN rates r USING (lang)
+WHERE {mix32_sql(f"d.doc_id + {_COIN_SALT}")}
+      < CAST(floor(r.rate * 4294967296) AS BIGINT)
+""",
+)
+def sample_temperature(spark, sf_dir):
+    """Temperature-scaled multilingual mixing: subsample each language
+    at rate sqrt(p_min / p_lang) so the effective language distribution
+    follows p^α (α=0.5) up to normalization, with the rarest language
+    kept whole (rate 1) — the standard multilingual pretraining recipe
+    for keeping low-resource languages from drowning.
+
+    Determinism at 100 TB: the keep/drop coin is the bit-exact splitmix
+    mixer on doc_id (content-addressed like sample_mixture — retries,
+    repartitions and cluster resizes keep the SAME rows); the per-lang
+    rates are one langs-sized aggregate broadcast back into the scan
+    stage; the filter itself is stateless and shuffle-free."""
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    counts = counts.withColumn(
+        "share", F.col("n").cast("double") / F.sum("n").over(Window.partitionBy())
+    )
+    rates = counts.withColumn(
+        "rate",
+        F.sqrt(F.min("share").over(Window.partitionBy()) / F.col("share")),
+    ).select("lang", "rate")
+    coin = mix32(F.col("doc_id") + F.lit(_COIN_SALT))
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .filter(coin < F.floor(F.col("rate") * F.lit(4294967296)).cast("bigint"))
+        .select("doc_id", "lang")
+    )
+
+
+@register(
+    "scan_timetravel",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 <> 2
+),
+v1 AS (
+  SELECT o_orderkey, o_totalprice * 2 AS o_totalprice FROM orders
+  WHERE o_orderkey % 7 = 0
+)
+SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+       floor(coalesce(u.o_totalprice, b.o_totalprice) * 10000 + 0.5) / 10000
+           AS price
+FROM base b FULL JOIN v1 u ON b.o_orderkey = u.o_orderkey
+""",
+)
+def scan_timetravel(spark, sf_dir):
+    """Time travel: build a three-version table (base, v1 upserts, v2
+    upserts + tombstones) through the snapshots API, then read the
+    state AS OF version 1 — proving later segments are invisible to an
+    earlier snapshot. The oracle replays versions 0..1 relationally;
+    a v2 row leaking into the result is a hash mismatch.
+
+    Scale: the `_v <= 1` filter lands on the hive partition column, so
+    v2's files are pruned at directory-listing time — the read costs
+    the same whether 2 or 2000 later versions exist."""
+    root = os.path.join(tempfile.gettempdir(), "terasort_spark_timetravel")
+    shutil.rmtree(root, ignore_errors=True)
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    write_version(o.filter(F.col("o_orderkey") % 3 != 2), root, 0)
+    write_version(
+        o.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        ),
+        root,
+        1,
+    )
+    v2_ups = o.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 3
+    )
+    v2_dels = (
+        o.filter(F.col("o_orderkey") % 11 == 0)
+        .select("o_orderkey")
+        .withColumn("o_totalprice", F.lit(None).cast("double"))
+        .withColumn("_deleted", F.lit(True))
+    )
+    write_version(
+        v2_ups.withColumn("_deleted", F.lit(False)).unionByName(v2_dels), root, 2
+    )
+    asof1 = read_snapshot(spark, root, ["o_orderkey"], version=1)
+    return asof1.select("o_orderkey", rnd(F.col("o_totalprice"), "price"))

@@ -73,6 +73,7 @@ _OPERATOR_MODULES = (
     "terasort_spark.operators.cdc",
     "terasort_spark.operators.ml",
     "terasort_spark.plans.similarity_rewrite",
+    "terasort_spark.operators.quality",
 )
 
 _loaded = False

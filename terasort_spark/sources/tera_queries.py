@@ -39,24 +39,33 @@ KEY_LEN = 10
 VALUE_LEN = 90
 
 
-def _mix(v):
-    """Splitmix-style mixer on a non-negative bigint column. Every
-    intermediate stays below 2^63 (inputs < 2^21, first product < 2^53,
-    capped to 2^31 before the second multiply < 2^62), so Spark ANSI
-    mode and DuckDB compute identical values."""
+def mix32(v):
+    """Splitmix-style mixer on a non-negative bigint column → uniform
+    value in [0, 2^32). Every intermediate stays below 2^63: inputs up
+    to 2^31 keep the first product under 2^63, and the value is capped
+    to 2^31 before the second multiply. Spark ANSI mode and DuckDB
+    therefore compute identical values for any v in [0, 2^31)."""
     z = (v * F.lit(2654435761)) % F.lit(4294967296)
     z = z.bitwiseXOR(F.shiftright(z, 16))
     z = ((z % F.lit(2147483648)) * F.lit(2246822519)) % F.lit(4294967296)
     z = z.bitwiseXOR(F.shiftright(z, 13))
-    return z % F.lit(95)
+    return z
 
 
-def _mix_sql(v: str) -> str:
+def mix32_sql(v: str) -> str:
+    """DuckDB twin of :func:`mix32` — bit-exact by construction."""
     z1 = f"((({v}) * 2654435761) % 4294967296)"
     z2 = f"xor({z1}, {z1} >> 16)"
     z3 = f"((({z2}) % 2147483648) * 2246822519) % 4294967296"
-    z4 = f"xor(({z3}), ({z3}) >> 13)"
-    return f"(({z4}) % 95)"
+    return f"xor(({z3}), ({z3}) >> 13)"
+
+
+def _mix(v):
+    return mix32(v) % F.lit(95)
+
+
+def _mix_sql(v: str) -> str:
+    return f"(({mix32_sql(v)}) % 95)"
 
 
 def _gen_df(spark, n_rows: int, n_partitions: int):
