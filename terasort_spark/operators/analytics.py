@@ -355,3 +355,137 @@ def events_attribution(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "agg_weighted_percentile",
+    # weighted median/quartiles per source with SoftDeDup-style weights:
+    # the smallest value whose running weight share reaches the quantile
+    oracle="""
+WITH weighted AS (
+    SELECT source, n_chars,
+           CAST(floor(1000000.0 / count(*) OVER (PARTITION BY md5(text))
+                      + 0.5) AS BIGINT) AS w6
+    FROM documents WHERE text IS NOT NULL AND length(text) > 0
+),
+cum AS (
+    SELECT source, n_chars,
+           sum(w6) OVER (PARTITION BY source
+                         ORDER BY n_chars
+                         ROWS UNBOUNDED PRECEDING) AS cw,
+           sum(w6) OVER (PARTITION BY source) AS tw
+    FROM weighted
+)
+SELECT source,
+       CAST(min(CASE WHEN 4 * cw >= tw THEN n_chars END) AS BIGINT) AS p25,
+       CAST(min(CASE WHEN 2 * cw >= tw THEN n_chars END) AS BIGINT) AS p50,
+       CAST(min(CASE WHEN 4 * cw >= 3 * tw THEN n_chars END) AS BIGINT) AS p75
+FROM cum GROUP BY source
+""",
+)
+def agg_weighted_percentile(spark, sf_dir):
+    """Weighted percentiles (p25/p50/p75 of document length per source,
+    weighted by SoftDeDup 1/n_copies weights) — corpus statistics that
+    reflect the deduplicated distribution without materializing the
+    dedup. The quantile is the smallest value whose cumulative weight
+    reaches the target share (the standard left-continuous weighted
+    quantile), computed with one running-sum window per source.
+
+    Determinism: weights are quantized to 6dp INTEGERS
+    (floor(1e6/n + 0.5)) and the running sum is exact int64, so the
+    4*cw >= k*tw threshold tests are pure integer comparisons --
+    partition-order- and engine-invariant even among rows tied on the
+    ordering value. Scale: two windows over (source)-partitioned data --
+    bounded state, no global sort; the md5 weight window is the
+    dedup_soft shuffle reused."""
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    w_h = Window.partitionBy(F.md5("text"))
+    weighted = d.select(
+        "source",
+        "n_chars",
+        F.floor(F.lit(1000000.0) / F.count(F.lit(1)).over(w_h) + F.lit(0.5))
+        .cast("bigint")
+        .alias("w6"),
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("source")
+    cum = weighted.select(
+        "source",
+        "n_chars",
+        F.sum("w6").over(w_cum).alias("cw"),
+        F.sum("w6").over(w_tot).alias("tw"),
+    )
+
+    def pct(mul, k, name):
+        return (
+            F.min(
+                F.when(mul * F.col("cw") >= k * F.col("tw"), F.col("n_chars"))
+            )
+            .cast("bigint")
+            .alias(name)
+        )
+
+    return cum.groupBy("source").agg(
+        pct(4, 1, "p25"), pct(2, 1, "p50"), pct(4, 3, "p75")
+    )
+
+
+@register(
+    "agg_entropy",
+    # Shannon entropy of each language's unigram distribution, exact:
+    # per-term plogp quantized to 6dp, summed as DECIMAL
+    oracle="""
+WITH tok AS (
+    SELECT lang, t AS term FROM (
+        SELECT lang, unnest(string_split(lower(text), ' ')) AS t
+        FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    ) WHERE length(t) > 0
+),
+tf AS (
+    SELECT lang, term, count(*) AS c,
+           sum(count(*)) OVER (PARTITION BY lang) AS n
+    FROM tok GROUP BY lang, term
+)
+SELECT lang, CAST(max(n) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       floor(CAST(sum(CAST(
+           floor(-(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)
+                 * 1000000 + 0.5) / 1000000
+           AS DECIMAL(25,6))) AS DOUBLE) * 10000 + 0.5) / 10000 AS entropy
+FROM tf GROUP BY lang
+""",
+)
+def agg_entropy(spark, sf_dir):
+    """Shannon entropy of each language's unigram distribution — the
+    lexical-diversity diagnostic a corpus dashboard tracks (entropy
+    collapse flags template spam or a scraping bug). Per-term
+    -p·ln(p) is quantized to 6dp then summed as exact DECIMAL, so the
+    per-language entropy is independent of partitioning and engine.
+
+    Scale: ONE grouped count over the token stream (map-side combined)
+    + a per-lang window for the normalizer + one final groupBy —
+    everything keyed by (lang, term), no global state."""
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    tok = d.select(
+        "lang", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).filter(F.length("term") > 0)
+    tf = (
+        tok.groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("n", F.sum("c").over(Window.partitionBy("lang")))
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    plogp_q6 = F.floor(-p * F.log(p) * 1000000 + F.lit(0.5)) / 1000000
+    return tf.groupBy("lang").agg(
+        F.max("n").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        rnd(F.sum(plogp_q6.cast(DEC)).cast("double"), "entropy"),
+    )

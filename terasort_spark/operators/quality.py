@@ -228,3 +228,46 @@ def scan_timetravel(spark, sf_dir):
     )
     asof1 = read_snapshot(spark, root, ["o_orderkey"], version=1)
     return asof1.select("o_orderkey", rnd(F.col("o_totalprice"), "price"))
+
+
+_KFOLD_K = 5
+_KFOLD_SALT = 104729
+
+
+@register(
+    "ml_kfold",
+    oracle=f"""
+WITH assigned AS (
+    SELECT doc_id, lang, n_chars,
+           ({mix32_sql(f"doc_id + {_KFOLD_SALT}")}) % {_KFOLD_K} AS fold
+    FROM documents
+)
+SELECT fold, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+FROM assigned GROUP BY fold
+""",
+)
+def ml_kfold(spark, sf_dir):
+    """Deterministic k-fold assignment for cross-validation at corpus
+    scale: fold = mix32(doc_id + salt) mod k — a pure function of the
+    row identity, so folds are reproducible across runs, partitionings
+    and cluster sizes, and any fold's complement is recoverable as the
+    training set without storing assignments. Emits per-fold summary
+    stats (the balance check a CV harness runs before training).
+
+    Scale: assignment is stateless scan-stage codegen; the summary is
+    one k-row groupBy. Joining fold assignments to any other table is
+    recomputation, not a join — the property that makes hash-based
+    splits free at 100 TB."""
+    d = table(spark, sf_dir, "documents")
+    fold = (mix32(F.col("doc_id") + F.lit(_KFOLD_SALT)) % _KFOLD_K).alias("fold")
+    return (
+        d.select(fold, "lang", "n_chars")
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        )
+    )
