@@ -60,6 +60,27 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def estimate_rows(sf_dir: str, name: str) -> int:
+    """Catalog row-count estimate for one table, read from the parquet
+    FOOTER metadata (pyarrow, driver-side, O(#files) — no Spark job).
+    This is the stats source a cluster catalog (HMS/Delta/Iceberg)
+    would serve; planners use it for size-driven strategy selection
+    (plans/similarity_rewrite.py) instead of a blocking count() pass."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+            for root, _, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLES}
 

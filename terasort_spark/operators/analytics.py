@@ -395,9 +395,16 @@ def agg_weighted_percentile(spark, sf_dir):
     (floor(1e6/n + 0.5)) and the running sum is exact int64, so the
     4*cw >= k*tw threshold tests are pure integer comparisons --
     partition-order- and engine-invariant even among rows tied on the
-    ordering value. Scale: two windows over (source)-partitioned data --
-    bounded state, no global sort; the md5 weight window is the
-    dedup_soft shuffle reused."""
+    ordering value. Scale (de-skewed, round 6): the weights are first
+    aggregated to a per-(source, n_chars) HISTOGRAM — n_chars has a
+    bounded domain — so the per-source running-sum window sees
+    histogram rows, not raw documents (a per-source window over raw
+    rows would serialize ~1/|sources| of a 100 TB corpus onto one
+    task). Exactness is preserved: within an n_chars tie group the
+    threshold 4*cw >= k*tw first holds at some row iff it holds at the
+    group-end cumulative weight, and CASE yields the same n_chars for
+    every row of the group. The md5 weight window is the dedup_soft
+    shuffle reused (16-byte high-cardinality key, scale-safe)."""
     d = table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull() & (F.length("text") > 0)
     )
@@ -409,17 +416,18 @@ def agg_weighted_percentile(spark, sf_dir):
         .cast("bigint")
         .alias("w6"),
     )
+    hist = weighted.groupBy("source", "n_chars").agg(F.sum("w6").alias("sw"))
     w_cum = (
         Window.partitionBy("source")
         .orderBy("n_chars")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     w_tot = Window.partitionBy("source")
-    cum = weighted.select(
+    cum = hist.select(
         "source",
         "n_chars",
-        F.sum("w6").over(w_cum).alias("cw"),
-        F.sum("w6").over(w_tot).alias("tw"),
+        F.sum("sw").over(w_cum).alias("cw"),
+        F.sum("sw").over(w_tot).alias("tw"),
     )
 
     def pct(mul, k, name):

@@ -20,7 +20,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from terasort_spark.catalog import table
-from terasort_spark.operators._util import o_rnd, rnd
+from terasort_spark.operators._util import rnd
 from terasort_spark.operators.llm_lm import _BIGRAMS_SQL, text_bigram_lm
 from terasort_spark.registry import register
 from terasort_spark.sources.snapshots import read_snapshot, write_version
@@ -65,19 +65,53 @@ def text_ccnet_bucket(spark, sf_dir):
     into head/middle/tail terciles — the buckets CCNet feeds to
     downstream filtering (keep head+middle, sample tail).
 
-    Scale: scoring is text_bigram_lm's two grouped counts + one
-    equi-join; the tercile split is one ntile window PARTITIONED BY
-    LANG (bounded state per language — never a global sort). Ties
-    break on doc_id so bucket assignment is total and reproducible."""
+    Scale (de-skewed, round 6): a per-lang ntile over raw docs would
+    sort ~1/|langs| of the 100 TB corpus on ONE task. Instead the 4dp-
+    quantized scores are aggregated to a per-(lang, score) HISTOGRAM
+    (bounded distinct values), the per-lang windows run over histogram
+    rows only, and each doc's global rank is reconstructed as
+    (rows with a higher score) + (row_number within its exact-score tie
+    group) — the only window over raw docs is keyed by
+    (lang, avg_logprob), a high-cardinality key with bounded tie-group
+    state. Bit-identical to ntile(3) ORDER BY score DESC, doc_id: with
+    n docs, q = n div 3, r = n mod 3, the tercile boundaries are
+    t1 = q + min(r,1) and t2 = 2q + min(r,2)."""
     scores = text_bigram_lm(spark, sf_dir).select("doc_id", "avg_logprob")
     langs = table(spark, sf_dir, "documents").select("doc_id", "lang")
-    w = Window.partitionBy("lang").orderBy(F.desc("avg_logprob"), "doc_id")
-    t = F.ntile(3).over(w)
+    rows = scores.join(langs, "doc_id")
+    hist = rows.groupBy("lang", "avg_logprob").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # Windows below are per-lang but run over HISTOGRAM rows (above the
+    # aggregate) — state is #distinct scores, not #docs.
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("avg_logprob"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("lang")
+    q = F.floor(F.col("n") / 3)
+    r = F.col("n") % 3
+    bounds = (
+        hist.withColumn("cum_end", F.sum("cnt").over(w_cum))
+        .withColumn("n", F.sum("cnt").over(w_all))
+        .select(
+            "lang",
+            "avg_logprob",
+            (F.col("cum_end") - F.col("cnt")).alias("n_before"),
+            (q + F.least(r, F.lit(1))).alias("t1"),
+            (q * 2 + F.least(r, F.lit(2))).alias("t2"),
+        )
+    )
+    w_tie = Window.partitionBy("lang", "avg_logprob").orderBy("doc_id")
+    rn = F.col("n_before") + F.row_number().over(w_tie)
     return (
-        scores.join(langs, "doc_id")
+        rows.join(F.broadcast(bounds), ["lang", "avg_logprob"])
         .withColumn(
             "bucket",
-            F.when(t == 1, "head").when(t == 2, "middle").otherwise("tail"),
+            F.when(rn <= F.col("t1"), "head")
+            .when(rn <= F.col("t2"), "middle")
+            .otherwise("tail"),
         )
         .select("doc_id", "lang", "avg_logprob", "bucket")
     )
@@ -160,7 +194,13 @@ def sample_temperature(spark, sf_dir):
     repartitions and cluster resizes keep the SAME rows); the per-lang
     rates are one langs-sized aggregate broadcast back into the scan
     stage; the filter itself is stateless and shuffle-free."""
-    d = table(spark, sf_dir, "documents")
+    return temperature_sample(table(spark, sf_dir, "documents"))
+
+
+def temperature_sample(d):
+    """Core sampling logic over any (doc_id, lang, ...) DataFrame —
+    factored out so tests can prove partitioning-invariance by feeding
+    a repartitioned input."""
     counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
     counts = counts.withColumn(
         "share", F.col("n").cast("double") / F.sum("n").over(Window.partitionBy())

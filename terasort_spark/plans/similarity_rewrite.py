@@ -33,7 +33,7 @@ from fractions import Fraction
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from terasort_spark.catalog import table
+from terasort_spark.catalog import estimate_rows, table
 from terasort_spark.operators._util import o_rnd, rnd
 from terasort_spark.registry import register
 
@@ -195,5 +195,10 @@ def sim_join_autoplan(spark, sf_dir):
     cartesian in the physical plan (plan-asserted in
     tests/test_plans.py). At 100 TB the size estimate comes from
     catalog stats and the equi-join buckets stay small because prefix
-    tokens are by construction the corpus's rarest."""
-    return similarity_self_join(_docs_toks(spark, sf_dir))
+    tokens are by construction the corpus's rarest. The size estimate
+    is the parquet-footer row count (catalog.estimate_rows — driver-side
+    metadata, no Spark job) clamped by the doc_id bound: an upper bound
+    on the filtered input, which is the safe direction (over-estimating
+    can only pick the scalable strategy)."""
+    n_est = min(estimate_rows(sf_dir, "documents"), SIM_JOIN_DOC_BOUND)
+    return similarity_self_join(_docs_toks(spark, sf_dir), n_rows=n_est)

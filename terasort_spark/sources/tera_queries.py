@@ -129,13 +129,18 @@ def terasort_query(spark, sf_dir):
             yield b.assign(local_idx=range(nxt, nxt + n))
             nxt += n
 
+    # localCheckpoint pins ONE physical execution of the range exchange:
+    # the offsets branch below derives from the SAME materialized rows
+    # as the output branch, so the two can never see different sampled
+    # range boundaries (they previously re-executed srt twice and were
+    # aligned only by exchange reuse — r5 ADVICE).
     tagged = srt.mapInPandas(
         tag, schema="pid int, key string, id bigint, local_idx bigint"
-    )
+    ).localCheckpoint(eager=False)
     w = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
-        srt.groupBy("pid")
-        .agg(F.count(F.lit(1)).alias("n"))
+        tagged.groupBy("pid")
+        .agg((F.max("local_idx") + 1).alias("n"))
         .select(
             "pid", F.coalesce(F.sum("n").over(w), F.lit(0)).alias("offset")
         )

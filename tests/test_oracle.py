@@ -97,7 +97,34 @@ def test_grading_rotation_fronts_ungraded_queries():
         )
     # Self-healing rule: a query whose latest committed row is
     # rows-only (err == no_oracle) but that NOW has a registered
-    # oracle must be re-fronted to earn a hash row.
+    # oracle must be UNGRADED (re-fronted to earn a hash row), i.e.
+    # sort before every graded name in the rotation.
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(registry.__file__)))
+    latest = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        data = json.load(open(path))
+        for name, row in data.items():
+            if isinstance(row, dict):
+                latest[name] = row
     oracles = registry.oracle_sql()
-    for name in ungraded:
-        assert name in order
+    refront = [
+        n
+        for n, row in latest.items()
+        if row.get("err") == "no_oracle" and n in oracles and n in pos
+    ]
+    for name in refront:
+        assert name not in graded, (
+            f"{name}: rows-only row but oracle now registered — must re-front"
+        )
+        if graded_in_order:
+            assert pos[name] < min(pos[g] for g in graded_in_order), (
+                f"{name} must sort before all graded names"
+            )
+    # And a query whose latest row FAILED re-fronts for regrade.
+    for name, row in latest.items():
+        if name in pos and not row.get("hash_match") and row.get("err") != "no_oracle":
+            assert name not in graded, f"{name}: failed row must re-front"

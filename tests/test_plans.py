@@ -295,3 +295,59 @@ def test_similarity_rewrite_strategies_are_equivalent(spark, sf_dir):
     prefix = sorted(map(tuple, similarity_self_join(docs, force="prefix").collect()))
     assert exact == prefix
     assert exact  # non-trivial corpus: some qualifying pairs exist
+
+
+def test_ccnet_bucket_windows_over_histogram_not_raw_docs(spark, sf_dir):
+    """text_ccnet_bucket's r5 'weak' finding fixed: no ntile, and every
+    Window partitioned ONLY by lang (a handful of values — a skewed-key
+    serial sort at 100 TB) must consume the per-(lang, score) histogram
+    (sum(cnt)), never raw document rows. The only doc-level window is
+    keyed by (lang, avg_logprob) — high-cardinality, bounded ties."""
+    import re
+
+    plan = executed_plan(_Q["text_ccnet_bucket"](spark, sf_dir))
+    assert "ntile" not in plan, plan
+    for line in plan.splitlines():
+        if "Window [" not in line:
+            continue
+        if re.search(r"\], \[lang#\d+\](?:, \[|\s*$)", line):
+            assert "sum(cnt#" in line, f"lang-only window over raw rows:\n{line}"
+
+
+def test_weighted_percentile_window_over_histogram_not_raw_docs(spark, sf_dir):
+    """agg_weighted_percentile's r5 'weak' finding fixed: the per-source
+    running sum consumes the (source, n_chars) histogram (sum(sw)), so
+    window input rows = distinct (source, n_chars) pairs, not documents."""
+    import re
+
+    plan = executed_plan(_Q["agg_weighted_percentile"](spark, sf_dir))
+    for line in plan.splitlines():
+        if "Window [" not in line:
+            continue
+        if re.search(r"\], \[source#\d+\](?:, \[|\s*$)", line):
+            assert "sum(sw#" in line, f"source-only window over raw rows:\n{line}"
+
+
+def test_autoplan_strategy_choice_runs_no_spark_job(spark, sf_dir):
+    """The declared sim_join_autoplan query picks its strategy from
+    catalog stats (parquet footer row counts, driver-side pyarrow), not
+    a driver-blocking docs.count() pass (r5 finding #3). A bare
+    spark.read.parquet launches one footer/schema job, so the invariant
+    is: constructing the full query launches NO jobs beyond what the
+    bare table scan construction launches."""
+    from terasort_spark.plans.similarity_rewrite import _docs_toks
+
+    sc = spark.sparkContext
+    sc.setJobGroup("autoplan-baseline", "bare scan construction")
+    _docs_toks(spark, sf_dir)
+    baseline = len(sc.statusTracker().getJobIdsForGroup("autoplan-baseline"))
+    sc.setJobGroup("autoplan-probe", "full query construction")
+    try:
+        df = _Q["sim_join_autoplan"](spark, sf_dir)
+        assert df.columns == ["a_id", "b_id", "jaccard"]
+        jobs = sc.statusTracker().getJobIdsForGroup("autoplan-probe")
+        assert len(jobs) <= baseline, (
+            f"strategy choice ran extra Spark jobs: {jobs} vs baseline {baseline}"
+        )
+    finally:
+        sc.setJobGroup("", "")

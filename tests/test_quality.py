@@ -44,22 +44,29 @@ def test_temperature_sampling_keeps_rarest_language_whole(spark, sf_dir):
         for r in kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert kept_counts[rare] == counts[rare]
-    # every other language is genuinely subsampled (statistically
-    # certain at 100+ docs/lang unless shares are near-equal)
-    assert sum(kept_counts.values()) <= sum(counts.values())
+    # the most common language is genuinely subsampled: its target rate
+    # sqrt(p_min/p_max) < 1, and with 100+ docs the chance all survive
+    # a fair coin at that rate is negligible (deterministic here anyway
+    # — the mixer's kept set is a fixed function of doc_ids)
+    common = max(counts, key=lambda k: (counts[k], k))
+    if counts[common] > counts[rare]:
+        assert kept_counts.get(common, 0) < counts[common]
 
 
 def test_temperature_sampling_is_repartition_invariant(spark, sf_dir):
     """The coin is content-addressed (mixer on doc_id), so the kept set
     is identical at any partitioning — the reproducibility property
-    rand()-based sampling loses."""
+    rand()-based sampling loses. This feeds genuinely repartitioned
+    inputs through the factored core (r5 ADVICE: the old version never
+    exercised repartitioning)."""
+    from terasort_spark.operators.quality import temperature_sample
+
     a = {r["doc_id"] for r in _Q["sample_temperature"](spark, sf_dir).collect()}
-    d = table(spark, sf_dir, "documents").repartition(7)
-    d.createOrReplaceTempView("___tmp_docs_repart")
-    # re-run through the registered query (same sf_dir) — the input
-    # parquet is identical, so this checks run-to-run determinism
-    b = {r["doc_id"] for r in _Q["sample_temperature"](spark, sf_dir).collect()}
-    assert a == b
+    docs = table(spark, sf_dir, "documents")
+    for reshaped in (docs.repartition(7), docs.repartition(3, "lang"), docs.coalesce(1)):
+        b = {r["doc_id"] for r in temperature_sample(reshaped).collect()}
+        assert a == b
+    assert a  # non-trivial: the sample keeps something
 
 
 def test_ccnet_buckets_are_language_terciles(spark, sf_dir):
