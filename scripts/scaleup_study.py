@@ -61,6 +61,21 @@ MEASURED = {
     "text_bpe_train": ("documents",),
     "sample_weighted": ("documents",),
     "events_sequence_match": ("events",),
+    # round-5 wave (added r6, VERDICT task 4)
+    "text_ccnet_bucket": ("documents",),
+    "dedup_soft": ("documents",),
+    "sample_temperature": ("documents",),
+    "agg_weighted_percentile": ("documents",),
+    "agg_entropy": ("documents",),
+    "ml_kfold": ("documents",),
+    # sim_join_autoplan: input is bounded by doc_id < SIM_JOIN_DOC_BOUND
+    # by declared design (the synthetic corpus's qualifying OUTPUT grows
+    # near-quadratically — see plans/similarity_rewrite.py), so its α
+    # here measures strategy/plan overhead at fixed input, not corpus
+    # scaling; the unbounded scale path is dedup_minhash above.
+    "sim_join_autoplan": ("documents",),
+    "sink_merge": ("orders",),
+    "scan_timetravel": ("orders",),
 }
 
 OFFSETS = {  # per-copy id offsets, far above any base id
@@ -68,6 +83,7 @@ OFFSETS = {  # per-copy id offsets, far above any base id
     "embeddings": ("vec_id", 10_000_000),
     "events": ("event_id", 1_000_000_000),
     "lineitem": ("l_orderkey", 100_000_000),
+    "orders": ("o_orderkey", 100_000_000),
 }
 
 

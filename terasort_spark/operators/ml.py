@@ -97,7 +97,83 @@ def _margin(w):
     return m
 
 
-@register("ml_logreg")
+def _logreg_oracle() -> str:
+    """Unrolled exact-SQL replay of the 10-iteration training loop
+    (the ts_holt_forecast pattern): every per-row gradient contribution
+    is 6dp-quantized to int64 BEFORE summation in BOTH engines, so the
+    whole trajectory is a chain of exact-integer aggregates plus fixed
+    IEEE double expressions — one CTE pair (gradient, weight update)
+    per iteration, no expression blow-up. The only cross-engine risk is
+    a 1-ulp exp() difference landing exactly on a floor boundary
+    (probability ~1e-10 per row-term; absorbed by the quantization)."""
+    toks = "list_filter(string_split(lower(text), ' '), t -> length(t) > 0)"
+    parts = [
+        f"""raw AS (
+    SELECT CAST(n_chars AS DOUBLE) / 1000.0 AS r1,
+           CAST(len({toks}) AS DOUBLE) / 100.0 AS r2,
+           CAST(len(list_filter({toks}, t -> t = 'the')) AS DOUBLE)
+               / len({toks}) AS r3,
+           CASE WHEN n_chars > 300 THEN 1.0 ELSE 0.0 END AS y
+    FROM documents WHERE text IS NOT NULL AND length(text) > 0
+)"""
+    ]
+    moment_cols = ["CAST(count(*) AS DOUBLE) AS n"]
+    for c in RAW:
+        moment_cols.append(
+            f"CAST(sum(CAST({c} AS DECIMAL(25,6))) AS DOUBLE) AS s_{c}"
+        )
+        moment_cols.append(
+            f"CAST(sum(CAST({c} * {c} AS DECIMAL(25,6))) AS DOUBLE) AS ss_{c}"
+        )
+    parts.append(
+        "moments AS MATERIALIZED (\n    SELECT " + ",\n           ".join(moment_cols) + "\n    FROM raw\n)"
+    )
+    x_cols = ["1.0 AS x0"]
+    for j, c in enumerate(RAW, start=1):
+        mu = f"s_{c} / n"
+        sd = f"sqrt(greatest(ss_{c} / n - ({mu}) * ({mu}), 1e-12))"
+        x_cols.append(f"({c} - {mu}) / {sd} AS x{j}")
+    parts.append(
+        "X AS MATERIALIZED (\n    SELECT "
+        + ",\n           ".join(x_cols)
+        + ",\n           y\n    FROM raw, moments\n)"
+    )
+    parts.append(
+        "w0 AS (SELECT "
+        + ", ".join(f"0.0 AS w{j}" for j in range(len(FEATS)))
+        + ")"
+    )
+    margin = " + ".join(f"w{j} * x{j}" for j in range(len(FEATS)))
+    err = f"1.0 / (1.0 + exp(-({margin}))) - y"
+    for t in range(1, N_ITER + 1):
+        g_cols = ", ".join(
+            f"CAST(sum(CAST(floor(x{j} * ({err}) * {Q} + 0.5) AS BIGINT)) AS BIGINT) AS g{j}"
+            for j in range(len(FEATS))
+        )
+        parts.append(f"g{t} AS MATERIALIZED (SELECT {g_cols} FROM X, w{t - 1})")
+        w_cols = ", ".join(
+            f"w{j} - {LR} * (g{j} / {Q}.0) / n AS w{j}"
+            for j in range(len(FEATS))
+        )
+        parts.append(f"w{t} AS MATERIALIZED (SELECT {w_cols} FROM w{t - 1}, g{t}, moments)")
+    sign = f"CASE WHEN ({margin}) > 0.0 THEN 1.0 ELSE 0.0 END"
+    parts.append(
+        f"""acc AS (
+    SELECT CAST(sum(CASE WHEN ({sign}) = y THEN 1 ELSE 0 END) AS DOUBLE) / max(n) AS a
+    FROM X, w{N_ITER}, moments
+)"""
+    )
+    finals = [
+        f"SELECT 'w_x{j}' AS name, floor(w{j} * {Q} + 0.5) / {Q} AS value FROM w{N_ITER}"
+        for j in range(len(FEATS))
+    ]
+    finals.append(
+        f"SELECT 'train_accuracy' AS name, floor(a * {Q} + 0.5) / {Q} AS value FROM acc"
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(finals)
+
+
+@register("ml_logreg", oracle=_logreg_oracle())
 def ml_logreg(spark, sf_dir):
     """Batch-GD logistic regression. Each iteration: broadcast the
     4-weight model as literals, one aggregation computes the gradient
@@ -105,8 +181,11 @@ def ml_logreg(spark, sf_dir):
     int64, summed exactly), driver updates w. 10 fixed iterations over
     standardized features (known stage count), base matrix
     localCheckpoint'ed ONCE. Output: the learned weights plus training
-    accuracy — rows-only by declared design (iterative);
-    numpy-replay-pinned in tests/test_ml.py."""
+    accuracy — EXACT-oracle since r6: the 6dp int64 gradient
+    quantization makes the whole trajectory a chain of exact-integer
+    aggregates, so the 10 iterations unroll into SQL CTEs
+    (_logreg_oracle) the same way ts_holt_forecast's recursion does;
+    also numpy-replay-pinned in tests/test_ml.py."""
     X, n = standardized_features(spark, sf_dir)
     if n == 0:
         return spark.createDataFrame([], "name string, value double")
@@ -126,6 +205,7 @@ def ml_logreg(spark, sf_dir):
         ((_margin(w) > 0).cast("double") == F.col("y")).cast("bigint")
     )
     acc = X.agg(acc_expr.alias("k")).first()["k"] / n
-    rows = [(f"w_{c}", round(w[j], 6)) for j, c in enumerate(FEATS)]
-    rows.append(("train_accuracy", round(acc, 6)))
+    q6 = lambda v: math.floor(v * Q + 0.5) / Q  # noqa: E731 — half-up, both engines
+    rows = [(f"w_{c}", q6(w[j])) for j, c in enumerate(FEATS)]
+    rows.append(("train_accuracy", q6(acc)))
     return spark.createDataFrame(rows, "name string, value double")

@@ -16,7 +16,10 @@ import tempfile
 from pyspark.sql import functions as F
 
 from terasort_spark.catalog import table
+from terasort_spark.operators._util import dsum, o_dsum
 from terasort_spark.registry import register
+
+_O_DSUM_REVENUE = o_dsum("l_extendedprice*(1-l_discount)", "revenue")
 
 
 @register("scan_full", oracle="SELECT * FROM nation")
@@ -196,4 +199,61 @@ def source_json_dirty(spark, sf_dir):
             F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_valid"),
             F.sum(F.when(F.col("ok"), 0).otherwise(1)).alias("n_corrupt"),
         )
+    )
+
+
+@register(
+    "sink_bucketed",
+    oracle=f"""
+SELECT o.o_orderkey, CAST(count(*) AS BIGINT) AS n_items,
+       {_O_DSUM_REVENUE}
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderkey
+""",
+)
+def sink_bucketed(spark, sf_dir):
+    """Pre-bucketed table layout: write orders AND lineitem bucketed +
+    sorted by their join key into the warehouse, re-read both, and run
+    the fact-fact join + per-key aggregation ENTIRELY shuffle-free —
+    the sort-merge join consumes co-located pre-sorted buckets and the
+    groupBy on the same key reuses the bucket partitioning, so the
+    physical plan contains ZERO Exchange (asserted in
+    tests/test_plans.py). At 100 TB this is the layout that turns every
+    repeated join on the table's primary key into a scan-only
+    operation — bucketing cost is paid once at write time. The oracle
+    is the plain join: the layout must not change a single answer."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    spark.sql("DROP TABLE IF EXISTS sink_bucketed_orders")
+    spark.sql("DROP TABLE IF EXISTS sink_bucketed_lineitem")
+    # a previous SESSION's table may survive as an orphaned warehouse
+    # directory the new catalog doesn't know about — clear the location
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    for t in ("sink_bucketed_orders", "sink_bucketed_lineitem"):
+        shutil.rmtree(
+            os.path.join(wh.removeprefix("file:"), t), ignore_errors=True
+        )
+    (
+        o.write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .mode("overwrite")
+        .saveAsTable("sink_bucketed_orders")
+    )
+    (
+        li.write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .mode("overwrite")
+        .saveAsTable("sink_bucketed_lineitem")
+    )
+    ob = spark.table("sink_bucketed_orders")
+    lb = spark.table("sink_bucketed_lineitem")
+    # merge hint: the broadcast path would be chosen at this size, but
+    # the POINT is the shuffle-free sort-merge over buckets
+    j = ob.hint("merge").join(lb, ob.o_orderkey == lb.l_orderkey)
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        dsum(revenue, "revenue"),
     )

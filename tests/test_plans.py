@@ -351,3 +351,13 @@ def test_autoplan_strategy_choice_runs_no_spark_job(spark, sf_dir):
         )
     finally:
         sc.setJobGroup("", "")
+
+
+def test_sink_bucketed_join_and_agg_have_zero_exchange(spark, sf_dir):
+    """sink_bucketed's whole point: after the bucketed+sorted write, the
+    fact-fact join AND the per-key aggregation consume the bucket layout
+    — the physical plan contains no Exchange of any kind (r5 task 8)."""
+    df = _Q["sink_bucketed"](spark, sf_dir)
+    plan = executed_plan(df)
+    assert "Exchange" not in plan, plan
+    assert "SortMergeJoin" in plan, plan
