@@ -497,3 +497,57 @@ def agg_entropy(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_terms"),
         rnd(F.sum(plogp_q6.cast(DEC)).cast("double"), "entropy"),
     )
+
+
+@register(
+    "dq_outliers",
+    oracle="""
+WITH stats AS (
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(n_chars) AS BIGINT) AS s,
+           CAST(sum(n_chars * n_chars) AS BIGINT) AS ss
+    FROM documents GROUP BY source
+)
+SELECT d.doc_id, d.source, d.n_chars,
+       floor((d.n_chars - CAST(t.s AS DOUBLE) / t.n)
+             / sqrt(greatest(CAST(t.ss AS DOUBLE) / t.n
+                             - (CAST(t.s AS DOUBLE) / t.n)
+                               * (CAST(t.s AS DOUBLE) / t.n), 1e-12))
+             * 10000 + 0.5) / 10000 AS z
+FROM documents d JOIN stats t USING (source)
+WHERE abs((d.n_chars - CAST(t.s AS DOUBLE) / t.n)
+          / sqrt(greatest(CAST(t.ss AS DOUBLE) / t.n
+                          - (CAST(t.s AS DOUBLE) / t.n)
+                            * (CAST(t.s AS DOUBLE) / t.n), 1e-12))) > 2.0
+""",
+)
+def dq_outliers(spark, sf_dir):
+    """Data-quality anomaly flagging: per-source z-score of document
+    length from EXACT integer sufficient statistics (n, Σx, Σx² as
+    int64 — n_chars is integer, so the moments are exact at any
+    partitioning), surfacing |z| > 2 outliers — the scan a pipeline
+    dashboard runs to catch a crawler that started emitting truncated
+    or concatenated pages into one source.
+
+    Scale: one map-combined groupBy producing a sources-sized stats
+    table, broadcast back into the scan stage; the z filter is
+    stateless codegen. No windows, no sort."""
+    d = table(spark, sf_dir, "documents")
+    stats = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("n_chars").cast("bigint").alias("s"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("bigint").alias("ss"),
+    )
+    mu = F.col("s").cast("double") / F.col("n")
+    sd = F.sqrt(
+        F.greatest(
+            F.col("ss").cast("double") / F.col("n") - mu * mu, F.lit(1e-12)
+        )
+    )
+    z = (F.col("n_chars") - mu) / sd
+    return (
+        d.join(F.broadcast(stats), "source")
+        .filter(F.abs(z) > 2.0)
+        .select("doc_id", "source", "n_chars", rnd(z, "z"))
+    )

@@ -1,0 +1,109 @@
+"""Cross-document boilerplate detection (C4/RefinedWeb-style): find
+token shingles shared by many DISTINCT documents ("terms of service"
+phrases, navigation chrome, licence footers) and score every document
+by how much of it is boilerplate — the cleaning pass a pretraining
+pipeline runs that per-document repetition stats (text_repetition)
+cannot express, because the signal is corpus-wide document frequency,
+not within-document structure.
+
+Exact-oracle: shingle extraction, document-frequency counting and the
+coverage ratio are pure integer/set operations replayed verbatim in
+DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from terasort_spark.catalog import table
+from terasort_spark.operators._util import rnd
+from terasort_spark.registry import register
+
+SHINGLE = 5  # tokens per shingle
+DF_MIN = 2  # a shingle in >= DF_MIN distinct docs is boilerplate
+KEEP_MAX_RATIO = 0.5  # drop docs that are mostly boilerplate
+
+
+@register(
+    "text_boilerplate",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split(lower(text), ' '), t -> length(t) > 0)
+               AS toks
+    FROM documents WHERE text IS NOT NULL AND length(text) > 0
+),
+shingled AS (
+    SELECT doc_id,
+           list_distinct(
+               CASE WHEN len(toks) >= {SHINGLE}
+                    THEN list_transform(
+                        generate_series(1, len(toks) - {SHINGLE - 1}),
+                        i -> array_to_string(toks[i:i + {SHINGLE - 1}], ' '))
+                    ELSE [] END) AS shingles
+    FROM toks
+),
+exploded AS (
+    SELECT doc_id, unnest(shingles) AS shingle FROM shingled
+),
+df AS (
+    SELECT shingle, count(*) AS n_docs FROM exploded GROUP BY shingle
+)
+SELECT e.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN d.n_docs >= {DF_MIN} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_boiler,
+       floor(CAST(sum(CASE WHEN d.n_docs >= {DF_MIN} THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*) * 10000 + 0.5) / 10000 AS boiler_ratio,
+       CAST(sum(CASE WHEN d.n_docs >= {DF_MIN} THEN 1 ELSE 0 END) AS DOUBLE)
+           / count(*) <= {KEEP_MAX_RATIO} AS keep
+FROM exploded e JOIN df d USING (shingle)
+GROUP BY e.doc_id
+""",
+)
+def text_boilerplate(spark, sf_dir):
+    """Per-document boilerplate coverage: fraction of the document's
+    distinct 5-token shingles that appear in >= DF_MIN distinct
+    documents corpus-wide, plus the keep/drop verdict (C4 drops pages
+    dominated by boilerplate).
+
+    Scale: shingling is a scan-stage array transform (JVM codegen, no
+    Python); the document-frequency count is ONE groupBy keyed by the
+    shingle string (high-cardinality key — never skewed by
+    construction, since a shingle hot enough to skew is exactly the
+    boilerplate being counted and still only carries (doc_id) pairs);
+    the re-join is an equi-join on the same key, so the whole operator
+    is two shuffles keyed by shingle + one keyed by doc_id at any
+    corpus size. Per-doc shingles are DISTINCT before the explode, so
+    payload is bounded by document length."""
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    toks = F.filter(F.split(F.lower("text"), " "), lambda t: F.length(t) > 0)
+    shingles = F.array_distinct(
+        F.when(
+            F.size(toks) >= SHINGLE,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (SHINGLE - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, SHINGLE)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+    exploded = d.select(
+        "doc_id", F.explode(shingles).alias("shingle")
+    )
+    df_counts = exploded.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    is_boiler = (F.col("n_docs") >= DF_MIN).cast("int")
+    ratio = F.sum(is_boiler).cast("double") / F.count(F.lit(1))
+    return (
+        exploded.join(df_counts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(is_boiler).cast("bigint").alias("n_boiler"),
+            rnd(ratio, "boiler_ratio"),
+            (ratio <= F.lit(KEEP_MAX_RATIO)).alias("keep"),
+        )
+    )

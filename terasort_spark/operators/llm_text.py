@@ -524,3 +524,62 @@ def text_winnowing(spark, sf_dir):
         F.countDistinct("wmin").alias("n_fp"),
         F.min("wmin").alias("fp_min"),
     )
+
+
+_LONG_WORD = 6  # LIX counts words of > 6 chars as "long"
+
+
+@register(
+    "text_readability",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split(lower(text), ' '), t -> length(t) > 0)
+               AS toks
+    FROM documents WHERE text IS NOT NULL AND length(text) > 0
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_words,
+       floor(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+             / len(toks) * 10000 + 0.5) / 10000 AS avg_word_len,
+       floor((CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+              / len(toks)
+              + 100.0 * len(list_filter(toks, t -> length(t) > {_LONG_WORD}))
+                / len(toks)) * 10000 + 0.5) / 10000 AS lix
+FROM toks
+WHERE len(toks) > 0
+""",
+)
+def text_readability(spark, sf_dir):
+    """Readability/complexity scoring (simplified LIX: mean word length
+    plus 100x the long-word ratio — the sentence term is dropped
+    because the synthetic corpus has no sentence delimiters; the real
+    formula is the same shape with words-per-sentence added). Complexity
+    scores drive curriculum ordering and filtering of degenerate
+    token-soup documents.
+
+    Scale: pure scan-stage array arithmetic — the token array is never
+    exploded; aggregate/filter/transform are JVM higher-order functions
+    inside whole-stage codegen, zero shuffles."""
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    toks = F.filter(F.split(F.lower("text"), " "), lambda t: F.length(t) > 0)
+    base = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
+    char_sum = F.aggregate(
+        "toks", F.lit(0), lambda acc, t: acc + F.length(t)
+    ).cast("double")
+    n_words = F.size("toks")
+    long_ratio = (
+        F.size(F.filter("toks", lambda t: F.length(t) > _LONG_WORD)).cast(
+            "double"
+        )
+        / n_words
+    )
+    awl = char_sum / n_words
+    return base.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        rnd(awl, "avg_word_len"),
+        rnd(awl + 100.0 * long_ratio, "lix"),
+    )

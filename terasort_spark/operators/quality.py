@@ -78,7 +78,10 @@ def text_ccnet_bucket(spark, sf_dir):
     t1 = q + min(r,1) and t2 = 2q + min(r,2)."""
     scores = text_bigram_lm(spark, sf_dir).select("doc_id", "avg_logprob")
     langs = table(spark, sf_dir, "documents").select("doc_id", "lang")
-    rows = scores.join(langs, "doc_id")
+    # Both the histogram branch and the final join consume `rows`;
+    # localCheckpoint pins ONE execution of the bigram-LM scoring
+    # instead of recomputing the whole model per branch.
+    rows = scores.join(langs, "doc_id").localCheckpoint(eager=False)
     hist = rows.groupBy("lang", "avg_logprob").agg(
         F.count(F.lit(1)).alias("cnt")
     )
@@ -310,4 +313,100 @@ def ml_kfold(spark, sf_dir):
             F.sum("n_chars").cast("bigint").alias("sum_chars"),
             F.countDistinct("lang").cast("bigint").alias("n_langs"),
         )
+    )
+
+
+_STRAT_TARGET = 100
+_STRAT_SALT = 65537
+
+
+@register(
+    "sample_stratified_alloc",
+    oracle=f"""
+WITH counts AS (
+    SELECT lang, count(*) AS n FROM documents GROUP BY lang
+),
+quota AS (
+    SELECT lang, n,
+           {_STRAT_TARGET}.0 * n / sum(n) OVER () AS q
+    FROM counts
+),
+base AS (
+    SELECT lang, n, CAST(floor(q) AS BIGINT) AS b, q - floor(q) AS r
+    FROM quota
+),
+ranked AS (
+    SELECT lang, b, r,
+           row_number() OVER (ORDER BY r DESC, lang) AS rk,
+           {_STRAT_TARGET} - sum(b) OVER () AS leftover
+    FROM base
+),
+alloc AS (
+    SELECT lang,
+           b + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS k
+    FROM ranked
+),
+picked AS (
+    SELECT d.doc_id, d.lang,
+           row_number() OVER (
+               PARTITION BY d.lang
+               ORDER BY {mix32_sql(f"d.doc_id + {_STRAT_SALT}")}, d.doc_id
+           ) AS rn
+    FROM documents d
+)
+SELECT p.doc_id, p.lang
+FROM picked p JOIN alloc a USING (lang)
+WHERE p.rn <= a.k
+""",
+)
+def sample_stratified_alloc(spark, sf_dir):
+    """Exact stratified sampling with largest-remainder (Hamilton)
+    apportionment: allocate a fixed total sample of TARGET documents
+    across languages proportionally — floor the per-language quota,
+    then hand the leftover seats to the largest fractional remainders
+    (ties broken by lang) — and pick each language's allocation as the
+    docs with the smallest content-addressed coin (mix32), so the
+    sample is reproducible on any cluster/partitioning and exactly
+    TARGET-sized whenever every stratum is large enough.
+
+    Scale: the apportionment runs over the langs-sized count table
+    (bounded state); the per-lang pick is a rank window whose filter
+    is bounded by the constant TARGET, so Spark's WindowGroupLimit
+    keeps at most TARGET rows per language per map task before the
+    shuffle — per-group state is sample-sized, not corpus-sized."""
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    w_all = Window.partitionBy()
+    quota = counts.withColumn(
+        "q", F.lit(float(_STRAT_TARGET)) * F.col("n") / F.sum("n").over(w_all)
+    )
+    base = quota.select(
+        "lang",
+        F.floor("q").cast("bigint").alias("b"),
+        (F.col("q") - F.floor("q")).alias("r"),
+    )
+    ranked = base.select(
+        "lang",
+        "b",
+        F.row_number()
+        .over(Window.orderBy(F.desc("r"), "lang"))
+        .alias("rk"),
+        (F.lit(_STRAT_TARGET) - F.sum("b").over(w_all)).alias("leftover"),
+    )
+    alloc = ranked.select(
+        "lang",
+        (
+            F.col("b")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        ).alias("k"),
+    )
+    coin = mix32(F.col("doc_id") + F.lit(_STRAT_SALT))
+    w_pick = Window.partitionBy("lang").orderBy(coin.asc(), "doc_id")
+    picked = d.select(
+        "doc_id", "lang", F.row_number().over(w_pick).alias("rn")
+    ).filter(F.col("rn") <= _STRAT_TARGET)  # constant bound → WindowGroupLimit
+    return (
+        picked.join(F.broadcast(alloc), "lang")
+        .filter(F.col("rn") <= F.col("k"))
+        .select("doc_id", "lang")
     )

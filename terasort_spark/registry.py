@@ -74,6 +74,7 @@ _OPERATOR_MODULES = (
     "terasort_spark.operators.ml",
     "terasort_spark.plans.similarity_rewrite",
     "terasort_spark.operators.quality",
+    "terasort_spark.operators.boilerplate",
 )
 
 _loaded = False

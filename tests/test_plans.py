@@ -361,3 +361,12 @@ def test_sink_bucketed_join_and_agg_have_zero_exchange(spark, sf_dir):
     plan = executed_plan(df)
     assert "Exchange" not in plan, plan
     assert "SortMergeJoin" in plan, plan
+
+
+def test_stratified_sample_bounds_rank_window_map_side(spark, sf_dir):
+    """sample_stratified_alloc's constant rn <= TARGET conjunct must
+    activate WindowGroupLimit so each language keeps at most TARGET
+    rows per map task before the shuffle — sample-sized window state at
+    any corpus size."""
+    plan = executed_plan(_Q["sample_stratified_alloc"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan

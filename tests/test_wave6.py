@@ -1,0 +1,165 @@
+"""Round-6 wave: cross-document boilerplate, Hamilton-stratified
+sampling, z-score outliers, readability, footer-stats queries, and the
+Z-order clustered sink. Oracle equivalence is covered by
+tests/test_oracle.py; these pin the operator-specific invariants."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from terasort_spark.catalog import table
+from terasort_spark.registry import queries
+
+_Q = queries()
+
+
+def test_boilerplate_ratio_bounds_and_duplicate_docs_max_out(spark, sf_dir):
+    out = {r["doc_id"]: r for r in _Q["text_boilerplate"](spark, sf_dir).collect()}
+    assert out, "corpus produced no shingled docs"
+    for r in out.values():
+        assert 0.0 <= r["boiler_ratio"] <= 1.0
+        assert r["n_boiler"] <= r["n_shingles"]
+        assert r["keep"] == (r["n_boiler"] / r["n_shingles"] <= 0.5)
+    # non-vacuous on this corpus: some shingles repeat across docs and
+    # some do not (the corpus has no exact-duplicate texts, so a ratio
+    # of exactly 1.0 everywhere would indicate a counting bug)
+    assert any(r["n_boiler"] > 0 for r in out.values())
+    assert any(r["boiler_ratio"] < 1.0 for r in out.values())
+    # Python replay on a sample: a doc's n_boiler equals the count of
+    # its distinct shingles that occur in >= 2 distinct docs
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    texts = {r["doc_id"]: r["text"] for r in d.collect()}
+    sh = {}
+    for did, text in texts.items():
+        toks = [t for t in text.lower().split(" ") if t]
+        sh[did] = {
+            " ".join(toks[i : i + 5]) for i in range(len(toks) - 4)
+        }
+    from collections import Counter
+
+    df_count = Counter(s for ss in sh.values() for s in ss)
+    for did in list(out)[:50]:
+        boiler = sum(1 for s in sh[did] if df_count[s] >= 2)
+        assert out[did]["n_shingles"] == len(sh[did])
+        assert out[did]["n_boiler"] == boiler, (did, boiler)
+
+
+def test_stratified_sample_is_exact_hamilton_allocation(spark, sf_dir):
+    from terasort_spark.operators.quality import _STRAT_TARGET
+
+    docs = [
+        (r["doc_id"], r["lang"])
+        for r in table(spark, sf_dir, "documents").select("doc_id", "lang").collect()
+    ]
+    counts: dict[str, int] = {}
+    for _, lang in docs:
+        counts[lang] = counts.get(lang, 0) + 1
+    total = sum(counts.values())
+    quota = {l: _STRAT_TARGET * n / total for l, n in counts.items()}
+    base = {l: int(quota[l]) for l in counts}
+    leftover = _STRAT_TARGET - sum(base.values())
+    order = sorted(counts, key=lambda l: (-(quota[l] - base[l]), l))
+    alloc = {
+        l: base[l] + (1 if i < leftover else 0) for i, l in enumerate(order)
+    }
+    got = [
+        (r["doc_id"], r["lang"])
+        for r in _Q["sample_stratified_alloc"](spark, sf_dir).collect()
+    ]
+    per_lang: dict[str, int] = {}
+    for _, lang in got:
+        per_lang[lang] = per_lang.get(lang, 0) + 1
+    for l, k in alloc.items():
+        assert per_lang.get(l, 0) == min(k, counts[l]), (l, k, per_lang)
+    if all(counts[l] >= alloc[l] for l in alloc):
+        assert len(got) == _STRAT_TARGET
+
+
+def test_dq_outliers_zscores_match_python(spark, sf_dir):
+    import math
+
+    rows = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    ).collect()
+    stats: dict[str, list[int]] = {}
+    for r in rows:
+        s = stats.setdefault(r["source"], [0, 0, 0])
+        s[0] += 1
+        s[1] += r["n_chars"]
+        s[2] += r["n_chars"] * r["n_chars"]
+    expect = {}
+    for r in rows:
+        n, sm, ss = stats[r["source"]]
+        mu = sm / n
+        sd = math.sqrt(max(ss / n - mu * mu, 1e-12))
+        z = (r["n_chars"] - mu) / sd
+        if abs(z) > 2.0:
+            expect[r["doc_id"]] = z
+    got = {r["doc_id"]: r["z"] for r in _Q["dq_outliers"](spark, sf_dir).collect()}
+    assert set(got) == set(expect), (len(got), len(expect))
+    for did, z in got.items():
+        assert abs(z) > 2.0
+
+
+def test_readability_lix_dominates_word_length(spark, sf_dir):
+    out = _Q["text_readability"](spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert r["n_words"] > 0
+        assert r["lix"] >= r["avg_word_len"] - 1e-9
+        assert 1.0 <= r["avg_word_len"] <= 20.0
+
+
+def test_rowgroup_stats_covers_both_columns(spark, sf_dir):
+    rows = {r["col_name"]: r for r in _Q["scan_rowgroup_stats"](spark, sf_dir).collect()}
+    assert set(rows) == {"doc_id", "n_chars"}
+    d = table(spark, sf_dir, "documents")
+    mm = d.agg(
+        F.min("doc_id"), F.max("doc_id"), F.min("n_chars"), F.max("n_chars")
+    ).first()
+    assert rows["doc_id"]["min_val"] == mm[0] and rows["doc_id"]["max_val"] == mm[1]
+    assert rows["n_chars"]["min_val"] == mm[2] and rows["n_chars"]["max_val"] == mm[3]
+
+
+def test_zorder_sink_files_are_2d_skippable(spark, sf_dir):
+    """The point of the Z-order layout: for the declared 2-D rectangle,
+    parquet footer min/max stats must rule out a majority of the files
+    WITHOUT reading data pages."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    _Q["sink_zorder"](spark, sf_dir).collect()  # materializes the sink
+    out = os.path.join(tempfile.gettempdir(), "terasort_spark_sink_zorder")
+    files = [
+        os.path.join(out, f) for f in os.listdir(out) if f.endswith(".parquet")
+    ]
+    assert len(files) >= 8, files
+    lo_d = datetime.datetime(1995, 1, 1)
+    hi_d = datetime.datetime(1995, 12, 31)
+    eligible = 0
+    for fp in files:
+        md = pq.ParquetFile(fp).metadata
+        ck = dt = None
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            for i in range(rg.num_columns):
+                c = rg.column(i)
+                st = c.statistics
+                if c.path_in_schema == "o_custkey" and st.has_min_max:
+                    ck = (st.min, st.max) if ck is None else (
+                        min(ck[0], st.min), max(ck[1], st.max))
+                if c.path_in_schema == "o_orderdate" and st.has_min_max:
+                    dt = (st.min, st.max) if dt is None else (
+                        min(dt[0], st.min), max(dt[1], st.max))
+        overlap_ck = ck is not None and not (ck[1] < 100 or ck[0] > 400)
+        overlap_dt = dt is not None and not (dt[1] < lo_d or dt[0] > hi_d)
+        if overlap_ck and overlap_dt:
+            eligible += 1
+    assert eligible <= len(files) // 2, (eligible, len(files))
