@@ -551,3 +551,89 @@ def dq_outliers(spark, sf_dir):
         .filter(F.abs(z) > 2.0)
         .select("doc_id", "source", "n_chars", rnd(z, "z"))
     )
+
+
+@register(
+    "events_ab_test",
+    oracle="""
+WITH assigned AS (
+    SELECT event_type, user_id % 2 AS variant, value
+    FROM events WHERE value IS NOT NULL
+),
+moments AS (
+    SELECT event_type, variant,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS s,
+           CAST(sum(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS ss
+    FROM assigned GROUP BY event_type, variant
+),
+pivoted AS (
+    SELECT a.event_type,
+           a.n AS n_a, b.n AS n_b,
+           a.s / a.n AS mean_a, b.s / b.n AS mean_b,
+           (a.ss - a.n * (a.s / a.n) * (a.s / a.n)) / (a.n - 1) AS var_a,
+           (b.ss - b.n * (b.s / b.n) * (b.s / b.n)) / (b.n - 1) AS var_b
+    FROM moments a JOIN moments b USING (event_type)
+    WHERE a.variant = 0 AND b.variant = 1 AND a.n > 1 AND b.n > 1
+)
+SELECT event_type, n_a, n_b,
+       floor(mean_a * 10000 + 0.5) / 10000 AS mean_a,
+       floor(mean_b * 10000 + 0.5) / 10000 AS mean_b,
+       floor((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b)
+             * 10000 + 0.5) / 10000 AS t_welch
+FROM pivoted
+""",
+)
+def events_ab_test(spark, sf_dir):
+    """A/B experiment readout: assign users to variants by a pure
+    function of user_id (the deterministic hash split every experiment
+    platform uses), then per event_type compute each variant's exact
+    moments and the Welch t-statistic. Sums run through exact DECIMAL
+    (value is 6dp-bounded), so means/variances/t are one fixed IEEE
+    expression over identical doubles in both engines.
+
+    Scale: ONE map-combined groupBy keyed by (event_type, variant) —
+    the sufficient-statistics pattern again; the pivot join is over
+    #event_types rows. No windows, no sort, no per-user state."""
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    assigned = ev.select(
+        "event_type", (F.col("user_id") % 2).alias("variant"), "value"
+    )
+    m = assigned.groupBy("event_type", "variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("s"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("ss"),
+    )
+    a = m.filter((F.col("variant") == 0) & (F.col("n") > 1)).select(
+        "event_type",
+        F.col("n").alias("n_a"),
+        F.col("s").alias("s_a"),
+        F.col("ss").alias("ss_a"),
+    )
+    b = m.filter((F.col("variant") == 1) & (F.col("n") > 1)).select(
+        "event_type",
+        F.col("n").alias("n_b"),
+        F.col("s").alias("s_b"),
+        F.col("ss").alias("ss_b"),
+    )
+    mean_a = F.col("s_a") / F.col("n_a")
+    mean_b = F.col("s_b") / F.col("n_b")
+    var_a = (F.col("ss_a") - F.col("n_a") * mean_a * mean_a) / (
+        F.col("n_a") - 1
+    )
+    var_b = (F.col("ss_b") - F.col("n_b") * mean_b * mean_b) / (
+        F.col("n_b") - 1
+    )
+    t = (mean_a - mean_b) / F.sqrt(
+        var_a / F.col("n_a") + var_b / F.col("n_b")
+    )
+    return a.join(b, "event_type").select(
+        "event_type",
+        "n_a",
+        "n_b",
+        rnd(mean_a, "mean_a"),
+        rnd(mean_b, "mean_b"),
+        rnd(t, "t_welch"),
+    )

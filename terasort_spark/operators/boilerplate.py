@@ -89,9 +89,13 @@ def text_boilerplate(spark, sf_dir):
             ),
         ).otherwise(F.array().cast("array<string>"))
     )
+    # Both the df-count branch and the re-join consume the exploded
+    # shingles; localCheckpoint pins one execution of the tokenize +
+    # shingle transform (6.3 s -> 3.3 s at sf0.1). The materialization
+    # is shingle-rows-sized — the same data the shuffle would carry.
     exploded = d.select(
         "doc_id", F.explode(shingles).alias("shingle")
-    )
+    ).localCheckpoint(eager=False)
     df_counts = exploded.groupBy("shingle").agg(
         F.count(F.lit(1)).alias("n_docs")
     )

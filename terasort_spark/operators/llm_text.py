@@ -583,3 +583,84 @@ def text_readability(spark, sf_dir):
         rnd(awl, "avg_word_len"),
         rnd(awl + 100.0 * long_ratio, "lix"),
     )
+
+
+_KEYWORDS_K = 3
+
+
+@register(
+    "text_keywords",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, t AS term FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+        FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    ) WHERE length(t) > 0
+),
+tf AS (
+    SELECT doc_id, term, count(*) AS c FROM tok GROUP BY doc_id, term
+),
+df AS (
+    SELECT term, count(DISTINCT doc_id) AS n_docs FROM tok GROUP BY term
+),
+n AS (SELECT count(DISTINCT doc_id) AS total FROM tok),
+scored AS (
+    SELECT tf.doc_id, tf.term,
+           tf.c * CAST(floor(ln(CAST(n.total AS DOUBLE) / df.n_docs)
+                             * 1000000 + 0.5) AS BIGINT) AS score
+    FROM tf JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+    SELECT doc_id, term, score,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, term) AS rank
+    FROM scored
+)
+SELECT doc_id, term, CAST(rank AS BIGINT) AS rank,
+       floor(CAST(score AS DOUBLE) / 1000000 * 10000 + 0.5) / 10000
+           AS tfidf
+FROM ranked WHERE rank <= {_KEYWORDS_K}
+""",
+)
+def text_keywords(spark, sf_dir):
+    """Per-document keyword extraction: top-{_KEYWORDS_K} terms by
+    TF-IDF (idf quantized to 6dp int64, so score = tf x idf_q6 is an
+    exact integer and the per-doc ranking is engine-invariant with a
+    term tie-break) — the tagging pass that gives a corpus browsable
+    topic handles.
+
+    Scale: tf is one groupBy keyed by (doc_id, term); df one groupBy
+    keyed by term; the constant-k rank filter activates
+    WindowGroupLimit so per-doc window state is k-bounded on the map
+    side. The corpus-size scalar joins in as a broadcast literal."""
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).filter(F.length("term") > 0)
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    df_counts = tok.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    n = tok.agg(F.countDistinct("doc_id").alias("total"))
+    idf_q6 = F.floor(
+        F.log(F.col("total").cast("double") / F.col("n_docs")) * 1000000
+        + F.lit(0.5)
+    ).cast("bigint")
+    scored = (
+        tf.join(df_counts, "term")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "term", (F.col("c") * idf_q6).alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _KEYWORDS_K)
+        .select(
+            "doc_id",
+            "term",
+            F.col("rank").cast("bigint").alias("rank"),
+            rnd(F.col("score").cast("double") / 1000000, "tfidf"),
+        )
+    )

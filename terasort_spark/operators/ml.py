@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import math
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from terasort_spark.catalog import table
@@ -209,3 +210,230 @@ def ml_logreg(spark, sf_dir):
     rows = [(f"w_{c}", q6(w[j])) for j, c in enumerate(FEATS)]
     rows.append(("train_accuracy", q6(acc)))
     return spark.createDataFrame(rows, "name string, value double")
+
+
+NB_SALT_PRIOR = 1  # Laplace +1 smoothing
+
+
+@register(
+    "ml_naivebayes",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id, lang, t AS term FROM (
+        SELECT doc_id, lang,
+               unnest(string_split(lower(text), ' ')) AS t
+        FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    ) WHERE length(t) > 0
+),
+doc_tf AS (
+    SELECT doc_id, term, count(*) AS c_dt FROM tok GROUP BY doc_id, term
+),
+model AS (
+    SELECT lang, term, count(*) AS c FROM tok GROUP BY lang, term
+),
+vocab AS (SELECT count(DISTINCT term) AS v FROM tok),
+totals AS (SELECT lang, count(*) AS n_tok FROM tok GROUP BY lang),
+priors AS (
+    SELECT lang, count(DISTINCT doc_id) AS n_docs,
+           sum(count(DISTINCT doc_id)) OVER () AS total_docs
+    FROM tok GROUP BY lang
+),
+scored AS (
+    SELECT d.doc_id, t.lang AS cand,
+           sum(d.c_dt * CAST(floor(ln((coalesce(m.c, 0) + 1.0)
+                                      / (t.n_tok + vocab.v))
+                                   * 1000000 + 0.5) AS BIGINT)) AS ll
+    FROM doc_tf d
+    CROSS JOIN totals t
+    CROSS JOIN vocab
+    LEFT JOIN model m ON m.lang = t.lang AND m.term = d.term
+    GROUP BY d.doc_id, t.lang, t.n_tok, vocab.v
+),
+with_prior AS (
+    SELECT s.doc_id, s.cand,
+           s.ll + CAST(floor(ln(CAST(p.n_docs AS DOUBLE) / p.total_docs)
+                             * 1000000 + 0.5) AS BIGINT) AS score
+    FROM scored s JOIN priors p ON p.lang = s.cand
+),
+pred AS (
+    SELECT doc_id, cand AS pred_lang,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, cand) AS rk
+    FROM with_prior
+)
+SELECT d.lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n
+FROM pred p JOIN documents d USING (doc_id)
+WHERE p.rk = 1
+GROUP BY d.lang, p.pred_lang
+""",
+)
+def ml_naivebayes(spark, sf_dir):
+    """Multinomial naive Bayes language classifier, trained AND applied
+    in one relational plan: per-(lang, term) Laplace-smoothed
+    log-likelihoods (quantized to 6dp int64 — so per-doc scores are
+    exact integer sums, argmax is engine-invariant with a lang
+    tie-break), log priors from document counts, prediction = argmax
+    over the 5 candidate languages. Output is the confusion matrix —
+    the fastText-style lang-id quality gate a curation pipeline trains
+    on its own corpus.
+
+    Scale: the model is one (lang, term)-keyed groupBy; scoring
+    multiplies per-doc term counts (doc_tf, one groupBy keyed by
+    (doc_id, term)) against the model via an equi-join on term after a
+    5-way candidate expansion (|langs| is a constant, so the expansion
+    is a bounded fan-out, not a cartesian risk); argmax is a window
+    keyed by doc_id. Everything is keyed by high-cardinality
+    (doc_id/term) composites."""
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower("text"), " ")).alias("term"),
+    ).filter(F.length("term") > 0)
+    doc_tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c_dt"))
+    model = tok.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("c"))
+    vocab = tok.agg(F.countDistinct("term").alias("v"))
+    totals = tok.groupBy("lang").agg(F.count(F.lit(1)).alias("n_tok"))
+    priors = tok.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    ).withColumn("total_docs", F.sum("n_docs").over(Window.partitionBy()))
+    cand = totals.crossJoin(vocab)  # 5 rows x 1 row — bounded
+    ll_q6 = F.floor(
+        F.log(
+            (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+            / (F.col("n_tok") + F.col("v"))
+        )
+        * 1000000
+        + F.lit(0.5)
+    ).cast("bigint")
+    scored = (
+        doc_tf.crossJoin(F.broadcast(cand.withColumnRenamed("lang", "cand")))
+        .join(
+            model,
+            (F.col("cand") == model.lang) & (doc_tf.term == model.term),
+            "left",
+        )
+        .groupBy("doc_id", "cand", "n_tok", "v")
+        .agg(F.sum(F.col("c_dt") * ll_q6).alias("ll"))
+    )
+    prior_q6 = F.floor(
+        F.log(F.col("n_docs").cast("double") / F.col("total_docs"))
+        * 1000000
+        + F.lit(0.5)
+    ).cast("bigint")
+    with_prior = scored.join(
+        F.broadcast(priors.select(F.col("lang").alias("cand"), prior_q6.alias("pq"))),
+        "cand",
+    ).select("doc_id", "cand", (F.col("ll") + F.col("pq")).alias("score"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "cand")
+    pred = (
+        with_prior.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("cand").alias("pred_lang"))
+    )
+    return (
+        pred.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+@register(
+    "ml_stump",
+    oracle="""
+WITH hist AS (
+    SELECT n_chars AS x,
+           count(*) AS cnt,
+           sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos
+    FROM documents GROUP BY n_chars
+),
+cum AS (
+    SELECT x,
+           sum(cnt) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS ln_,
+           sum(pos) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS lp,
+           sum(cnt) OVER () AS n,
+           sum(pos) OVER () AS p
+    FROM hist
+),
+splits AS (
+    SELECT x AS threshold, ln_, lp, n - ln_ AS rn_, p - lp AS rp, n
+    FROM cum WHERE ln_ < n
+),
+scored AS (
+    SELECT threshold,
+           (ln_ * (1.0 - (CAST(lp AS DOUBLE) / ln_) * (CAST(lp AS DOUBLE) / ln_)
+                       - (CAST(ln_ - lp AS DOUBLE) / ln_)
+                         * (CAST(ln_ - lp AS DOUBLE) / ln_))
+            + rn_ * (1.0 - (CAST(rp AS DOUBLE) / rn_) * (CAST(rp AS DOUBLE) / rn_)
+                         - (CAST(rn_ - rp AS DOUBLE) / rn_)
+                           * (CAST(rn_ - rp AS DOUBLE) / rn_))) / n AS wgini,
+           ln_, rn_
+    FROM splits
+)
+SELECT CAST(threshold AS BIGINT) AS threshold,
+       floor(wgini * 1000000 + 0.5) / 1000000 AS wgini,
+       CAST(ln_ AS BIGINT) AS n_left, CAST(rn_ AS BIGINT) AS n_right
+FROM scored
+ORDER BY wgini, threshold
+LIMIT 1
+""",
+)
+def ml_stump(spark, sf_dir):
+    """Decision stump (depth-1 tree) on document length predicting
+    lang == 'en', trained ENTIRELY on the feature histogram: candidate
+    thresholds are the distinct n_chars values, per-split class counts
+    come from two running sums over histogram rows, and the best split
+    minimizes weighted Gini (threshold tie-break). This is the
+    histogram-based split search every distributed GBDT implementation
+    (LightGBM/XGBoost-style) uses — the raw corpus contributes ONE
+    map-combined groupBy; the split scan touches #distinct-values rows,
+    never documents.
+
+    Determinism: class counts are exact integers; the Gini expression
+    is one fixed IEEE formula over them, identical in both engines;
+    the global argmin is an ORDER BY ... LIMIT 1 (TakeOrdered) with a
+    total tie-break."""
+    d = table(spark, sf_dir, "documents")
+    hist = d.groupBy(F.col("n_chars").alias("x")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum((F.col("lang") == "en").cast("int")).alias("pos"),
+    )
+    w_cum = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cum = hist.select(
+        "x",
+        F.sum("cnt").over(w_cum).alias("ln_"),
+        F.sum("pos").over(w_cum).alias("lp"),
+        F.sum("cnt").over(w_all).alias("n"),
+        F.sum("pos").over(w_all).alias("p"),
+    )
+    splits = cum.filter(F.col("ln_") < F.col("n")).select(
+        F.col("x").alias("threshold"),
+        "ln_",
+        "lp",
+        (F.col("n") - F.col("ln_")).alias("rn_"),
+        (F.col("p") - F.col("lp")).alias("rp"),
+        "n",
+    )
+
+    def gini(nn, pp):
+        pr = pp.cast("double") / nn
+        qr = (nn - pp).cast("double") / nn
+        return 1.0 - pr * pr - qr * qr
+
+    wgini = (
+        F.col("ln_") * gini(F.col("ln_"), F.col("lp"))
+        + F.col("rn_") * gini(F.col("rn_"), F.col("rp"))
+    ) / F.col("n")
+    return (
+        splits.select(
+            F.col("threshold").cast("bigint").alias("threshold"),
+            (F.floor(wgini * 1000000 + F.lit(0.5)) / 1000000).alias("wgini"),
+            F.col("ln_").cast("bigint").alias("n_left"),
+            F.col("rn_").cast("bigint").alias("n_right"),
+        )
+        .orderBy("wgini", "threshold")
+        .limit(1)
+    )

@@ -370,3 +370,11 @@ def test_stratified_sample_bounds_rank_window_map_side(spark, sf_dir):
     any corpus size."""
     plan = executed_plan(_Q["sample_stratified_alloc"](spark, sf_dir))
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_keywords_topk_bounds_window_map_side(spark, sf_dir):
+    """text_keywords' constant rank <= K filter must activate
+    WindowGroupLimit — per-doc window state is K-bounded before the
+    shuffle."""
+    plan = executed_plan(_Q["text_keywords"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan

@@ -163,3 +163,84 @@ def test_zorder_sink_files_are_2d_skippable(spark, sf_dir):
         if overlap_ck and overlap_dt:
             eligible += 1
     assert eligible <= len(files) // 2, (eligible, len(files))
+
+
+def test_naivebayes_confusion_matrix_partitions_corpus(spark, sf_dir):
+    rows = _Q["ml_naivebayes"](spark, sf_dir).collect()
+    assert rows
+    langs = {
+        r["lang"]
+        for r in table(spark, sf_dir, "documents").select("lang").distinct().collect()
+    }
+    n_docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        .count()
+    )
+    assert sum(r["n"] for r in rows) == n_docs
+    for r in rows:
+        assert r["lang"] in langs and r["pred_lang"] in langs
+        assert r["n"] > 0
+
+
+def test_stump_minimizes_weighted_gini_over_histogram(spark, sf_dir):
+    row = _Q["ml_stump"](spark, sf_dir).collect()
+    assert len(row) == 1
+    row = row[0]
+    docs = table(spark, sf_dir, "documents").select("n_chars", "lang").collect()
+    n = len(docs)
+    assert row["n_left"] + row["n_right"] == n
+    assert 0.0 <= row["wgini"] <= 0.5 + 1e-9
+
+    def wgini_at(t):
+        ln_ = sum(1 for d in docs if d["n_chars"] <= t)
+        lp = sum(1 for d in docs if d["n_chars"] <= t and d["lang"] == "en")
+        rn = n - ln_
+        rp = sum(1 for d in docs if d["lang"] == "en") - lp
+        if ln_ == 0 or rn == 0:
+            return None
+
+        def g(nn, pp):
+            pr, qr = pp / nn, (nn - pp) / nn
+            return 1.0 - pr * pr - qr * qr
+
+        return (ln_ * g(ln_, lp) + rn * g(rn, rp)) / n
+
+    xs = sorted({d["n_chars"] for d in docs})
+    best = min(w for w in (wgini_at(t) for t in xs) if w is not None)
+    assert abs(row["wgini"] - best) < 2e-6, (row["wgini"], best)
+
+
+def test_ab_test_welch_t_matches_python(spark, sf_dir):
+    import math
+
+    rows = {r["event_type"]: r for r in _Q["events_ab_test"](spark, sf_dir).collect()}
+    assert rows
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull()).select(
+        "event_type", "user_id", "value"
+    ).collect()
+    by = {}
+    for r in ev:
+        by.setdefault((r["event_type"], r["user_id"] % 2), []).append(r["value"])
+    for et, row in rows.items():
+        va, vb = by[(et, 0)], by[(et, 1)]
+        assert row["n_a"] == len(va) and row["n_b"] == len(vb)
+        ma, mb = sum(va) / len(va), sum(vb) / len(vb)
+        s2a = sum((x - ma) ** 2 for x in va) / (len(va) - 1)
+        s2b = sum((x - mb) ** 2 for x in vb) / (len(vb) - 1)
+        t = (ma - mb) / math.sqrt(s2a / len(va) + s2b / len(vb))
+        assert abs(row["t_welch"] - t) < 5e-3, (et, row["t_welch"], t)
+
+
+def test_keywords_topk_per_doc_ordered(spark, sf_dir):
+    rows = _Q["text_keywords"](spark, sf_dir).collect()
+    assert rows
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    for did, rs in per_doc.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 3
+        for a, b in zip(rs, rs[1:]):
+            assert a["tfidf"] >= b["tfidf"] - 1e-9
