@@ -320,71 +320,3 @@ def scan_rowgroup_stats(spark, sf_dir):
     return spark.createDataFrame(
         rows, "col_name string, n_nulls bigint, min_val bigint, max_val bigint"
     )
-
-
-def _z_interleave(k1: str, k2: str, shl: str = "<<", shr: str = ">>") -> str:
-    """16+16-bit Morton (Z-order) interleave as a flat SQL expression —
-    identical text works in Spark SQL and DuckDB (both support & << >>).
-    k1 occupies odd bit positions, k2 even."""
-    terms = []
-    for i in range(16):
-        terms.append(f"((({k1} {shr} {i}) & 1) {shl} {2 * i + 1})")
-        terms.append(f"((({k2} {shr} {i}) & 1) {shl} {2 * i})")
-    return "(" + " + ".join(terms) + ")"
-
-
-_Z_K1 = "(o_custkey & 65535)"
-_Z_K2_DUCK = "(date_diff('day', DATE '1992-01-01', o_orderdate) & 65535)"
-_Z_K2_SPARK = "(datediff(o_orderdate, DATE '1992-01-01') & 65535)"
-_Z_RECT = (
-    "o_custkey BETWEEN 100 AND 400 "
-    "AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' "
-    "AND TIMESTAMP '1995-12-31'"
-)
-
-
-@register(
-    "sink_zorder",
-    oracle=f"""
-SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
-       CAST({_z_interleave(_Z_K1, _Z_K2_DUCK)} AS BIGINT) AS zval
-FROM orders
-WHERE {_Z_RECT}
-""",
-)
-def sink_zorder(spark, sf_dir):
-    """Z-order (Morton-curve) clustered sink: interleave the bits of
-    the two most-queried dimensions (customer key, order date) into one
-    cluster key, range-partition + sort the table by it, and write —
-    rows close in BOTH dimensions land in the same files, so parquet
-    min/max row-group stats become selective for rectangle predicates
-    on either or both columns (a 1-D sort only skips on its own
-    column). The declared query re-reads the z-ordered sink and runs a
-    2-D rectangle filter; the oracle computes the same rows + z-values
-    straight from the source table, so the clustering write provably
-    changes LAYOUT, never answers. tests/test_scale_patterns.py reads
-    the written footers and asserts most files are skippable for the
-    rectangle — the actual 100 TB payoff.
-
-    Scale: the z-value is 64 stateless bit ops in scan-stage codegen;
-    the clustering itself is one range exchange (same cost class as any
-    sorted write); queries after that are scan-only with 2-D skipping."""
-    out = os.path.join(tempfile.gettempdir(), "terasort_spark_sink_zorder")
-    shutil.rmtree(out, ignore_errors=True)
-    o = table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
-    )
-    z = F.expr(_z_interleave(_Z_K1, _Z_K2_SPARK)).cast("bigint")
-    clustered = o.withColumn("zval", z)
-    (
-        clustered.repartitionByRange(16, "zval")
-        .sortWithinPartitions("zval")
-        .write.mode("overwrite")
-        .parquet(out)
-    )
-    # explicit schema: an all-empty corpus writes no data files
-    return spark.read.schema(clustered.schema).parquet(out).filter(
-        F.expr(_Z_RECT)
-    ).select(
-        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice", "zval"
-    )

@@ -127,44 +127,6 @@ def test_rowgroup_stats_covers_both_columns(spark, sf_dir):
     assert rows["n_chars"]["min_val"] == mm[2] and rows["n_chars"]["max_val"] == mm[3]
 
 
-def test_zorder_sink_files_are_2d_skippable(spark, sf_dir):
-    """The point of the Z-order layout: for the declared 2-D rectangle,
-    parquet footer min/max stats must rule out a majority of the files
-    WITHOUT reading data pages."""
-    import datetime
-
-    import pyarrow.parquet as pq
-
-    _Q["sink_zorder"](spark, sf_dir).collect()  # materializes the sink
-    out = os.path.join(tempfile.gettempdir(), "terasort_spark_sink_zorder")
-    files = [
-        os.path.join(out, f) for f in os.listdir(out) if f.endswith(".parquet")
-    ]
-    assert len(files) >= 8, files
-    lo_d = datetime.datetime(1995, 1, 1)
-    hi_d = datetime.datetime(1995, 12, 31)
-    eligible = 0
-    for fp in files:
-        md = pq.ParquetFile(fp).metadata
-        ck = dt = None
-        for g in range(md.num_row_groups):
-            rg = md.row_group(g)
-            for i in range(rg.num_columns):
-                c = rg.column(i)
-                st = c.statistics
-                if c.path_in_schema == "o_custkey" and st.has_min_max:
-                    ck = (st.min, st.max) if ck is None else (
-                        min(ck[0], st.min), max(ck[1], st.max))
-                if c.path_in_schema == "o_orderdate" and st.has_min_max:
-                    dt = (st.min, st.max) if dt is None else (
-                        min(dt[0], st.min), max(dt[1], st.max))
-        overlap_ck = ck is not None and not (ck[1] < 100 or ck[0] > 400)
-        overlap_dt = dt is not None and not (dt[1] < lo_d or dt[0] > hi_d)
-        if overlap_ck and overlap_dt:
-            eligible += 1
-    assert eligible <= len(files) // 2, (eligible, len(files))
-
-
 def test_naivebayes_confusion_matrix_partitions_corpus(spark, sf_dir):
     rows = _Q["ml_naivebayes"](spark, sf_dir).collect()
     assert rows
