@@ -165,6 +165,24 @@ _GRADE_FIRST = (
     "events_funnel", "events_retention", "events_rfm", "events_anomaly",
     "text_vocab_coverage", "emb_norm_stats", "text_tfidf", "text_tokens",
     "etl_upsert", "etl_scd2", "ml_linreg",
+    # Round-6 pin: the 39 queries declared before round 6 but never
+    # driver-graded (VERDICT r5 "What's missing" #1). Listing them here
+    # guarantees they hold rotation slots 1-39 regardless of how many
+    # NEW round-6 queries register in earlier modules — the ~50-row
+    # budget must land on this backlog first. (All already sit in the
+    # ungraded front; this pin just makes the order edit-proof.)
+    "ts_interpolate", "pipeline_pretrain_funnel", "events_attribution",
+    "agg_weighted_percentile", "agg_entropy", "fn_variant", "sql_pipe",
+    "fn_collate", "source_xml", "text_chunk", "dedup_chunk",
+    "sim_cosine_mrl", "agg_sketch_rollup", "join_bloom",
+    "join_range_binned", "events_transitions", "profile_table",
+    "dq_expectations", "text_bm25", "sim_tfidf_cosine",
+    "dedup_incremental", "split_dataset", "sample_weighted",
+    "scan_zorder", "sim_containment", "fn_geo", "join_spatial_grid",
+    "text_bpe_train", "text_bpe_encode", "scan_changefeed",
+    "ivm_incremental_agg", "sink_merge", "ml_logreg",
+    "sim_join_autoplan", "text_ccnet_bucket", "dedup_soft",
+    "sample_temperature", "scan_timetravel", "ml_kfold",
 )
 
 
