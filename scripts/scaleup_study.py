@@ -76,6 +76,18 @@ MEASURED = {
     "sim_join_autoplan": ("documents",),
     "sink_merge": ("orders",),
     "scan_timetravel": ("orders",),
+    # round-6 wave (added r6)
+    "text_boilerplate": ("documents",),
+    "text_keywords": ("documents",),
+    "text_readability": ("documents",),
+    "ml_naivebayes": ("documents",),
+    "ml_stump": ("documents",),
+    "dq_outliers": ("documents",),
+    "sample_stratified_alloc": ("documents",),
+    "events_ab_test": ("events",),
+    "win_gaps_islands": ("events",),
+    "pipeline_rag_retrieval": ("documents",),
+    "sink_bucketed": ("orders", "lineitem"),
 }
 
 OFFSETS = {  # per-copy id offsets, far above any base id

@@ -75,6 +75,7 @@ _OPERATOR_MODULES = (
     "terasort_spark.plans.similarity_rewrite",
     "terasort_spark.operators.quality",
     "terasort_spark.operators.boilerplate",
+    "terasort_spark.operators.rag",
 )
 
 _loaded = False
