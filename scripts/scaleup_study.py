@@ -142,6 +142,11 @@ def timed(fn, *args):
 
 
 def main() -> None:
+    global MEASURED
+    only = os.environ.get("SCALEUP_ONLY")
+    if only:  # comma-separated subset, e.g. for re-measuring one wave
+        keep = {q.strip() for q in only.split(",")}
+        MEASURED = {k: v for k, v in MEASURED.items() if k in keep}
     spark = get_spark(app_name="terasort-spark-scaleup")
     spark.sparkContext.setLogLevel("ERROR")
     qs = queries()
@@ -154,6 +159,8 @@ def main() -> None:
             t = timed(lambda: qs[name](spark, d).collect())
             results.setdefault(name, {})[k] = t
             print(json.dumps({"query": name, "scale": k, "sec": t}), flush=True)
+        if only:
+            continue  # subset runs skip the terasort row
         # terasort scales by generated row count, not table files
         n = 1_000_000 * k
         t = timed(
