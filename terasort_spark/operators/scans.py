@@ -279,7 +279,7 @@ def scan_rowgroup_stats(spark, sf_dir):
     statistics alone — zero data pages read, zero Spark jobs. The
     oracle recomputes the same numbers by scanning the data, so a hash
     match PROVES the footer stats are faithful — the property every
-    data-skipping decision (min/max pruning, sink_zorder) silently
+    data-skipping decision (min/max pruning, scan_zorder) silently
     relies on. At 100 TB this is the difference between a catalog
     lookup and a full scan for COUNT/MIN/MAX-shaped queries.
 
