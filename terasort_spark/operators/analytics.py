@@ -637,3 +637,68 @@ def events_ab_test(spark, sf_dir):
         rnd(mean_b, "mean_b"),
         rnd(t, "t_welch"),
     )
+
+
+@register(
+    "agg_gini",
+    oracle="""
+WITH hist AS (
+    SELECT source, n_chars AS v, count(*) AS c
+    FROM documents GROUP BY source, n_chars
+),
+cum AS (
+    SELECT source, v, c,
+           sum(v * c) OVER (PARTITION BY source ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS s
+    FROM hist
+),
+agg AS (
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n,
+           CAST(sum(v * c) AS BIGINT) AS w,
+           CAST(sum(c * (2 * s - v * c)) AS BIGINT) AS t
+    FROM cum GROUP BY source
+)
+SELECT source, n AS n_docs,
+       floor((1.0 - CAST(t AS DOUBLE) / (CAST(n AS DOUBLE) * w))
+             * 1000000 + 0.5) / 1000000 AS gini
+FROM agg
+""",
+)
+def agg_gini(spark, sf_dir):
+    """Gini coefficient of the document-length distribution per source
+    (Lorenz-curve trapezoid form) — the inequality diagnostic that
+    catches a source mixing a few giant concatenated pages into a sea
+    of stubs even when the mean looks normal.
+
+    Scale (histogram pattern): lengths aggregate to a per-(source, v)
+    histogram first, the Lorenz running sum runs over HISTOGRAM rows
+    (bounded distinct lengths per source, never raw documents — the
+    de-skew discipline from text_ccnet_bucket), and the trapezoid sum
+    T = Σ c·(2S − v·c) stays exact int64, so the only float op is the
+    final 1 − T/(n·W) division — engine- and partitioning-invariant."""
+    d = table(spark, sf_dir, "documents")
+    hist = d.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("s", F.sum(F.col("v") * F.col("c")).over(w_cum))
+    agg = cum.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("v") * F.col("c")).cast("bigint").alias("w"),
+        F.sum(
+            F.col("c") * (2 * F.col("s") - F.col("v") * F.col("c"))
+        ).cast("bigint").alias("t"),
+    )
+    gini = F.lit(1.0) - F.col("t").cast("double") / (
+        F.col("n").cast("double") * F.col("w")
+    )
+    return agg.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        (F.floor(gini * 1000000 + F.lit(0.5)) / 1000000).alias("gini"),
+    )

@@ -111,3 +111,81 @@ def text_boilerplate(spark, sf_dir):
             (ratio <= F.lit(KEEP_MAX_RATIO)).alias("keep"),
         )
     )
+
+
+@register(
+    "text_novelty",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split(lower(text), ' '), t -> length(t) > 0)
+               AS toks
+    FROM documents WHERE text IS NOT NULL AND length(text) > 0
+),
+shingled AS (
+    SELECT doc_id,
+           list_distinct(
+               CASE WHEN len(toks) >= {SHINGLE}
+                    THEN list_transform(
+                        generate_series(1, len(toks) - {SHINGLE - 1}),
+                        i -> array_to_string(toks[i:i + {SHINGLE - 1}], ' '))
+                    ELSE [] END) AS shingles
+    FROM toks
+),
+exploded AS (
+    SELECT doc_id, unnest(shingles) AS shingle FROM shingled
+),
+firsts AS (
+    SELECT shingle, min(doc_id) AS first_doc FROM exploded GROUP BY shingle
+)
+SELECT e.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       floor(CAST(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*) * 10000 + 0.5) / 10000 AS novelty
+FROM exploded e JOIN firsts f USING (shingle)
+GROUP BY e.doc_id
+""",
+)
+def text_novelty(spark, sf_dir):
+    """Content-novelty curve: for each document (in doc_id ingestion
+    order), the share of its distinct 5-token shingles whose FIRST
+    corpus occurrence is this document — the running-originality signal
+    a streaming-ingest pipeline tracks to detect when a crawl source
+    has gone stale (novelty collapsing toward 0 means everything
+    arriving was already seen). The dual of text_boilerplate: that one
+    scores corpus-wide repetition, this one attributes each shingle to
+    its earliest document.
+
+    Scale: identical shape to text_boilerplate — one groupBy keyed by
+    shingle (min instead of count), one equi-join back, one per-doc
+    rollup. min(doc_id) is order-insensitive, so no sort and no
+    sequential dependency despite the 'in ingestion order' semantics."""
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    toks = F.filter(F.split(F.lower("text"), " "), lambda t: F.length(t) > 0)
+    shingles = F.array_distinct(
+        F.when(
+            F.size(toks) >= SHINGLE,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (SHINGLE - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, SHINGLE)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+    exploded = d.select(
+        "doc_id", F.explode(shingles).alias("shingle")
+    ).localCheckpoint(eager=False)
+    firsts = exploded.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    is_novel = (F.col("first_doc") == F.col("doc_id")).cast("int")
+    return (
+        exploded.join(firsts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(is_novel).cast("bigint").alias("n_novel"),
+            rnd(F.sum(is_novel).cast("double") / F.count(F.lit(1)), "novelty"),
+        )
+    )

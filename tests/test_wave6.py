@@ -206,3 +206,55 @@ def test_keywords_topk_per_doc_ordered(spark, sf_dir):
         assert len(rs) <= 3
         for a, b in zip(rs, rs[1:]):
             assert a["tfidf"] >= b["tfidf"] - 1e-9
+
+
+def test_novelty_is_boilerplates_dual(spark, sf_dir):
+    """Every shingle is novel in exactly ONE document, so total novel
+    shingles == distinct shingles corpus-wide; the earliest doc of any
+    duplicate pair scores the shingle, the later one doesn't."""
+    out = {r["doc_id"]: r for r in _Q["text_novelty"](spark, sf_dir).collect()}
+    assert out
+    boiler = {r["doc_id"]: r for r in _Q["text_boilerplate"](spark, sf_dir).collect()}
+    assert set(out) == set(boiler)
+    for did, r in out.items():
+        assert r["n_novel"] <= r["n_shingles"]
+        assert r["n_shingles"] == boiler[did]["n_shingles"]
+    # Python replay: total novel shingles == distinct shingles corpus-wide
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        .collect()
+    }
+    all_shingles = set()
+    for text in texts.values():
+        toks = [t for t in text.lower().split(" ") if t]
+        all_shingles.update(
+            " ".join(toks[i : i + 5]) for i in range(len(toks) - 4)
+        )
+    assert sum(r["n_novel"] for r in out.values()) == len(all_shingles)
+    # the first doc (doc_id min) is 100% novel by construction
+    first = min(out)
+    assert out[first]["novelty"] == 1.0
+
+
+def test_gini_bounds_and_python_replay(spark, sf_dir):
+    rows = {r["source"]: r for r in _Q["agg_gini"](spark, sf_dir).collect()}
+    assert rows
+    data = {}
+    for r in table(spark, sf_dir, "documents").select("source", "n_chars").collect():
+        data.setdefault(r["source"], []).append(r["n_chars"])
+    assert set(rows) == set(data)
+    for src, vals in data.items():
+        vals.sort()
+        n, w = len(vals), sum(vals)
+        s = 0
+        t = 0
+        for v in vals:
+            s += v
+            t += 2 * s - v
+        g = 1.0 - t / (n * w)
+        got = rows[src]
+        assert got["n_docs"] == n
+        assert abs(got["gini"] - g) < 2e-6, (src, got["gini"], g)
+        assert 0.0 <= got["gini"] < 1.0
