@@ -88,6 +88,8 @@ MEASURED = {
     "win_gaps_islands": ("events",),
     "pipeline_rag_retrieval": ("documents",),
     "sink_bucketed": ("orders", "lineitem"),
+    "text_novelty": ("documents",),
+    "agg_gini": ("documents",),
 }
 
 OFFSETS = {  # per-copy id offsets, far above any base id
