@@ -702,3 +702,85 @@ def agg_gini(spark, sf_dir):
         F.col("n").alias("n_docs"),
         (F.floor(gini * 1000000 + F.lit(0.5)) / 1000000).alias("gini"),
     )
+
+
+@register(
+    "text_zipf_fit",
+    oracle="""
+WITH counts AS (
+    SELECT word, count(*) AS n FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS word
+        FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    ) WHERE word <> '' GROUP BY word
+),
+pts AS (
+    SELECT floor(ln(CAST(row_number() OVER (ORDER BY n DESC, word)
+                         AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS x,
+           floor(ln(CAST(n AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS y
+    FROM counts
+),
+s AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n,
+           CAST(sum(CAST(x AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+           CAST(sum(CAST(y AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+           CAST(sum(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+           CAST(sum(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+    FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_vocab,
+       floor(-((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 10000 + 0.5)
+           / 10000 AS zipf_s,
+       floor((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+             * 10000 + 0.5) / 10000 AS log_c
+FROM s
+""",
+)
+def text_zipf_fit(spark, sf_dir):
+    """Zipf-law fit of the corpus vocabulary: OLS of log(freq) on
+    log(rank) over the frequency-ranked vocab, reporting the Zipf
+    exponent s (natural language sits near 1; template spam or
+    tokenizer bugs push it far off) and the intercept — the
+    distributional health check next to text_vocab_coverage's
+    coverage curve.
+
+    Scale: word counts are one map-combined shuffle; the rank window
+    and the regression run over the VOCAB histogram (distinct words,
+    not the token stream) — the bounded-input window precedent of
+    text_vocab_coverage. Log points are 6dp-quantized and summed as
+    exact DECIMAL (ml_linreg's sufficient-statistics discipline), so
+    the fitted line is one fixed IEEE expression in both engines."""
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    counts = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rank = F.row_number().over(Window.orderBy(F.col("n").desc(), "word"))
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    pts = counts.select(
+        q6(F.log(rank.cast("double"))).alias("x"),
+        q6(F.log(F.col("n").cast("double"))).alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast(DEC)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(DEC)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return s.select(
+        F.col("n").cast("bigint").alias("n_vocab"),
+        rnd(-slope, "zipf_s"),
+        rnd(intercept, "log_c"),
+    )

@@ -258,3 +258,23 @@ def test_gini_bounds_and_python_replay(spark, sf_dir):
         assert got["n_docs"] == n
         assert abs(got["gini"] - g) < 2e-6, (src, got["gini"], g)
         assert 0.0 <= got["gini"] < 1.0
+
+
+def test_zipf_exponent_is_plausible_and_rank1_is_top_word(spark, sf_dir):
+    row = _Q["text_zipf_fit"](spark, sf_dir).collect()
+    assert len(row) == 1
+    r = row[0]
+    vocab = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .where(F.col("w") != "")
+        .select("w")
+        .distinct()
+        .count()
+    )
+    assert r["n_vocab"] == vocab
+    # the synthetic corpus is near-uniform over a tiny vocab, so s is
+    # small but the fit must still be finite and non-negative-ish
+    assert -1.0 < r["zipf_s"] < 3.0
+    assert r["log_c"] > 0.0
