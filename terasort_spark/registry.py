@@ -184,6 +184,14 @@ _GRADE_FIRST = (
     "ivm_incremental_agg", "sink_merge", "ml_logreg",
     "sim_join_autoplan", "text_ccnet_bucket", "dedup_soft",
     "sample_temperature", "scan_timetravel", "ml_kfold",
+    # Round-6 additions, highest-evidence-value first: with ~50 rows
+    # per round and 39 backlog slots ahead, the tail of this list may
+    # spill to round 7 — put the flagship-adjacent operators first.
+    "pipeline_rag_retrieval", "sink_bucketed", "text_boilerplate",
+    "ml_naivebayes", "ml_stump", "text_novelty",
+    "sample_stratified_alloc", "agg_gini", "events_ab_test",
+    "dq_outliers", "text_keywords", "text_readability",
+    "scan_rowgroup_stats", "win_gaps_islands", "text_zipf_fit",
 )
 
 
