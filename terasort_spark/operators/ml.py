@@ -289,15 +289,33 @@ def ml_naivebayes(spark, sf_dir):
     )
     tok = d.select(
         "doc_id",
-        "lang",
         F.explode(F.split(F.lower("text"), " ")).alias("term"),
     ).filter(F.length("term") > 0)
-    doc_tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c_dt"))
-    model = tok.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("c"))
-    vocab = tok.agg(F.countDistinct("term").alias("v"))
-    totals = tok.groupBy("lang").agg(F.count(F.lit(1)).alias("n_tok"))
-    priors = tok.groupBy("lang").agg(
-        F.countDistinct("doc_id").alias("n_docs")
+    # ONE tokenization pass: doc_tf is checkpointed and every other
+    # model statistic (per-lang term counts, totals, vocab size, doc
+    # priors) derives from it plus the narrow (doc_id, lang) scan —
+    # instead of five independent re-tokenizations of the corpus
+    # (16 exchanges -> 10, one corpus pass at 100 TB).
+    doc_tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c_dt"))
+        .localCheckpoint(eager=False)
+    )
+    dl = d.select("doc_id", "lang")
+    model = (
+        doc_tf.join(dl, "doc_id")
+        .groupBy("lang", "term")
+        .agg(F.sum("c_dt").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    vocab = model.agg(F.countDistinct("term").alias("v"))
+    totals = model.groupBy("lang").agg(F.sum("c").alias("n_tok"))
+    priors = (
+        doc_tf.select("doc_id")
+        .distinct()
+        .join(dl, "doc_id")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
     ).withColumn("total_docs", F.sum("n_docs").over(Window.partitionBy()))
     cand = totals.crossJoin(vocab)  # 5 rows x 1 row — bounded
     ll_q6 = F.floor(
