@@ -51,6 +51,15 @@ class Engine:
     def oracle(self, name: str) -> str | None:
         return registry.oracle_sql().get(name)
 
+    def explain(self, name: str, mode: str = "formatted") -> str:
+        """Physical plan of a registered query as a string — the audit
+        surface scripts/gen_plans.py and tests/test_plans.py consume
+        (modes: 'simple' | 'extended' | 'formatted' | 'cost')."""
+        df = self.query(name)
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), mode
+        )
+
     # -- terasort module -------------------------------------------------
     def teragen(self, n_rows: int, n_partitions: int = 32) -> DataFrame:
         from terasort_spark.sources.teragen import teragen

@@ -128,3 +128,12 @@ def test_grading_rotation_fronts_ungraded_queries():
     for name, row in latest.items():
         if name in pos and not row.get("hash_match") and row.get("err") != "no_oracle":
             assert name not in graded, f"{name}: failed row must re-front"
+
+
+def test_engine_explain_returns_plan_text(spark, sf_dir):
+    from terasort_spark import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    plan = eng.explain("agg_group")
+    assert "HashAggregate" in plan and "Scan parquet" in plan
+    assert "Scan parquet" in eng.explain("scan_project", mode="simple")
