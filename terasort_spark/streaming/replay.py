@@ -69,13 +69,23 @@ def run_to_memory(
     output_mode: str,
     stagers,
     spark: SparkSession,
+    _attempt: int = 0,
 ):
     """Start the query on a memory sink, release chunks one at a time
     (processing all available work between arrivals so watermarks advance
-    deterministically), then stop and return the sink table."""
+    deterministically), then stop and return the sink table.
+
+    One automatic retry on a transient streaming failure: under a
+    heavily loaded suite the zero-interval trigger can occasionally die
+    mid-replay (observed once in r5 and once in r6, different tests,
+    both green in isolation). Staging is idempotent (overwrite +
+    rename), so the retry restarts a FRESH query (new sink table) and
+    re-releases every chunk; a deterministic failure still fails —
+    the retry fires at most once and re-raises."""
+    qname = name if _attempt == 0 else f"{name}_retry{_attempt}"
     q = (
         stream_df.writeStream.format("memory")
-        .queryName(name)
+        .queryName(qname)
         .outputMode(output_mode)
         .trigger(processingTime="0 seconds")
         .start()
@@ -84,6 +94,20 @@ def run_to_memory(
         for stage in stagers:
             stage()
             q.processAllAvailable()
+    except Exception as exc:
+        q.stop()
+        if _attempt >= 1:
+            raise
+        import sys
+
+        print(
+            f"[replay] transient streaming failure in {name!r}: {exc!r} "
+            "— retrying once with a fresh query",
+            file=sys.stderr,
+        )
+        return run_to_memory(
+            stream_df, name, output_mode, stagers, spark, _attempt + 1
+        )
     finally:
         q.stop()
-    return spark.table(name)
+    return spark.table(qname)
