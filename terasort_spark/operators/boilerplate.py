@@ -189,3 +189,50 @@ def text_novelty(spark, sf_dir):
             rnd(F.sum(is_novel).cast("double") / F.count(F.lit(1)), "novelty"),
         )
     )
+
+
+@register("text_compression_ratio")  # zlib has no SQL twin → rows-only
+def text_compression_ratio(spark, sf_dir):
+    """Gopher-style compressibility quality signal: per document, the
+    zlib-compressed size over the raw UTF-8 size. Near-zero ratios mean
+    degenerate repetition (a keep/drop input alongside text_repetition
+    and text_boilerplate); ratios near 1 mean high-entropy noise —
+    both tails get filtered in a Gopher/RefinedWeb-style pipeline.
+
+    Rows-only by declared design: DuckDB has no zlib scalar, so there
+    is no SQL oracle — determinism is pinned instead by
+    tests/test_wave6.py (zlib level 6 output is a pure function of the
+    bytes, so ratios are identical across reruns and partitionings).
+
+    Scale: an Arrow-batched pandas UDF (the sanctioned Python path) in
+    the scan stage — no shuffle at all; the UDF is CPU-bound per byte,
+    exactly the work profile that scales linearly with executors."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _ratios(texts):
+        import zlib
+
+        def ratio(t):
+            if t is None:
+                return None
+            raw = t.encode("utf-8")
+            if not raw:
+                return None
+            return round(len(zlib.compress(raw, 6)) / len(raw), 4)
+
+        return texts.map(ratio)
+
+    comp_ratio = pandas_udf(_ratios, "double")
+
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    out = d.select(
+        "doc_id",
+        F.col("n_chars"),
+        comp_ratio(F.col("text")).alias("comp_ratio"),
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("comp_ratio") > 0.08) & (F.col("comp_ratio") < 1.05),
+    )

@@ -278,3 +278,32 @@ def test_zipf_exponent_is_plausible_and_rank1_is_top_word(spark, sf_dir):
     # small but the fit must still be finite and non-negative-ish
     assert -1.0 < r["zipf_s"] < 3.0
     assert r["log_c"] > 0.0
+
+
+def test_compression_ratio_is_deterministic_and_sane(spark, sf_dir):
+    import zlib
+
+    rows = {r["doc_id"]: r for r in _Q["text_compression_ratio"](spark, sf_dir).collect()}
+    assert rows
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        .collect()
+    }
+    assert set(rows) == set(texts)
+    for did, r in rows.items():
+        raw = texts[did].encode("utf-8")
+        expect = round(len(zlib.compress(raw, 6)) / len(raw), 4)
+        assert r["comp_ratio"] == expect, (did, r["comp_ratio"], expect)
+        assert 0.0 < r["comp_ratio"] <= 1.2
+    # repartitioning must not change a single ratio (pure function)
+    again = {
+        r["doc_id"]: r["comp_ratio"]
+        for r in _Q["text_compression_ratio"](spark, sf_dir).collect()
+    }
+    assert again == {k: v["comp_ratio"] for k, v in rows.items()}
+    # highly repetitive text compresses harder than varied text on avg
+    import statistics
+
+    assert statistics.mean(v["comp_ratio"] for v in rows.values()) < 1.0
