@@ -90,6 +90,9 @@ MEASURED = {
     "sink_bucketed": ("orders", "lineitem"),
     "text_novelty": ("documents",),
     "agg_gini": ("documents",),
+    "ml_auc": ("documents",),
+    "text_dsir_weights": ("documents",),
+    "topk_skyline": ("part",),
 }
 
 OFFSETS = {  # per-copy id offsets, far above any base id
@@ -98,6 +101,7 @@ OFFSETS = {  # per-copy id offsets, far above any base id
     "events": ("event_id", 1_000_000_000),
     "lineitem": ("l_orderkey", 100_000_000),
     "orders": ("o_orderkey", 100_000_000),
+    "part": ("p_partkey", 100_000_000),
 }
 
 

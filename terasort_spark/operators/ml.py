@@ -24,6 +24,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from terasort_spark.catalog import table
+from terasort_spark.operators._util import rnd
 from terasort_spark.registry import register
 
 LR = 2.0
@@ -454,4 +455,82 @@ def ml_stump(spark, sf_dir):
         )
         .orderBy("wgini", "threshold")
         .limit(1)
+    )
+
+
+_AUC_STOPS = ("the", "and", "of", "to", "a", "in", "is", "it")
+_AUC_STOPS_SQL = "['" + "','".join(_AUC_STOPS) + "']"
+
+
+@register(
+    "ml_auc",
+    oracle=f"""
+WITH scored AS (
+    SELECT CAST(floor(
+               CAST(len(list_filter(string_split(lower(text), ' '),
+                        w -> list_contains({_AUC_STOPS_SQL}, w))) AS DOUBLE)
+               / len(list_filter(string_split(lower(text), ' '), w -> w <> ''))
+               * 10000 + 0.5) AS BIGINT) AS s,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+    FROM documents
+    WHERE text IS NOT NULL AND length(text) > 0
+      AND len(list_filter(string_split(lower(text), ' '), w -> w <> '')) > 0
+),
+hist AS (
+    SELECT s, sum(y) AS n1, count(*) - sum(y) AS n0
+    FROM scored GROUP BY s
+),
+cum AS (
+    SELECT n1, n0,
+           coalesce(sum(n0) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c0
+    FROM hist
+)
+SELECT CAST(sum(n1) AS BIGINT) AS n_pos,
+       CAST(sum(n0) AS BIGINT) AS n_neg,
+       floor(CAST(sum(n1 * (2 * c0 + n0)) AS DOUBLE)
+             / (2.0 * sum(n1) * sum(n0)) * 10000 + 0.5) / 10000 AS auc
+FROM cum
+""",
+)
+def ml_auc(spark, sf_dir):
+    """Exact ROC-AUC of the stopword-ratio classifier (text_stats'
+    English-stopword signal) against the lang == 'en' label, via the
+    rank-sum identity: AUC = U / (n_pos * n_neg) with the Mann-Whitney
+    U accumulated over the SCORE HISTOGRAM using midranks for ties —
+    2U = sum_s n1(s) * (2 * negatives_below(s) + n0(s)). The evaluation
+    loop every trained quality/langid classifier goes through before
+    its threshold is picked.
+
+    Scale: scores are quantized to 4dp (<= 10001 distinct values), so
+    the corpus contributes ONE map-combined groupBy; the running sum
+    and the final reduction run over histogram rows only — no global
+    sort of raw documents, the same de-skew discipline as ml_stump.
+    All rank arithmetic is exact integers; the single division happens
+    once at the end."""
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    toks = F.filter(F.split(F.lower("text"), " "), lambda t: F.length(t) > 0)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*_AUC_STOPS)))
+    n_toks = F.size(toks)
+    scored = d.select(
+        F.floor(n_stop / n_toks * 10000 + F.lit(0.5)).cast("bigint").alias("s"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    ).filter(n_toks > 0)
+    hist = scored.groupBy("s").agg(
+        F.sum("y").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("n0"),
+    )
+    # Running negative count over HISTOGRAM rows (bounded input — the
+    # approved de-skew form for a global rank).
+    w_below = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.select(
+        "n1", "n0", F.coalesce(F.sum("n0").over(w_below), F.lit(0)).alias("c0")
+    )
+    two_u = F.sum(F.col("n1") * (2 * F.col("c0") + F.col("n0")))
+    return cum.agg(
+        F.sum("n1").cast("bigint").alias("n_pos"),
+        F.sum("n0").cast("bigint").alias("n_neg"),
+        rnd(two_u.cast("double") / (2.0 * F.sum("n1") * F.sum("n0")), "auc"),
     )

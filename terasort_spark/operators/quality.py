@@ -20,7 +20,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from terasort_spark.catalog import table
-from terasort_spark.operators._util import rnd
+from terasort_spark.operators._util import DEC, rnd
 from terasort_spark.operators.llm_lm import _BIGRAMS_SQL, text_bigram_lm
 from terasort_spark.registry import register
 from terasort_spark.sources.snapshots import read_snapshot, write_version
@@ -409,4 +409,104 @@ def sample_stratified_alloc(spark, sf_dir):
         picked.join(F.broadcast(alloc), "lang")
         .filter(F.col("rn") <= F.col("k"))
         .select("doc_id", "lang")
+    )
+
+
+_DSIR_B = 256  # feature buckets: 2 hex chars of md5(token)
+
+
+@register(
+    "text_dsir_weights",
+    oracle=f"""
+WITH occ AS (
+    SELECT doc_id, lang, substr(md5(w), 1, 2) AS b
+    FROM (SELECT doc_id, lang,
+                 unnest(list_filter(string_split(lower(text), ' '),
+                                    w -> w <> '')) AS w
+          FROM documents
+          WHERE text IS NOT NULL AND length(text) > 0)
+),
+buckets AS (
+    SELECT b, count(*) AS raw_c,
+           sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tgt_c,
+           sum(count(*)) OVER () AS raw_total,
+           sum(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)) OVER ()
+               AS tgt_total
+    FROM occ GROUP BY b
+),
+lr AS (
+    SELECT b,
+           floor((ln(CAST(tgt_c + 1 AS DOUBLE) / (tgt_total + {_DSIR_B}))
+                  - ln(CAST(raw_c + 1 AS DOUBLE) / (raw_total + {_DSIR_B})))
+                 * 1000000 + 0.5) / 1000000 AS logratio
+    FROM buckets
+),
+docb AS (
+    SELECT doc_id, b, count(*) AS c FROM occ GROUP BY doc_id, b
+)
+SELECT d.doc_id,
+       CAST(sum(d.c) AS BIGINT) AS n_toks,
+       floor(CAST(sum(CAST(d.c * l.logratio AS DECIMAL(25,6))) AS DOUBLE)
+             * 10000 + 0.5) / 10000 AS logweight
+FROM docb d JOIN lr l USING (b)
+GROUP BY d.doc_id
+""",
+)
+def text_dsir_weights(spark, sf_dir):
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    document by how much more likely its hashed unigram features are
+    under the TARGET distribution (here: the English subcorpus) than
+    under the RAW corpus — logweight = sum over token occurrences of
+    ln(p_target(b) / p_raw(b)) with Laplace-smoothed bucket
+    probabilities. Downstream selection keeps the highest-weight docs
+    (importance resampling); this operator emits the weights.
+
+    Scale: features are hashed into 256 buckets (2 hex chars of
+    md5), so BOTH distributions are one map-combined groupBy with
+    bounded (256-row) state, broadcast back as a bucket->logratio
+    join; the per-doc reduce keys on doc_id (high-cardinality). No
+    vocabulary-sized shuffle ever forms — the hashing trick is exactly
+    what makes DSIR run on a 100 TB raw corpus.
+
+    Determinism: bucket log-ratios are 6dp-quantized BEFORE the per-doc
+    sum, which runs through exact DECIMAL (the text_bigram_lm
+    discipline), so weights are bit-stable at any partitioning."""
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    toks = F.filter(F.split(F.lower("text"), " "), lambda t: F.length(t) > 0)
+    occ = d.select(
+        "doc_id", "lang", F.explode(toks).alias("w")
+    ).select("doc_id", "lang", F.substring(F.md5("w"), 1, 2).alias("b"))
+    w_all = Window.partitionBy()
+    buckets = (
+        occ.groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("raw_c"),
+            F.sum((F.col("lang") == "en").cast("int")).alias("tgt_c"),
+        )
+        .withColumn("raw_total", F.sum("raw_c").over(w_all))
+        .withColumn("tgt_total", F.sum("tgt_c").over(w_all))
+    )
+    logratio = F.log(
+        (F.col("tgt_c") + 1).cast("double") / (F.col("tgt_total") + _DSIR_B)
+    ) - F.log(
+        (F.col("raw_c") + 1).cast("double") / (F.col("raw_total") + _DSIR_B)
+    )
+    lr = buckets.select(
+        "b",
+        (F.floor(logratio * 1000000 + F.lit(0.5)) / 1000000).alias("logratio"),
+    )
+    docb = occ.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        docb.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_toks"),
+            rnd(
+                F.sum((F.col("c") * F.col("logratio")).cast(DEC)).cast("double"),
+                "logweight",
+            ),
+        )
     )

@@ -11,6 +11,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from terasort_spark.catalog import table
+from terasort_spark.operators._util import rnd
 from terasort_spark.registry import register
 
 
@@ -98,4 +99,71 @@ def topk_pergroup(spark, sf_dir):
             F.row_number().over(w).alias("rn"),
         )
         .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "topk_skyline",
+    oracle="""
+WITH p AS (
+    SELECT p_partkey, p_size,
+           CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+    FROM part
+)
+SELECT a.p_partkey, a.p_size,
+       floor(a.cents / 100.0 * 10000 + 0.5) / 10000 AS price
+FROM p a
+WHERE NOT EXISTS (
+    SELECT 1 FROM p b
+    WHERE b.cents <= a.cents AND b.p_size >= a.p_size
+      AND (b.cents < a.cents OR b.p_size > a.p_size)
+)
+""",
+)
+def topk_skyline(spark, sf_dir):
+    """2-D skyline (pareto front) over parts: minimize retail price,
+    maximize size — a part is on the skyline iff no other part is at
+    least as large AND at least as cheap with one strict. The classic
+    multi-objective "best tradeoffs" query (Börzsönyi et al., ICDE'01).
+
+    Scale: instead of the O(n²) dominance self-join the oracle runs,
+    the plan exploits the 2-D structure: aggregate to the per-size
+    MIN-PRICE HISTOGRAM (p_size has a bounded domain), take a running
+    min over sizes-descending ACROSS HISTOGRAM ROWS to find each
+    size's cheaper-larger competitor, broadcast the surviving
+    (size, min_price) frontier, and keep raw parts matching it with a
+    stateless scan-stage filter — one map-combined groupBy plus a
+    broadcast join, no self-join, no sort of raw rows. Prices are
+    2dp decimals, so the cents quantization is lossless and dominance
+    is exact-integer.
+
+    The oracle deliberately uses the naive NOT EXISTS formulation —
+    an independent algorithm whose agreement validates the frontier
+    derivation, not just the arithmetic."""
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_size",
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    hist = p.groupBy("p_size").agg(F.min("cents").alias("m"))
+    # Running min over HISTOGRAM rows (bounded size domain — the
+    # approved de-skew form; never a window over raw parts).
+    w_larger = Window.orderBy(F.desc("p_size")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    frontier = (
+        hist.withColumn("mm", F.min("m").over(w_larger))
+        .filter(F.col("mm").isNull() | (F.col("m") < F.col("mm")))
+        .select("p_size", "m")
+    )
+    return (
+        p.join(F.broadcast(frontier), "p_size")
+        .filter(F.col("cents") == F.col("m"))
+        .select(
+            "p_partkey",
+            "p_size",
+            rnd(F.col("cents") / 100.0, "price"),
+        )
     )

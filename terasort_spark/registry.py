@@ -192,6 +192,8 @@ _GRADE_FIRST = (
     "sample_stratified_alloc", "agg_gini", "events_ab_test",
     "dq_outliers", "text_keywords", "text_readability",
     "scan_rowgroup_stats", "win_gaps_islands", "text_zipf_fit",
+    "text_compression_ratio", "ml_auc", "text_dsir_weights",
+    "topk_skyline",
 )
 
 

@@ -307,3 +307,80 @@ def test_compression_ratio_is_deterministic_and_sane(spark, sf_dir):
     import statistics
 
     assert statistics.mean(v["comp_ratio"] for v in rows.values()) < 1.0
+
+
+def test_auc_matches_pairwise_bruteforce(spark, sf_dir):
+    """The histogram rank-sum AUC must equal the O(n_pos*n_neg)
+    pairwise definition: mean over (pos, neg) pairs of
+    1[s_pos > s_neg] + 0.5 * 1[tie] — an independent algorithm."""
+    from terasort_spark.operators.ml import _AUC_STOPS
+
+    row = _Q["ml_auc"](spark, sf_dir).collect()[0]
+    d = table(spark, sf_dir, "documents").select("text", "lang").collect()
+    pos, neg = [], []
+    for r in d:
+        if not r["text"]:
+            continue
+        toks = [t for t in r["text"].lower().split(" ") if t]
+        if not toks:
+            continue
+        s = int(sum(t in _AUC_STOPS for t in toks) / len(toks) * 10000 + 0.5)
+        (pos if r["lang"] == "en" else neg).append(s)
+    assert (row["n_pos"], row["n_neg"]) == (len(pos), len(neg))
+    two_u = sum(
+        2 if sp > sn else (1 if sp == sn else 0) for sp in pos for sn in neg
+    )
+    import math
+
+    expect = math.floor(two_u / (2.0 * len(pos) * len(neg)) * 10000 + 0.5) / 10000
+    assert row["auc"] == expect
+    assert 0.0 <= row["auc"] <= 1.0
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark, sf_dir):
+    """DSIR's whole point: documents from the target distribution
+    (English) must get systematically higher importance weights than
+    off-target documents. Also pins per-doc token counts against a
+    Python replay (the feature extraction is shared machinery)."""
+    out = {r["doc_id"]: r for r in _Q["text_dsir_weights"](spark, sf_dir).collect()}
+    d = table(spark, sf_dir, "documents").select("doc_id", "text", "lang").collect()
+    en, other = [], []
+    for r in d:
+        if not r["text"]:
+            continue
+        toks = [t for t in r["text"].lower().split(" ") if t]
+        if not toks:
+            continue
+        assert out[r["doc_id"]]["n_toks"] == len(toks)
+        w = out[r["doc_id"]]["logweight"] / len(toks)  # length-normalized
+        (en if r["lang"] == "en" else other).append(w)
+    assert en and other
+    # 256 hashed buckets collide heavily on a 500-doc corpus, so the
+    # separation is directional rather than dramatic at this SF.
+    assert sum(en) / len(en) > sum(other) / len(other) + 0.0005
+
+
+def test_skyline_matches_bruteforce_dominance_and_plan_shape(spark, sf_dir):
+    """The histogram-frontier skyline must equal the O(n^2) dominance
+    definition, and its plan must stay broadcast + cartesian-free."""
+    from terasort_spark.plans.checks import (
+        assert_broadcast_join,
+        assert_no_cartesian,
+    )
+
+    df = _Q["topk_skyline"](spark, sf_dir)
+    assert_no_cartesian(df)
+    assert_broadcast_join(df)
+    got = {(r["p_partkey"], r["p_size"]) for r in df.collect()}
+    parts = [
+        (r["p_partkey"], r["p_size"], int(r["p_retailprice"] * 100 + 0.5))
+        for r in table(spark, sf_dir, "part").collect()
+    ]
+    expect = {
+        (k, s)
+        for (k, s, c) in parts
+        if not any(
+            bc <= c and bs >= s and (bc < c or bs > s) for (_, bs, bc) in parts
+        )
+    }
+    assert got == expect and got
