@@ -623,23 +623,25 @@ KMEANS_ITER = 3
 
 
 def _kmeans_assign(e, centroids):
-    """Assign each vector to its nearest centroid (squared L2).
+    """Assign each vector to its nearest centroid (squared L2 in exact
+    integer micro-units — see emb_kmeans for the quantization contract).
 
-    centroids is a driver-side list of K dim-length lists — k-means
-    centroids always fit on the driver (K x dim doubles, independent of
+    centroids is a driver-side list of K dim-length int lists — k-means
+    centroids always fit on the driver (K x dim values, independent of
     corpus size), so they ship to executors as broadcast literals and
     the K distance expressions run inside whole-stage codegen: no join,
-    no shuffle, no Python. Ties break to the lowest cluster id
-    (array_position finds the first minimum) — deterministic."""
+    no shuffle, no Python. Distances are int64 sums of int64 squares —
+    no float accumulation order to worry about — and ties break to the
+    lowest cluster id (array_position finds the first minimum)."""
     dists = F.array(
         *[
             F.aggregate(
                 F.zip_with(
                     "v",
-                    F.array(*[F.lit(float(x)) for x in c]),
+                    F.array(*[F.lit(int(x)) for x in c]),
                     lambda p, q: (p - q) * (p - q),
                 ),
-                F.lit(0.0),
+                F.lit(0).cast("long"),
                 lambda acc, t: acc + t,
             )
             for c in centroids
@@ -653,11 +655,81 @@ def _kmeans_assign(e, centroids):
     )
 
 
-@register(
-    "emb_kmeans",
-    oracle=None,  # iterative algorithm → rows-only; Lloyd-equivalence
-    # vs a numpy reference implementation is asserted in tests/test_llm.py
+def _kmeans_oracle() -> str:
+    """Unroll the KMEANS_ITER Lloyd rounds into chained MATERIALIZED
+    CTEs (the ml_logreg discipline — DuckDB inlines unmarked chained
+    CTEs exponentially). Every quantity is an exact int64: vector
+    coordinates are 6dp micro-units, distances are integer sums of
+    integer squares, and centroid means re-quantize through one
+    deterministic double division — so the replay is bit-identical to
+    the Spark trajectory at any partitioning."""
+    parts = [
+        f"""cells AS MATERIALIZED (
+    SELECT vec_id, i - 1 AS pos,
+           CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
+                AS BIGINT) AS x
+    FROM (SELECT vec_id, embedding FROM embeddings
+          WHERE embedding IS NOT NULL) e,
+         LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
+),
+init_ids AS MATERIALIZED (
+    SELECT vec_id,
+           CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid
+    FROM (SELECT DISTINCT vec_id FROM cells)
+    ORDER BY vec_id LIMIT {K_CLUSTERS}
+),
+c0 AS MATERIALIZED (
+    SELECT i.cid, c.pos, c.x AS cx
+    FROM init_ids i JOIN cells c USING (vec_id)
+)"""
+    ]
+    for t in range(KMEANS_ITER):
+        parts.append(
+            f""",
+d{t} AS MATERIALIZED (
+    SELECT c.vec_id, k.cid, sum((c.x - k.cx) * (c.x - k.cx)) AS d2
+    FROM cells c JOIN c{t} k USING (pos) GROUP BY c.vec_id, k.cid
+),
+a{t} AS MATERIALIZED (
+    SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM d{t})
+    WHERE rn = 1
+),
+c{t + 1} AS MATERIALIZED (
+    SELECT k.cid, k.pos, coalesce(u.nx, k.cx) AS cx
+    FROM c{t} k LEFT JOIN (
+        SELECT a.cid, c.pos,
+               CAST(floor(CAST(sum(c.x) AS DOUBLE) / count(*) + 0.5)
+                    AS BIGINT) AS nx
+        FROM a{t} a JOIN cells c USING (vec_id) GROUP BY a.cid, c.pos
+    ) u ON k.cid = u.cid AND k.pos = u.pos
+)"""
+        )
+    parts.append(
+        f""",
+dfin AS MATERIALIZED (
+    SELECT c.vec_id, k.cid, sum((c.x - k.cx) * (c.x - k.cx)) AS d2
+    FROM cells c JOIN c{KMEANS_ITER} k USING (pos)
+    GROUP BY c.vec_id, k.cid
+),
+afin AS MATERIALIZED (
+    SELECT vec_id, cid, d2 FROM (
+        SELECT vec_id, cid, d2,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM dfin)
+    WHERE rn = 1
 )
+SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs,
+       floor(CAST(sum(d2) AS DOUBLE) / 1000000000000 * 10000 + 0.5) / 10000
+           AS sse
+FROM afin GROUP BY cid"""
+    )
+    return "WITH " + "".join(parts)
+
+
+@register("emb_kmeans", oracle=_kmeans_oracle())
 def emb_kmeans(spark, sf_dir):
     """Distributed k-means (Lloyd's) over the embedding table: K=8,
     3 fixed iterations, deterministic init = the K vectors with the
@@ -665,18 +737,32 @@ def emb_kmeans(spark, sf_dir):
     the clustering that backs IVF coarse quantizers, data-mixture
     balancing, and diversity sampling in pretraining pipelines.
 
+    Exact-oracle upgrade (round 6): coordinates are quantized to 6dp
+    integer micro-units at ingest, so distances are int64 sums of
+    int64 squares (no float accumulation order anywhere), centroid
+    means re-quantize through one deterministic IEEE division, and the
+    whole 3-round trajectory replays bit-identically in SQL
+    (_kmeans_oracle's unrolled MATERIALIZED CTEs — the ml_logreg
+    pattern applied to Lloyd's). SSE is reported in original units²
+    (micro² / 1e12).
+
     Scale notes: the assignment step is pure codegen over broadcast
     centroid literals (see _kmeans_assign); the update step posexplodes
     to (cid, dim, value) cells and averages — one map-side-combined
     shuffle of K x dim cells per iteration, the emb_centroid pattern.
-    Only K x dim centroid doubles ever reach the driver per round;
+    Only K x dim centroid ints ever reach the driver per round;
     vectors never move. Empty clusters keep their previous centroid."""
     e = (
         table(spark, sf_dir, "embeddings")
         .filter(F.col("embedding").isNotNull())  # null vectors are unscoreable
         .select(
             "vec_id",
-            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * 1000000 + F.lit(0.5)).cast(
+                    "long"
+                ),
+            ).alias("v"),
         )
     )
     # The base vectors are re-read KMEANS_ITER+2 times (init, one
@@ -694,7 +780,16 @@ def emb_kmeans(spark, sf_dir):
         rows = (
             assigned.select("cid", F.posexplode("v").alias("pos", "val"))
             .groupBy("cid", "pos")
-            .agg(F.avg("val").alias("m"))
+            # quantized mean: exact int64 sum, ONE deterministic IEEE
+            # division, floor-round back to micro-units — bit-identical
+            # on any engine/partitioning (the oracle replays it verbatim)
+            .agg(
+                F.floor(
+                    F.sum("val").cast("double") / F.count(F.lit(1)) + F.lit(0.5)
+                )
+                .cast("long")
+                .alias("m")
+            )
             .groupBy("cid")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select("cid", F.col("pm.m").alias("c"))
@@ -705,7 +800,9 @@ def emb_kmeans(spark, sf_dir):
     final = _kmeans_assign(e, centroids)
     return final.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_vecs"),
-        rnd(F.sum("d2"), "sse"),
+        # micro² back to original units²: exact int64 sum, then one
+        # deterministic double conversion + power-of-ten division
+        rnd(F.sum("d2").cast("double") / F.lit(1e12), "sse"),
     )
 
 

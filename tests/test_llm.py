@@ -485,11 +485,14 @@ def test_gemm_topk_equals_hof_topk(spark, sf_dir):
 
 
 def test_kmeans_matches_numpy_lloyd(spark, sf_dir):
-    """emb_kmeans must be EXACTLY fixed-iteration Lloyd's: same init
-    (K smallest vec_ids), same tie-break (lowest cluster id), same
-    empty-cluster rule (keep previous centroid). A numpy replay of the
-    identical recipe must reproduce every cluster size and agree on SSE
-    to float tolerance."""
+    """emb_kmeans must be EXACTLY fixed-iteration Lloyd's over 6dp
+    integer micro-units: same init (K smallest vec_ids), same tie-break
+    (lowest cluster id), same empty-cluster rule (keep previous
+    centroid), same quantized-mean update. An int64 numpy replay of the
+    identical recipe must reproduce every cluster size EXACTLY and
+    every SSE to the operator's own 4dp rounding."""
+    import math
+
     import numpy as np
 
     from terasort_spark.operators.llm_similarity import K_CLUSTERS, KMEANS_ITER
@@ -499,23 +502,43 @@ def test_kmeans_matches_numpy_lloyd(spark, sf_dir):
         .orderBy("vec_id")
         .collect()
     )
-    x = np.array([list(r["embedding"]) for r in emb], dtype="float64")
+    x = np.array(
+        [
+            [math.floor(float(v) * 1_000_000 + 0.5) for v in r["embedding"]]
+            for r in emb
+        ],
+        dtype="int64",
+    )
     cents = x[:K_CLUSTERS].copy()
+
+    def assign(c):
+        d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return d2.argmin(axis=1), d2  # argmin = first minimum = lowest cid
+
     for _ in range(KMEANS_ITER):
-        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-        cid = d2.argmin(axis=1)  # argmin takes the first minimum = lowest cid
+        cid, _d2 = assign(cents)
         for k in range(K_CLUSTERS):
             if (cid == k).any():
-                cents[k] = x[cid == k].mean(axis=0)
-    d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-    cid = d2.argmin(axis=1)
-    want_sizes = {k: int((cid == k).sum()) for k in range(K_CLUSTERS) if (cid == k).any()}
-    want_sse = {k: float(d2[cid == k, k].sum()) for k in want_sizes}
+                m = x[cid == k]
+                cents[k] = np.array(
+                    [
+                        math.floor(float(s) / len(m) + 0.5)
+                        for s in m.sum(axis=0, dtype="int64")
+                    ],
+                    dtype="int64",
+                )
+    cid, d2 = assign(cents)
+    want_sizes = {
+        k: int((cid == k).sum()) for k in range(K_CLUSTERS) if (cid == k).any()
+    }
+    want_sse = {
+        k: math.floor(float(d2[cid == k, k].sum()) / 1e12 * 10000 + 0.5) / 10000
+        for k in want_sizes
+    }
 
     got = {r["cid"]: r for r in _Q["emb_kmeans"](spark, sf_dir).collect()}
     assert {k: g["n_vecs"] for k, g in got.items()} == want_sizes
-    for k, g in got.items():
-        assert abs(g["sse"] - want_sse[k]) < 1e-2, (k, g["sse"], want_sse[k])
+    assert {k: g["sse"] for k, g in got.items()} == want_sse
 
 
 def test_countmin_never_underestimates(spark, sf_dir):
