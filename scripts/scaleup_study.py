@@ -93,6 +93,9 @@ MEASURED = {
     "ml_auc": ("documents",),
     "text_dsir_weights": ("documents",),
     "topk_skyline": ("part",),
+    "ml_calibration": ("documents",),
+    "dq_ks_drift": ("documents",),
+    "sink_compacted": ("orders",),
 }
 
 OFFSETS = {  # per-copy id offsets, far above any base id

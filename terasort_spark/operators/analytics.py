@@ -784,3 +784,83 @@ def text_zipf_fit(spark, sf_dir):
         rnd(-slope, "zipf_s"),
         rnd(intercept, "log_c"),
     )
+
+
+@register(
+    "dq_ks_drift",
+    oracle="""
+WITH hist AS (
+    SELECT n_chars AS x,
+           sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS a,
+           sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS b
+    FROM documents GROUP BY n_chars
+),
+cum AS (
+    SELECT x,
+           sum(a) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS ca,
+           sum(b) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cb,
+           sum(a) OVER () AS na, sum(b) OVER () AS nb
+    FROM hist
+),
+scored AS (
+    SELECT x, na, nb,
+           abs(CAST(ca AS DECIMAL(38,0)) * nb
+               - CAST(cb AS DECIMAL(38,0)) * na) AS num
+    FROM cum
+)
+SELECT CAST(x AS BIGINT) AS threshold,
+       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       floor(CAST(num AS DOUBLE) / (CAST(na AS DOUBLE) * nb) * 10000 + 0.5)
+           / 10000 AS d
+FROM scored ORDER BY num DESC, x LIMIT 1
+""",
+)
+def dq_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov drift statistic between the
+    English and non-English document-length distributions: D = max over
+    thresholds of |F_en(x) − F_other(x)|, reported with the threshold
+    where the ECDFs diverge most — the standard distribution-drift
+    gate a data-quality harness runs between a new crawl batch and the
+    reference corpus before admitting it.
+
+    Exactness: the comparison runs on the integer numerator
+    |cumA·nB − cumB·nA| (DECIMAL(38,0) — overflow-safe to ~1e19·rows),
+    so the argmax and tie-break (smallest threshold) are exact; the one
+    division to D happens once on the selected row.
+
+    Scale: the corpus collapses to the n_chars HISTOGRAM in one
+    map-combined groupBy (ml_stump's discipline); running sums and the
+    TakeOrdered(1) argmax touch histogram rows only."""
+    d = table(spark, sf_dir, "documents")
+    hist = d.groupBy(F.col("n_chars").alias("x")).agg(
+        F.sum((F.col("lang") == "en").cast("int")).alias("a"),
+        F.sum((F.col("lang") != "en").cast("int")).alias("b"),
+    )
+    w_cum = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cum = hist.select(
+        "x",
+        F.sum("a").over(w_cum).alias("ca"),
+        F.sum("b").over(w_cum).alias("cb"),
+        F.sum("a").over(w_all).alias("na"),
+        F.sum("b").over(w_all).alias("nb"),
+    )
+    num = F.abs(
+        F.col("ca").cast("decimal(38,0)") * F.col("nb")
+        - F.col("cb").cast("decimal(38,0)") * F.col("na")
+    )
+    scored = cum.select("x", "na", "nb", num.alias("num"))
+    return (
+        scored.orderBy(F.desc("num"), F.asc("x"))
+        .limit(1)
+        .select(
+            F.col("x").cast("bigint").alias("threshold"),
+            F.col("na").cast("bigint").alias("n_a"),
+            F.col("nb").cast("bigint").alias("n_b"),
+            rnd(
+                F.col("num").cast("double")
+                / (F.col("na").cast("double") * F.col("nb")),
+                "d",
+            ),
+        )
+    )

@@ -534,3 +534,65 @@ def ml_auc(spark, sf_dir):
         F.sum("n0").cast("bigint").alias("n_neg"),
         rnd(two_u.cast("double") / (2.0 * F.sum("n1") * F.sum("n0")), "auc"),
     )
+
+
+@register(
+    "ml_calibration",
+    oracle=f"""
+WITH scored AS (
+    SELECT CAST(floor(
+               CAST(len(list_filter(string_split(lower(text), ' '),
+                        w -> list_contains({_AUC_STOPS_SQL}, w))) AS DOUBLE)
+               / len(list_filter(string_split(lower(text), ' '), w -> w <> ''))
+               * 10000 + 0.5) AS BIGINT) AS s,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+    FROM documents
+    WHERE text IS NOT NULL AND length(text) > 0
+      AND len(list_filter(string_split(lower(text), ' '), w -> w <> '')) > 0
+)
+SELECT CAST(least(s // 1000, 9) AS INTEGER) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       floor(CAST(sum(s) AS DOUBLE) / (count(*) * 10000) * 10000 + 0.5)
+           / 10000 AS avg_pred,
+       floor(CAST(sum(y) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000
+           AS frac_pos
+FROM scored GROUP BY least(s // 1000, 9)
+""",
+)
+def ml_calibration(spark, sf_dir):
+    """Reliability diagram for the stopword-ratio classifier (ml_auc's
+    discrimination twin): bucket the 4dp score into 10 equal-width
+    probability bins and report each bin's mean predicted probability
+    vs its empirical positive rate — the calibration curve every
+    deployed quality/langid classifier is audited with before its
+    keep/drop threshold is trusted (ECE is the n-weighted |gap| sum,
+    asserted in tests/test_wave6.py).
+
+    Scale: ONE map-combined groupBy onto a 10-key space; bin stats are
+    exact integer sums (scores are already integers), divided once at
+    the end. Nothing ever sorts or windows raw documents."""
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    toks = F.filter(F.split(F.lower("text"), " "), lambda t: F.length(t) > 0)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*_AUC_STOPS)))
+    n_toks = F.size(toks)
+    scored = d.select(
+        F.floor(n_stop / n_toks * 10000 + F.lit(0.5)).cast("bigint").alias("s"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    ).filter(n_toks > 0)
+    return (
+        scored.groupBy(
+            F.least(F.floor(F.col("s") / 1000), F.lit(9))
+            .cast("int")
+            .alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            rnd(
+                F.sum("s").cast("double") / (F.count(F.lit(1)) * 10000),
+                "avg_pred",
+            ),
+            rnd(F.sum("y").cast("double") / F.count(F.lit(1)), "frac_pos"),
+        )
+    )

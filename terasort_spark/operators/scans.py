@@ -320,3 +320,47 @@ def scan_rowgroup_stats(spark, sf_dir):
     return spark.createDataFrame(
         rows, "col_name string, n_nulls bigint, min_val bigint, max_val bigint"
     )
+
+
+_COMPACT_TARGET_BYTES = 1 << 20  # 1 MiB target output files
+
+
+@register(
+    "sink_compacted",
+    # identity oracle: compaction must not change a single row
+    oracle="SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
+)
+def sink_compacted(spark, sf_dir):
+    """Small-file compaction: simulate an ingest that produced 64 tiny
+    parquet files (every streaming/CDC sink does this), then rewrite
+    them into size-targeted files — target count = ceil(on-disk bytes /
+    1 MiB) from the actual directory listing, so the plan adapts to the
+    data instead of hardcoding a file count. The declared result is the
+    compacted table re-read: the oracle proves compaction is purely a
+    LAYOUT operation (zero row changes). File-count assertions live in
+    tests/test_wave6.py.
+
+    This is the file-size axis of compaction; sources/snapshots.py
+    compact() is the orthogonal version axis (rewriting delta chains to
+    a fresh base). At 100 TB the small-file problem is an availability
+    risk, not a tuning nit: a million 100 KB files turn scan planning
+    and NameNode/listing into the bottleneck — periodic size-targeted
+    rewrite is the standard operational fix (OPTIMIZE in table
+    formats). One round-robin shuffle, no skew (keys never matter)."""
+    small_dir = os.path.join(tempfile.gettempdir(), "terasort_spark_smallfiles")
+    big_dir = os.path.join(tempfile.gettempdir(), "terasort_spark_compacted")
+    shutil.rmtree(small_dir, ignore_errors=True)
+    shutil.rmtree(big_dir, ignore_errors=True)
+    src = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    src.repartition(64).write.mode("overwrite").parquet(small_dir)
+    on_disk = sum(
+        os.path.getsize(os.path.join(small_dir, f))
+        for f in os.listdir(small_dir)
+        if f.endswith(".parquet")
+    )
+    target = max(1, -(-on_disk // _COMPACT_TARGET_BYTES))  # ceil div
+    small = spark.read.schema(src.schema).parquet(small_dir)
+    small.repartition(target).write.mode("overwrite").parquet(big_dir)
+    return spark.read.schema(src.schema).parquet(big_dir)

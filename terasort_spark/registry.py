@@ -193,7 +193,8 @@ _GRADE_FIRST = (
     "dq_outliers", "text_keywords", "text_readability",
     "scan_rowgroup_stats", "win_gaps_islands", "text_zipf_fit",
     "text_compression_ratio", "ml_auc", "text_dsir_weights",
-    "topk_skyline",
+    "topk_skyline", "emb_kmeans", "ml_calibration", "dq_ks_drift",
+    "sink_compacted",
 )
 
 

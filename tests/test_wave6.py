@@ -384,3 +384,79 @@ def test_skyline_matches_bruteforce_dominance_and_plan_shape(spark, sf_dir):
         )
     }
     assert got == expect and got
+
+
+def test_compaction_reduces_file_count_to_size_target(spark, sf_dir):
+    """sink_compacted must actually compact: 64 small input files, and
+    the output file count equals ceil(on-disk bytes / 1 MiB)."""
+    import os
+    import tempfile
+
+    from terasort_spark.operators.scans import _COMPACT_TARGET_BYTES
+
+    _Q["sink_compacted"](spark, sf_dir).collect()
+    small_dir = os.path.join(tempfile.gettempdir(), "terasort_spark_smallfiles")
+    big_dir = os.path.join(tempfile.gettempdir(), "terasort_spark_compacted")
+    small = [f for f in os.listdir(small_dir) if f.endswith(".parquet")]
+    big = [f for f in os.listdir(big_dir) if f.endswith(".parquet")]
+    assert len(small) == 64
+    on_disk = sum(os.path.getsize(os.path.join(small_dir, f)) for f in small)
+    want = max(1, -(-on_disk // _COMPACT_TARGET_BYTES))
+    assert len(big) == want < 64
+
+
+def test_calibration_bins_replay_and_ece(spark, sf_dir):
+    """Bin stats must equal a Python replay of the identical score/bin
+    recipe, and the n-weighted ECE must be a sane probability gap."""
+    import math
+
+    from terasort_spark.operators.ml import _AUC_STOPS
+
+    got = {r["bin"]: r for r in _Q["ml_calibration"](spark, sf_dir).collect()}
+    d = table(spark, sf_dir, "documents").select("text", "lang").collect()
+    bins: dict[int, list] = {}
+    for r in d:
+        if not r["text"]:
+            continue
+        toks = [t for t in r["text"].lower().split(" ") if t]
+        if not toks:
+            continue
+        s = int(sum(t in _AUC_STOPS for t in toks) / len(toks) * 10000 + 0.5)
+        bins.setdefault(min(s // 1000, 9), []).append(
+            (s, 1 if r["lang"] == "en" else 0)
+        )
+    assert set(got) == set(bins)
+    n_total = sum(len(v) for v in bins.values())
+    ece = 0.0
+    for b, rows in bins.items():
+        n = len(rows)
+        avg_pred = math.floor(sum(s for s, _ in rows) / (n * 10000) * 10000 + 0.5) / 10000
+        frac_pos = math.floor(sum(y for _, y in rows) / n * 10000 + 0.5) / 10000
+        assert got[b]["n"] == n
+        assert got[b]["avg_pred"] == avg_pred
+        assert got[b]["frac_pos"] == frac_pos
+        ece += n / n_total * abs(got[b]["avg_pred"] - got[b]["frac_pos"])
+    assert 0.0 <= ece <= 1.0
+
+
+def test_ks_drift_matches_bruteforce_ecdf(spark, sf_dir):
+    """The histogram KS statistic must equal the brute-force max over
+    all thresholds of |ECDF_en - ECDF_other| (with the smallest-x
+    tie-break)."""
+    import math
+
+    row = _Q["dq_ks_drift"](spark, sf_dir).collect()[0]
+    d = table(spark, sf_dir, "documents").select("n_chars", "lang").collect()
+    a = sorted(r["n_chars"] for r in d if r["lang"] == "en")
+    b = sorted(r["n_chars"] for r in d if r["lang"] != "en")
+    best = (-1, None)  # (numerator, threshold)
+    for x in sorted({*a, *b}):
+        ca = sum(1 for v in a if v <= x)
+        cb = sum(1 for v in b if v <= x)
+        num = abs(ca * len(b) - cb * len(a))
+        if num > best[0]:
+            best = (num, x)
+    assert (row["n_a"], row["n_b"]) == (len(a), len(b))
+    assert row["threshold"] == best[1]
+    want_d = math.floor(best[0] / (len(a) * len(b)) * 10000 + 0.5) / 10000
+    assert row["d"] == want_d and 0.0 <= row["d"] <= 1.0
