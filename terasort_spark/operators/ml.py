@@ -461,11 +461,9 @@ def ml_stump(spark, sf_dir):
 _AUC_STOPS = ("the", "and", "of", "to", "a", "in", "is", "it")
 _AUC_STOPS_SQL = "['" + "','".join(_AUC_STOPS) + "']"
 
-
-@register(
-    "ml_auc",
-    oracle=f"""
-WITH scored AS (
+# shared 4dp stopword-ratio score + lang=='en' label — the classifier
+# both ml_auc (discrimination) and ml_calibration (calibration) evaluate
+_SCORED_SQL = f"""scored AS (
     SELECT CAST(floor(
                CAST(len(list_filter(string_split(lower(text), ' '),
                         w -> list_contains({_AUC_STOPS_SQL}, w))) AS DOUBLE)
@@ -475,7 +473,28 @@ WITH scored AS (
     FROM documents
     WHERE text IS NOT NULL AND length(text) > 0
       AND len(list_filter(string_split(lower(text), ' '), w -> w <> '')) > 0
-),
+)"""
+
+
+def _stopword_scored(spark, sf_dir):
+    """(s, y) per document: 4dp-quantized stopword-ratio score and the
+    lang == 'en' label — Spark twin of _SCORED_SQL."""
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    toks = F.filter(F.split(F.lower("text"), " "), lambda t: F.length(t) > 0)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*_AUC_STOPS)))
+    n_toks = F.size(toks)
+    return d.select(
+        F.floor(n_stop / n_toks * 10000 + F.lit(0.5)).cast("bigint").alias("s"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    ).filter(n_toks > 0)
+
+
+@register(
+    "ml_auc",
+    oracle=f"""
+WITH {_SCORED_SQL},
 hist AS (
     SELECT s, sum(y) AS n1, count(*) - sum(y) AS n0
     FROM scored GROUP BY s
@@ -508,16 +527,7 @@ def ml_auc(spark, sf_dir):
     sort of raw documents, the same de-skew discipline as ml_stump.
     All rank arithmetic is exact integers; the single division happens
     once at the end."""
-    d = table(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull() & (F.length("text") > 0)
-    )
-    toks = F.filter(F.split(F.lower("text"), " "), lambda t: F.length(t) > 0)
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(*_AUC_STOPS)))
-    n_toks = F.size(toks)
-    scored = d.select(
-        F.floor(n_stop / n_toks * 10000 + F.lit(0.5)).cast("bigint").alias("s"),
-        (F.col("lang") == "en").cast("int").alias("y"),
-    ).filter(n_toks > 0)
+    scored = _stopword_scored(spark, sf_dir)
     hist = scored.groupBy("s").agg(
         F.sum("y").alias("n1"),
         (F.count(F.lit(1)) - F.sum("y")).alias("n0"),
@@ -539,17 +549,7 @@ def ml_auc(spark, sf_dir):
 @register(
     "ml_calibration",
     oracle=f"""
-WITH scored AS (
-    SELECT CAST(floor(
-               CAST(len(list_filter(string_split(lower(text), ' '),
-                        w -> list_contains({_AUC_STOPS_SQL}, w))) AS DOUBLE)
-               / len(list_filter(string_split(lower(text), ' '), w -> w <> ''))
-               * 10000 + 0.5) AS BIGINT) AS s,
-           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
-    FROM documents
-    WHERE text IS NOT NULL AND length(text) > 0
-      AND len(list_filter(string_split(lower(text), ' '), w -> w <> '')) > 0
-)
+WITH {_SCORED_SQL}
 SELECT CAST(least(s // 1000, 9) AS INTEGER) AS bin,
        CAST(count(*) AS BIGINT) AS n,
        floor(CAST(sum(s) AS DOUBLE) / (count(*) * 10000) * 10000 + 0.5)
@@ -571,16 +571,7 @@ def ml_calibration(spark, sf_dir):
     Scale: ONE map-combined groupBy onto a 10-key space; bin stats are
     exact integer sums (scores are already integers), divided once at
     the end. Nothing ever sorts or windows raw documents."""
-    d = table(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull() & (F.length("text") > 0)
-    )
-    toks = F.filter(F.split(F.lower("text"), " "), lambda t: F.length(t) > 0)
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(*_AUC_STOPS)))
-    n_toks = F.size(toks)
-    scored = d.select(
-        F.floor(n_stop / n_toks * 10000 + F.lit(0.5)).cast("bigint").alias("s"),
-        (F.col("lang") == "en").cast("int").alias("y"),
-    ).filter(n_toks > 0)
+    scored = _stopword_scored(spark, sf_dir)
     return (
         scored.groupBy(
             F.least(F.floor(F.col("s") / 1000), F.lit(9))
