@@ -69,6 +69,65 @@ def events_retention(spark, sf_dir):
     )
 
 
+def _q4_bounds(per_user, metric, ascending, sfx):
+    """Quartile boundary table for `metric` from its HISTOGRAM — the
+    text_ccnet_bucket de-skew discipline: boundary positions
+    t_k = k·(n div 4) + min(n mod 4, k) from running sums over
+    histogram rows (bounded distinct values), broadcast back. Columns
+    are suffixed so three metrics' bounds can chain-join onto one
+    frame."""
+    order = F.asc(metric) if ascending else F.desc(metric)
+    hist = per_user.groupBy(metric).agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    q = F.floor(F.col("n") / 4)
+    r = F.col("n") % 4
+    return (
+        hist.withColumn("cum_end", F.sum("cnt").over(w_cum))
+        .withColumn("n", F.sum("cnt").over(w_all))
+        .select(
+            metric,
+            (F.col("cum_end") - F.col("cnt")).alias(f"nb_{sfx}"),
+            F.col("cum_end").alias(f"ce_{sfx}"),
+            *[
+                (q * k + F.least(r, F.lit(k))).alias(f"t{k}_{sfx}")
+                for k in (1, 2, 3)
+            ],
+        )
+    )
+
+
+def _q4_straddle(sfx):
+    """True iff the row's tie group crosses a quartile boundary."""
+    c = None
+    for k in (1, 2, 3):
+        x = (F.col(f"nb_{sfx}") < F.col(f"t{k}_{sfx}")) & (
+            F.col(f"t{k}_{sfx}") < F.col(f"ce_{sfx}")
+        )
+        c = x if c is None else (c | x)
+    return c
+
+
+def _q4_stateless(sfx):
+    """Quartile for a tie group fully inside one quartile: every member
+    outranks exactly the boundaries at or below n_before."""
+    return 1 + sum(
+        (F.col(f"t{k}_{sfx}") <= F.col(f"nb_{sfx}")).cast("long")
+        for k in (1, 2, 3)
+    )
+
+
+def _q4_ranked(metric, sfx):
+    """Quartile via the exact global rank nb + row_number within the
+    tie group — used ONLY on boundary-straddling groups (window state =
+    one tie group, partitioned by the metric value itself)."""
+    w_tie = Window.partitionBy(metric).orderBy("user_id")
+    rn = F.col(f"nb_{sfx}") + F.row_number().over(w_tie)
+    return 1 + sum(
+        (rn > F.col(f"t{k}_{sfx}")).cast("long") for k in (1, 2, 3)
+    )
+
+
 @register(
     "events_rfm",
     oracle="""
@@ -94,11 +153,16 @@ def events_rfm(spark, sf_dir):
     quartiles — the classic customer-value grid. Quartile windows order
     with a user_id tie-break (D3: ntile on ties is engine-arbitrary).
 
-    Scale notes: the per-user reduction is one shuffle; the three
-    global ntiles need a total order, which Spark executes as a single
-    range-partitioned sort per ordering over the ALREADY-reduced
-    user-level rows (users << events). For billions of users, swap
-    ntile for percentile thresholds computed once and broadcast."""
+    Scale (de-skewed, round 6): a global ntile(4) over user-level rows
+    would range-sort EVERY user on one task per metric at 100 TB — the
+    same skew the round-6 ccnet/percentile rewrites removed. Instead
+    the three boundary tables (_q4_bounds, histogram-sized) chain onto
+    the per-user frame as BROADCAST joins — no re-shuffle — and rows
+    whose tie groups sit fully inside a quartile (virtually all of
+    them) are assigned statelessly; only the ≤3 boundary-straddling tie
+    groups per metric see a row_number, partitioned by the metric value
+    itself (_q4_ranked). Bit-identical to the three ntiles; one shuffle
+    total (the per-user reduction)."""
     ev = table(spark, sf_dir, "events")
     per_user = (
         ev.where(F.col("event_type") == "purchase")
@@ -113,25 +177,42 @@ def events_rfm(spark, sf_dir):
                 "monetary",
             ),
         )
+    )  # 4 consumers below share ONE physical aggregate via ReusedExchange
+    metrics = (
+        ("recency_days", True, "r"),
+        ("frequency", False, "f"),
+        ("monetary", False, "m"),
     )
-    return per_user.select(
-        "user_id",
-        "recency_days",
-        "frequency",
-        "monetary",
-        F.ntile(4)
-        .over(Window.orderBy("recency_days", "user_id"))
-        .cast("long")
-        .alias("r_quartile"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("frequency").desc(), "user_id"))
-        .cast("long")
-        .alias("f_quartile"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("monetary").desc(), "user_id"))
-        .cast("long")
-        .alias("m_quartile"),
+    df = per_user
+    for metric, asc, sfx in metrics:
+        df = df.join(
+            F.broadcast(_q4_bounds(per_user, metric, asc, sfx)), metric
+        )
+    # The clean/straddle branches below both consume df; pin ONE
+    # execution of the aggregate + three bounds joins (else each branch
+    # re-runs the whole upstream pipeline).
+    df = df.localCheckpoint(eager=False)
+    any_straddle = (
+        _q4_straddle("r") | _q4_straddle("f") | _q4_straddle("m")
     )
+    out = ["user_id", "recency_days", "frequency", "monetary"]
+    clean = df.filter(~any_straddle).select(
+        *out,
+        *[
+            _q4_stateless(sfx).alias(f"{sfx}_quartile")
+            for _, _, sfx in metrics
+        ],
+    )
+    rest = df.filter(any_straddle).select(
+        *out,
+        *[
+            F.when(_q4_straddle(sfx), _q4_ranked(metric, sfx))
+            .otherwise(_q4_stateless(sfx))
+            .alias(f"{sfx}_quartile")
+            for metric, _, sfx in metrics
+        ],
+    )
+    return clean.unionByName(rest)
 
 
 @register(

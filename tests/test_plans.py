@@ -378,3 +378,55 @@ def test_keywords_topk_bounds_window_map_side(spark, sf_dir):
     shuffle."""
     plan = executed_plan(_Q["text_keywords"](spark, sf_dir))
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_rfm_quartiles_from_histograms_not_global_ntile(spark, sf_dir):
+    """events_rfm's proactive de-skew (round 6): the three quartile
+    columns must NOT come from a global ntile (one-task range sort of
+    every user per metric at 100 TB). Unpartitioned windows may only
+    consume histogram rows (sum(cnt)) — boundary positions — and the
+    only per-user windows are the boundary-straddling tie-group
+    row_numbers, partitioned by the metric value itself."""
+    import re
+
+    from pyspark.sql import functions as F2
+
+    from terasort_spark.catalog import table as _table
+    from terasort_spark.operators.analytics import _q4_bounds
+
+    def split_windows(plan):
+        part, unpart = [], []
+        for line in plan.splitlines():
+            if "Window [" not in line:
+                continue
+            # physical format: partitioned = `], [partcols], [ordercols]`
+            # (two groups at the end); unpartitioned = at most one
+            if re.search(r"\], \[[^\]]+\], \[[^\]]*\]\s*$", line):
+                part.append(line)
+            else:
+                unpart.append(line)
+        return part, unpart
+
+    plan = executed_plan(_Q["events_rfm"](spark, sf_dir))
+    assert "ntile" not in plan, plan
+    part, unpart = split_windows(plan)
+    for line in unpart:
+        assert "sum(cnt#" in line, f"unpartitioned window over raw rows:\n{line}"
+    for line in part:
+        assert "row_number" in line, f"unexpected partitioned window:\n{line}"
+    assert part, plan  # the straddle-rank windows exist — non-vacuous
+
+    # The boundary machinery itself (checkpoint-truncated out of the
+    # plan above): its only windows are unpartitioned running sums over
+    # HISTOGRAM rows (sum(cnt)), never per-user rows.
+    pu = (
+        _table(spark, sf_dir, "events")
+        .where(F2.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F2.count(F2.lit(1)).alias("frequency"))
+    )
+    bplan = executed_plan(_q4_bounds(pu, "frequency", False, "f"))
+    bpart, bunpart = split_windows(bplan)
+    assert not bpart and len(bunpart) >= 2, bplan
+    for line in bunpart:
+        assert "sum(cnt#" in line, f"bounds window over raw rows:\n{line}"
