@@ -85,6 +85,7 @@ MEASURED = {
     "dq_outliers": ("documents",),
     "sample_stratified_alloc": ("documents",),
     "events_ab_test": ("events",),
+    "events_rfm": ("events",),
     "win_gaps_islands": ("events",),
     "pipeline_rag_retrieval": ("documents",),
     "sink_bucketed": ("orders", "lineitem"),
