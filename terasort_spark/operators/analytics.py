@@ -128,6 +128,44 @@ def _q4_ranked(metric, sfx):
     )
 
 
+def quartile_columns(per_user, metrics):
+    """Attach `{sfx}_quartile` columns to a (user_id, *metrics) frame —
+    the de-skewed exact-ntile machinery, factored so tests can feed
+    arbitrary (randomized, repartitioned) frames. `metrics` is a tuple
+    of (column, ascending, suffix)."""
+    df = per_user
+    for metric, asc, sfx in metrics:
+        df = df.join(
+            F.broadcast(_q4_bounds(per_user, metric, asc, sfx)), metric
+        )
+    # The clean/straddle branches below both consume df; pin ONE
+    # execution of the aggregate + bounds joins (else each branch
+    # re-runs the whole upstream pipeline).
+    df = df.localCheckpoint(eager=False)
+    any_straddle = None
+    for _, _, sfx in metrics:
+        c = _q4_straddle(sfx)
+        any_straddle = c if any_straddle is None else (any_straddle | c)
+    out = ["user_id"] + [m for m, _, _ in metrics]
+    clean = df.filter(~any_straddle).select(
+        *out,
+        *[
+            _q4_stateless(sfx).alias(f"{sfx}_quartile")
+            for _, _, sfx in metrics
+        ],
+    )
+    rest = df.filter(any_straddle).select(
+        *out,
+        *[
+            F.when(_q4_straddle(sfx), _q4_ranked(metric, sfx))
+            .otherwise(_q4_stateless(sfx))
+            .alias(f"{sfx}_quartile")
+            for metric, _, sfx in metrics
+        ],
+    )
+    return clean.unionByName(rest)
+
+
 @register(
     "events_rfm",
     oracle="""
@@ -178,41 +216,14 @@ def events_rfm(spark, sf_dir):
             ),
         )
     )  # 4 consumers below share ONE physical aggregate via ReusedExchange
-    metrics = (
-        ("recency_days", True, "r"),
-        ("frequency", False, "f"),
-        ("monetary", False, "m"),
+    return quartile_columns(
+        per_user,
+        (
+            ("recency_days", True, "r"),
+            ("frequency", False, "f"),
+            ("monetary", False, "m"),
+        ),
     )
-    df = per_user
-    for metric, asc, sfx in metrics:
-        df = df.join(
-            F.broadcast(_q4_bounds(per_user, metric, asc, sfx)), metric
-        )
-    # The clean/straddle branches below both consume df; pin ONE
-    # execution of the aggregate + three bounds joins (else each branch
-    # re-runs the whole upstream pipeline).
-    df = df.localCheckpoint(eager=False)
-    any_straddle = (
-        _q4_straddle("r") | _q4_straddle("f") | _q4_straddle("m")
-    )
-    out = ["user_id", "recency_days", "frequency", "monetary"]
-    clean = df.filter(~any_straddle).select(
-        *out,
-        *[
-            _q4_stateless(sfx).alias(f"{sfx}_quartile")
-            for _, _, sfx in metrics
-        ],
-    )
-    rest = df.filter(any_straddle).select(
-        *out,
-        *[
-            F.when(_q4_straddle(sfx), _q4_ranked(metric, sfx))
-            .otherwise(_q4_stateless(sfx))
-            .alias(f"{sfx}_quartile")
-            for metric, _, sfx in metrics
-        ],
-    )
-    return clean.unionByName(rest)
 
 
 @register(

@@ -527,7 +527,12 @@ def ml_auc(spark, sf_dir):
     sort of raw documents, the same de-skew discipline as ml_stump.
     All rank arithmetic is exact integers; the single division happens
     once at the end."""
-    scored = _stopword_scored(spark, sf_dir)
+    return auc_from_scored(_stopword_scored(spark, sf_dir))
+
+
+def auc_from_scored(scored):
+    """Rank-sum AUC of any (s, y) frame (integer score, 0/1 label) —
+    factored so tests can feed arbitrary randomized frames."""
     hist = scored.groupBy("s").agg(
         F.sum("y").alias("n1"),
         (F.count(F.lit(1)) - F.sum("y")).alias("n0"),

@@ -147,6 +147,17 @@ def topk_skyline(spark, sf_dir):
         .cast("bigint")
         .alias("cents"),
     )
+    return skyline_2d(p).select(
+        "p_partkey",
+        "p_size",
+        rnd(F.col("cents") / 100.0, "price"),
+    )
+
+
+def skyline_2d(p):
+    """Pareto front of a (p_partkey, p_size, cents) frame — minimize
+    cents, maximize p_size. Factored so tests can feed arbitrary
+    (randomized, repartitioned) frames."""
     hist = p.groupBy("p_size").agg(F.min("cents").alias("m"))
     # Running min over HISTOGRAM rows (bounded size domain — the
     # approved de-skew form; never a window over raw parts).
@@ -161,9 +172,5 @@ def topk_skyline(spark, sf_dir):
     return (
         p.join(F.broadcast(frontier), "p_size")
         .filter(F.col("cents") == F.col("m"))
-        .select(
-            "p_partkey",
-            "p_size",
-            rnd(F.col("cents") / 100.0, "price"),
-        )
+        .select("p_partkey", "p_size", "cents")
     )

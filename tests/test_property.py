@@ -330,3 +330,115 @@ def test_jpeg_roundtrip_property(h, w, seed):
     got = decode_jpeg_luma(_encode_jpeg(img))
     assert got.shape == img.shape
     assert np.max(np.abs(got - img)) < 5.0
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    values=st.lists(
+        st.integers(min_value=0, max_value=6),  # heavy ties on purpose
+        min_size=1,
+        max_size=60,
+    ),
+    ascending=st.booleans(),
+    n_parts=st.integers(min_value=1, max_value=5),
+)
+def test_quartile_histogram_machinery_equals_ntile(spark, values, ascending, n_parts):
+    """The de-skewed quartile machinery (quartile_columns) must be
+    bit-identical to ntile(4) OVER (ORDER BY metric [DESC], user_id)
+    for ANY multiset of metric values — tie groups straddling zero, one
+    or several quartile boundaries — at any partitioning."""
+    from terasort_spark.operators.analytics import quartile_columns
+
+    rows = [(uid, v) for uid, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "user_id long, m long").repartition(n_parts)
+    got = {
+        r["user_id"]: r["q_quartile"]
+        for r in quartile_columns(df, (("m", ascending, "q"),)).collect()
+    }
+    # Python ntile(4) replay with user_id tie-break
+    order = sorted(rows, key=lambda t: (t[1] if ascending else -t[1], t[0]))
+    n = len(order)
+    q, r = divmod(n, 4)
+    want, pos = {}, 0
+    for tile in range(1, 5):
+        size = q + (1 if tile <= r else 0)
+        for uid, _ in order[pos : pos + size]:
+            want[uid] = tile
+        pos += size
+    assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=8),  # size (maximize)
+            st.integers(min_value=0, max_value=20),  # cents (minimize)
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+)
+def test_skyline_frontier_equals_bruteforce_dominance(spark, pts):
+    """The histogram-frontier skyline must equal the O(n^2) dominance
+    definition for ANY point set, including duplicated points (which
+    never dominate each other — both stay on the frontier)."""
+    from terasort_spark.operators.sorts import skyline_2d
+
+    rows = [(i, sz, c) for i, (sz, c) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "p_partkey long, p_size int, cents long")
+    got = {r["p_partkey"] for r in skyline_2d(df).collect()}
+    want = {
+        i
+        for (i, s, c) in rows
+        if not any(
+            bc <= c and bs >= s and (bc < c or bs > s) for (_, bs, bc) in rows
+        )
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    scored=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),  # score, heavy ties
+            st.integers(min_value=0, max_value=1),  # label
+        ),
+        min_size=2,
+        max_size=60,
+    ),
+)
+def test_auc_histogram_ranksum_equals_pairwise(spark, scored):
+    """The histogram rank-sum AUC must equal the pairwise definition
+    (mean of 1[s_pos > s_neg] + 0.5·1[tie]) for ANY score/label
+    multiset with at least one positive and one negative."""
+    import math
+
+    from hypothesis import assume
+
+    from terasort_spark.operators.ml import auc_from_scored
+
+    pos = [s for s, y in scored if y == 1]
+    neg = [s for s, y in scored if y == 0]
+    assume(pos and neg)
+    df = spark.createDataFrame(list(scored), "s long, y int")
+    row = auc_from_scored(df).collect()[0]
+    two_u = sum(
+        2 if sp > sn else (1 if sp == sn else 0) for sp in pos for sn in neg
+    )
+    want = math.floor(two_u / (2.0 * len(pos) * len(neg)) * 10000 + 0.5) / 10000
+    assert (row["n_pos"], row["n_neg"]) == (len(pos), len(neg))
+    assert row["auc"] == want
