@@ -187,13 +187,13 @@ _GRADE_FIRST = (
     # Round-6 additions, highest-evidence-value first: with ~50 rows
     # per round and 39 backlog slots ahead, the tail of this list may
     # spill to round 7 — put the flagship-adjacent operators first.
-    "pipeline_rag_retrieval", "sink_bucketed", "text_boilerplate",
-    "ml_naivebayes", "ml_stump", "text_novelty",
+    "pipeline_rag_retrieval", "sink_bucketed", "emb_kmeans",
+    "text_boilerplate", "ml_naivebayes", "ml_stump", "text_novelty",
     "sample_stratified_alloc", "agg_gini", "events_ab_test",
     "dq_outliers", "text_keywords", "text_readability",
     "scan_rowgroup_stats", "win_gaps_islands", "text_zipf_fit",
     "text_compression_ratio", "ml_auc", "text_dsir_weights",
-    "topk_skyline", "emb_kmeans", "ml_calibration", "dq_ks_drift",
+    "topk_skyline", "ml_calibration", "dq_ks_drift",
     "sink_compacted",
 )
 
