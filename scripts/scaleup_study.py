@@ -86,6 +86,7 @@ MEASURED = {
     "sample_stratified_alloc": ("documents",),
     "events_ab_test": ("events",),
     "events_rfm": ("events",),
+    "emb_kmeans": ("embeddings",),
     "win_gaps_islands": ("events",),
     "pipeline_rag_retrieval": ("documents",),
     "sink_bucketed": ("orders", "lineitem"),
