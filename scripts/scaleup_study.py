@@ -98,6 +98,7 @@ MEASURED = {
     "ml_calibration": ("documents",),
     "dq_ks_drift": ("documents",),
     "sink_compacted": ("orders",),
+    "dq_k_anonymity": ("documents",),
 }
 
 OFFSETS = {  # per-copy id offsets, far above any base id

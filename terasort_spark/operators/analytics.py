@@ -956,3 +956,62 @@ def dq_ks_drift(spark, sf_dir):
             ),
         )
     )
+
+
+_KANON_K = 5
+
+
+@register(
+    "dq_k_anonymity",
+    oracle=f"""
+WITH classes AS (
+    SELECT lang, source, count(*) AS n
+    FROM documents GROUP BY lang, source
+),
+pools AS (
+    SELECT lang, sum(CASE WHEN n < {_KANON_K} THEN n ELSE 0 END) AS pool
+    FROM classes GROUP BY lang
+)
+SELECT d.doc_id,
+       CASE WHEN c.n >= {_KANON_K} THEN d.lang
+            WHEN p.pool >= {_KANON_K} THEN d.lang
+            ELSE '*' END AS lang_out,
+       CASE WHEN c.n >= {_KANON_K} THEN d.source
+            ELSE '*' END AS source_out
+FROM documents d
+JOIN classes c ON d.lang = c.lang AND d.source = c.source
+JOIN pools p ON d.lang = p.lang
+""",
+)
+def dq_k_anonymity(spark, sf_dir):
+    """k-anonymization by hierarchical suppression: rows whose
+    (lang, source) equivalence class has fewer than k=5 members leak
+    identity, so their `source` is suppressed to '*', merging them into
+    a per-language pool; if even that pool stays under k, `lang` is
+    suppressed too (full generalization). The release-gate
+    transformation a privacy audit applies to quasi-identifier columns
+    before corpus publication — every emitted class is either
+    unchanged-and-large-enough, pooled, or fully suppressed.
+
+    Scale: the class table is bounded by |lang|x|source| (a broadcast),
+    the pool table by |lang|; the data-sized work is one map-combined
+    groupBy plus two broadcast joins — no row ever shuffles."""
+    d = table(spark, sf_dir, "documents")
+    classes = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    pools = classes.groupBy("lang").agg(
+        F.sum(F.when(F.col("n") < _KANON_K, F.col("n")).otherwise(0)).alias(
+            "pool"
+        )
+    )
+    safe = F.col("n") >= _KANON_K
+    return (
+        d.join(F.broadcast(classes), ["lang", "source"])
+        .join(F.broadcast(pools), "lang")
+        .select(
+            "doc_id",
+            F.when(safe | (F.col("pool") >= _KANON_K), F.col("lang"))
+            .otherwise("*")
+            .alias("lang_out"),
+            F.when(safe, F.col("source")).otherwise("*").alias("source_out"),
+        )
+    )

@@ -460,3 +460,28 @@ def test_ks_drift_matches_bruteforce_ecdf(spark, sf_dir):
     assert row["threshold"] == best[1]
     want_d = math.floor(best[0] / (len(a) * len(b)) * 10000 + 0.5) / 10000
     assert row["d"] == want_d and 0.0 <= row["d"] <= 1.0
+
+
+def test_k_anonymity_guarantee_and_minimality(spark, sf_dir):
+    """Every released equivalence class must have >= k members (except
+    the terminal fully-suppressed class, which absorbs whatever is
+    left), and suppression must be minimal: a (lang, source) class is
+    kept verbatim iff it already had >= k members."""
+    from collections import Counter
+
+    from terasort_spark.operators.analytics import _KANON_K
+
+    rows = _Q["dq_k_anonymity"](spark, sf_dir).collect()
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "source").collect()
+    assert len(rows) == len(d)
+    orig = Counter((r["lang"], r["source"]) for r in d)
+    out_classes = Counter((r["lang_out"], r["source_out"]) for r in rows)
+    for (lang, src), n in out_classes.items():
+        if (lang, src) != ("*", "*"):
+            assert n >= _KANON_K, ((lang, src), n)
+    for (lang, src), n in orig.items():
+        kept = out_classes.get((lang, src), 0)
+        if n >= _KANON_K:
+            assert kept >= n  # verbatim classes survive whole
+        else:
+            assert (lang, src) not in out_classes  # risky classes gone
