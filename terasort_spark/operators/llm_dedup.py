@@ -223,20 +223,65 @@ def dedup_minhash(spark, sf_dir):
 
 @register(
     "dedup_simhash",
-    oracle=None,  # 64-bit simhash uses xxhash64 (no DuckDB twin) → rows-only
+    oracle=f"""
+WITH ints_t AS (
+    SELECT doc_id,
+           list_transform(
+               list_distinct(string_split(lower(text), ' ')),
+               t -> (strpos('0123456789abcdef', substr(md5(t),1,1))-1)*4096 + (strpos('0123456789abcdef', substr(md5(t),2,1))-1)*256 + (strpos('0123456789abcdef', substr(md5(t),3,1))-1)*16 + (strpos('0123456789abcdef', substr(md5(t),4,1))-1)*1) AS ints
+    FROM documents
+),
+votes AS (
+    SELECT doc_id,
+       CASE WHEN list_sum(list_transform(ints, h -> CASE WHEN (h >> 0) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN 1 ELSE 0 END AS p0,
+       CASE WHEN list_sum(list_transform(ints, h -> CASE WHEN (h >> 1) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN 2 ELSE 0 END AS p1,
+       CASE WHEN list_sum(list_transform(ints, h -> CASE WHEN (h >> 2) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN 4 ELSE 0 END AS p2,
+       CASE WHEN list_sum(list_transform(ints, h -> CASE WHEN (h >> 3) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN 8 ELSE 0 END AS p3,
+       CASE WHEN list_sum(list_transform(ints, h -> CASE WHEN (h >> 4) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN 16 ELSE 0 END AS p4,
+       CASE WHEN list_sum(list_transform(ints, h -> CASE WHEN (h >> 5) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN 32 ELSE 0 END AS p5,
+       CASE WHEN list_sum(list_transform(ints, h -> CASE WHEN (h >> 6) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN 64 ELSE 0 END AS p6,
+       CASE WHEN list_sum(list_transform(ints, h -> CASE WHEN (h >> 7) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN 128 ELSE 0 END AS p7,
+       CASE WHEN list_sum(list_transform(ints, h -> CASE WHEN (h >> 8) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN 256 ELSE 0 END AS p8,
+       CASE WHEN list_sum(list_transform(ints, h -> CASE WHEN (h >> 9) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN 512 ELSE 0 END AS p9,
+       CASE WHEN list_sum(list_transform(ints, h -> CASE WHEN (h >> 10) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN 1024 ELSE 0 END AS p10,
+       CASE WHEN list_sum(list_transform(ints, h -> CASE WHEN (h >> 11) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN 2048 ELSE 0 END AS p11,
+       CASE WHEN list_sum(list_transform(ints, h -> CASE WHEN (h >> 12) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN 4096 ELSE 0 END AS p12,
+       CASE WHEN list_sum(list_transform(ints, h -> CASE WHEN (h >> 13) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN 8192 ELSE 0 END AS p13,
+       CASE WHEN list_sum(list_transform(ints, h -> CASE WHEN (h >> 14) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN 16384 ELSE 0 END AS p14,
+       CASE WHEN list_sum(list_transform(ints, h -> CASE WHEN (h >> 15) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN 32768 ELSE 0 END AS p15
+    FROM ints_t
+)
+SELECT doc_id,
+       CAST(coalesce(p0 + p1 + p2 + p3 + p4 + p5 + p6 + p7 + p8 + p9 + p10 + p11 + p12 + p13 + p14 + p15, 0) AS BIGINT) AS simhash16
+FROM votes
+""",
 )
 def dedup_simhash(spark, sf_dir):
-    """SimHash fingerprint per document: sign-sum of per-token 64-bit
-    hashes, bit-majority packed into a BIGINT. Near-dup candidates =
+    """SimHash fingerprint per document: sign-sum of per-token hash
+    bits, bit-majority packed into a BIGINT. Near-dup candidates =
     equal fingerprints (Hamming-0 buckets; a banded Hamming-k variant
-    splits the 64 bits into 4 × 16-bit keys the same way MinHash bands
-    do)."""
+    splits the bits into 4-bit keys the same way MinHash bands do).
+
+    Exact-oracle upgrade (round 6): the per-token hash is the first 16
+    bits of md5 — identical in both engines — so the ±1 bit votes are
+    exact integer sums and the whole fingerprint replays in SQL (was
+    xxhash64, which has no DuckDB twin). At 100 TB swap md5 back for a
+    cheap 64-bit integer hash if profiling shows the scan is
+    hash-bound; the scheme only needs uniformity, and the structure
+    (one hash per DISTINCT token, all JVM higher-order functions, zero
+    shuffles before the fingerprint groupBy) is hash-agnostic."""
     d = table(spark, sf_dir, "documents").select(
         "doc_id", F.array_distinct(F.split(F.lower("text"), " ")).alias("toks")
     )
     # For each bit b: +1 if token-hash bit set else -1; sum over tokens;
     # fingerprint bit = 1 iff sum > 0. All JVM higher-order functions.
-    d = d.withColumn("th", F.transform(F.col("toks"), lambda t: F.xxhash64(t)))
+    d = d.withColumn(
+        "th",
+        F.transform(
+            F.col("toks"),
+            lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long"),
+        ),
+    )
 
     def make_vote(b):
         # HOF merge lambdas must be exactly 2-ary; bind b via closure
@@ -250,7 +295,9 @@ def dedup_simhash(spark, sf_dir):
     for b in range(16):  # 16-bit simhash keeps the expression tree small
         vote = F.aggregate(F.col("th"), F.lit(0), make_vote(b))
         fp = fp + F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0))
-    return d.select("doc_id", fp.cast("long").alias("simhash16"))
+    return d.select(
+        "doc_id", F.coalesce(fp, F.lit(0)).cast("long").alias("simhash16")
+    )
 
 
 _EMB_DOT = (

@@ -194,7 +194,7 @@ _GRADE_FIRST = (
     "scan_rowgroup_stats", "win_gaps_islands", "text_zipf_fit",
     "text_compression_ratio", "ml_auc", "text_dsir_weights",
     "topk_skyline", "ml_calibration", "dq_ks_drift",
-    "sink_compacted", "dq_k_anonymity",
+    "sink_compacted", "dq_k_anonymity", "dedup_simhash",
 )
 
 
