@@ -17,9 +17,16 @@ from pyspark.sql import functions as F
 from terasort_spark.catalog import table
 from terasort_spark.operators._util import o_rnd, rnd
 from terasort_spark.registry import register
+from terasort_spark.sources.tera_queries import mix32, mix32_sql
 
 N_HASHES = 32  # minhash signature length
 N_BANDS = 4  # bands of 8 rows each: P(candidate) = 1-(1-s^8)^4
+BUCKET_M = 2147483647  # Mersenne modulus (perm + band polynomial hash)
+BUCKET_POW = [pow(31, k + 1, BUCKET_M) for k in range(32)]
+# Universal-hash permutation constants: deterministic, coprime-ish,
+# below 2^31 so every product stays under 2^59 in int64 arithmetic.
+PERM_A = [pow(48271, k + 1, BUCKET_M) for k in range(32)]
+PERM_B = [pow(16807, k + 7, BUCKET_M) for k in range(32)]
 
 
 def _with_dups(spark, sf_dir):
@@ -86,30 +93,67 @@ def minhash_pairs(spark, sf_dir, tau: float = 0.8, per_doc_cap: int | None = Non
     d = table(spark, sf_dir, "documents").select(
         "doc_id", F.array_distinct(F.split(F.lower("text"), " ")).alias("toks")
     )
-    # Hash each token ONCE (the expensive string hash), then derive the
-    # N_HASHES "permutations" by cheap integer re-mixing of that 64-bit
-    # value — the standard a_i*h+b_i trick, done as murmur3(h, i) to
-    # stay overflow-safe under ANSI arithmetic. Cuts per-token hashing
-    # work by N_HASHES x without changing the scheme's guarantees (each
-    # mix is an independent uniform function of the token).
-    d = d.withColumn("th", F.transform(F.col("toks"), lambda t: F.xxhash64(t)))
+    # Hash each token ONCE (the expensive string hash — 28 bits of md5,
+    # identical in every engine), then derive the N_HASHES
+    # "permutations" by cheap integer re-mixing of that value with the
+    # engine-portable splitmix mixer — the standard a_i*h+b_i trick.
+    # Cuts per-token hashing work by N_HASHES x without changing the
+    # scheme's guarantees (each mix is an independent uniform function
+    # of the token), and makes the ENTIRE candidate pipeline
+    # SQL-replayable (the r6 exact-oracle upgrade; was xxhash64 +
+    # murmur3, which have no DuckDB twins). 28 bits keeps every mix32
+    # input below 2^31, the mixer's bit-exactness precondition.
+    d = d.withColumn(
+        "th",
+        F.transform(
+            F.col("toks"),
+            lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("long"),
+        ),
+    ).localCheckpoint(eager=False)
+    # ^ pin the hashed-token arrays: Catalyst collapses projections, so
+    # without the checkpoint every one of the N_HASHES signature
+    # columns would re-run the md5 pass over every token (32x the
+    # corpus's most expensive scan work). One materialization, read by
+    # all 32 permutations and the verify stage.
 
     def minhash(i):
         # 1-ary lambda: a 2-ary one would receive the array INDEX as its
-        # second argument, silently replacing the seed
+        # second argument, silently replacing the seed. The permutation
+        # is the textbook universal hash (a_i*h + b_i) mod p — three
+        # integer ops per token, exact in every engine (a_i < 2^31 and
+        # h < 2^28 keep the product under 2^59).
+        a, b = PERM_A[i], PERM_B[i]
         return F.array_min(
-            F.transform(F.col("th"), lambda h: F.hash(h, F.lit(i)))
+            F.transform(
+                F.col("th"),
+                lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(BUCKET_M),
+            )
         ).alias(f"mh{i}")
 
     sig = d.select("doc_id", "toks", *[minhash(i) for i in range(N_HASHES)])
     rows_per_band = N_HASHES // N_BANDS
+
+    def band_bucket(b):
+        # polynomial fold of the band's rows — the engine-portable
+        # replacement for murmur3(mh0..mh7). Each mh expression is
+        # referenced exactly ONCE (a chained mixer would duplicate the
+        # operand tree at every xor step and explode codegen); modular
+        # arithmetic keeps every intermediate under 2^63 in both
+        # engines. Collision probability between distinct 8-tuples is
+        # ~1/M — irrelevant next to LSH's own false-positive rate.
+        acc = F.lit(0)
+        for r in range(rows_per_band):
+            c = BUCKET_POW[b * rows_per_band + r]
+            acc = (
+                acc + (F.col(f"mh{b * rows_per_band + r}") % BUCKET_M) * c
+            ) % F.lit(BUCKET_M)
+        return acc
+
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.hash(
-                    *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-                ).alias("bucket"),
+                band_bucket(b).alias("bucket"),
             )
             for b in range(N_BANDS)
         ]
@@ -189,11 +233,99 @@ def minhash_pairs(spark, sf_dir, tau: float = 0.8, per_doc_cap: int | None = Non
     )
 
 
-@register(
-    "dedup_minhash",
-    oracle=None,  # banded-LSH candidates are engine-specific → rows-only;
-    # pair recall vs exact Jaccard is asserted in tests/test_llm.py
+def lsh_pairs_sql(tau: float, cap: int = 8) -> str:
+    """WITH-clause body replaying ``minhash_pairs(tau, per_doc_cap=cap)``
+    in DuckDB SQL: 28-bit md5 token hashes, 32 universal-hash
+    permutations, polynomial band buckets, per-bucket nearest-smaller
+    candidate slices, the cap-smallest per-doc cap, and exact-Jaccard
+    verification — every stage exact integer (or one deterministic IEEE
+    division), so downstream consumers hash bit-for-bit. Ends with CTE
+    ``lsh_pairs(a_id, b_id)`` (a_id < b_id, verified at Jaccard >= tau);
+    intermediate CTEs ``d`` (doc_id, toks) and ``th_t`` stay visible to
+    callers. Shared by the dedup_minhash keep/drop oracle and the graph
+    oracles (graph_triangles/graph_pagerank ride the same edge list)."""
+    h28 = (
+        "((strpos('0123456789abcdef', substr(md5(t),1,1))-1)*16777216"
+        " + (strpos('0123456789abcdef', substr(md5(t),2,1))-1)*1048576"
+        " + (strpos('0123456789abcdef', substr(md5(t),3,1))-1)*65536"
+        " + (strpos('0123456789abcdef', substr(md5(t),4,1))-1)*4096"
+        " + (strpos('0123456789abcdef', substr(md5(t),5,1))-1)*256"
+        " + (strpos('0123456789abcdef', substr(md5(t),6,1))-1)*16"
+        " + (strpos('0123456789abcdef', substr(md5(t),7,1))-1))"
+    )
+    mh_cols = ",\n           ".join(
+        f"list_min(list_transform(th, h -> (h * {PERM_A[i]} + {PERM_B[i]})"
+        f" % {BUCKET_M})) AS mh{i}"
+        for i in range(N_HASHES)
+    )
+    rows_per_band = N_HASHES // N_BANDS
+    band_selects = []
+    for b in range(N_BANDS):
+        acc = "0"
+        for r in range(rows_per_band):
+            k = b * rows_per_band + r
+            acc = f"(({acc} + (mh{k} % {BUCKET_M}) * {BUCKET_POW[k]}) % {BUCKET_M})"
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, {acc} AS bucket FROM sig"
+        )
+    bands_sql = "\n    UNION ALL\n    ".join(band_selects)
+    inter = "len(list_filter(ta.toks, x -> list_contains(tb.toks, x)))"
+    jacc = (
+        f"floor(CAST({inter} AS DOUBLE)"
+        f" / (len(ta.toks) + len(tb.toks) - {inter}) * 10000 + 0.5) / 10000"
+    )
+    return f"""d AS MATERIALIZED (
+    SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks
+    FROM documents
+),
+th_t AS MATERIALIZED (
+    SELECT doc_id, toks, list_transform(toks, t -> {h28}) AS th FROM d
+),
+sig AS MATERIALIZED (
+    SELECT doc_id,
+           {mh_cols}
+    FROM th_t
+),
+buckets AS MATERIALIZED (
+    {bands_sql}
+),
+grouped AS MATERIALIZED (
+    SELECT band, bucket, list_sort(list(DISTINCT doc_id)) AS ids
+    FROM buckets GROUP BY band, bucket
+),
+cand AS MATERIALIZED (
+    SELECT ids[i.i] AS b_id,
+           unnest(ids[greatest(1, i.i - {cap}) : i.i - 1]) AS a_id
+    FROM grouped,
+         LATERAL (SELECT unnest(generate_series(1, len(ids))) AS i) i
+),
+capped AS MATERIALIZED (
+    SELECT b_id, unnest(list_sort(list(DISTINCT a_id))[1:{cap}]) AS a_id
+    FROM cand GROUP BY b_id
+),
+lsh_pairs AS MATERIALIZED (
+    SELECT c.a_id, c.b_id
+    FROM capped c
+    JOIN th_t ta ON ta.doc_id = c.a_id
+    JOIN th_t tb ON tb.doc_id = c.b_id
+    WHERE {jacc} >= {tau!r}
+)"""
+
+
+def _minhash_oracle() -> str:
+    """Keep/drop replay over the shared LSH pairs body (tau=0.8, cap=8
+    — dedup_minhash's exact parameters)."""
+    return f"""
+WITH {lsh_pairs_sql(tau=0.8, cap=8)},
+dropped AS MATERIALIZED (
+    SELECT DISTINCT b_id AS doc_id FROM lsh_pairs
 )
+SELECT d.doc_id, (dr.doc_id IS NULL) AS keep
+FROM d LEFT JOIN dropped dr USING (doc_id)
+"""
+
+
+@register("dedup_minhash", oracle=_minhash_oracle())
 def dedup_minhash(spark, sf_dir):
     """Near-dedup keep/drop decisions via MinHash-LSH (see
     ``minhash_pairs`` for the candidate machinery).
@@ -204,6 +336,16 @@ def dedup_minhash(spark, sf_dir):
     qualifying pairs among just 5000 docs of this synthetic corpus).
     This min-id survivor rule is the single-pass approximation of
     connected-components dedup used by large pretraining pipelines.
+
+    EXACT-oracle since r6: the token hash is 28 bits of md5, the 32
+    permutations are universal hashes (a_i*h+b_i mod p), and band
+    buckets are polynomial folds — all engine-portable integer
+    arithmetic, so the ENTIRE pipeline (banding, per-bucket candidate
+    slices, the 8-smallest cap, exact-Jaccard verification) replays
+    bit-for-bit in SQL (_minhash_oracle). The md5 pass costs ~1.6x the
+    old xxhash64 at sf0.1 (BASELINE.md) — the price of cross-engine
+    verifiability; swap a fast 64-bit hash back only if profiling
+    shows a 100 TB scan is hash-bound, the scheme is hash-agnostic.
 
     Verification is capped at 8 candidate partners per doc (see
     minhash_pairs.per_doc_cap — per-bucket nearest-smaller ids, then

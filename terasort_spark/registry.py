@@ -195,6 +195,7 @@ _GRADE_FIRST = (
     "text_compression_ratio", "ml_auc", "text_dsir_weights",
     "topk_skyline", "ml_calibration", "dq_ks_drift",
     "sink_compacted", "dq_k_anonymity", "dedup_simhash",
+    "dedup_minhash",
 )
 
 
