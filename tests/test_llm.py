@@ -332,7 +332,9 @@ def test_pagerank_invariants(spark, sf_dir):
     teleport floor, and hub docs (max degree) rank above the median."""
     rows = _Q["graph_pagerank"](spark, sf_dir).collect()
     assert rows
-    ranks = {r["doc_id"]: r["rank_x1000"] / 1000.0 for r in rows}
+    # ranks are int64 micro-units of a 1e12 total mass (r6 quantized
+    # rewrite); truncating division leaks < N_ITER units per node
+    ranks = {r["doc_id"]: r["rank_u"] / 1e12 for r in rows}
     n = len(ranks)
     assert abs(sum(ranks.values()) - 1.0) < 1e-3
     floor = 0.15 / n * 0.99
