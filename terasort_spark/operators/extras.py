@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from terasort_spark.catalog import table
 from terasort_spark.operators._util import o_rnd, rnd
 from terasort_spark.registry import register
+from terasort_spark.sources.tera_queries import mix32, mix32_sql
 
 
 @register(
@@ -298,17 +299,36 @@ def etl_upsert(spark, sf_dir):
     )
 
 
-@register("scan_sample")  # engine RNGs differ → rows-only; bounds in tests
+_SAMPLE_SALT = 15485863  # 1e6-th prime; distinct from the quality.py salts
+_SAMPLE_THRESH = 429496729  # floor(0.1 * 2^32): 10% Bernoulli keep rate
+
+
+@register(
+    "scan_sample",
+    oracle=f"""
+SELECT l_orderkey, l_linenumber
+FROM lineitem
+WHERE {mix32_sql(f"(l_orderkey * 7 + l_linenumber + {_SAMPLE_SALT}) % 2147483648")}
+      < {_SAMPLE_THRESH}
+""",
+)
 def scan_sample(spark, sf_dir):
-    """Seeded Bernoulli sample (data-selection primitive for training
-    pipelines). Deterministic for a fixed seed AND partitioning; sample
-    fraction checked within binomial bounds in tests/test_llm.py. The
-    per-partition XORShift streams mean resampling after a repartition
-    yields a different (equally valid) subset — pin partitioning before
-    sampling when exact reproducibility across layouts matters."""
+    """Content-addressed Bernoulli sample (data-selection primitive for
+    training pipelines): keep iff mix32(key) < 0.1 * 2^32, where key is
+    a pure function of the row's identity — so the sample is identical
+    on ANY partitioning, any cluster size, and any engine (r6
+    exact-oracle upgrade; Spark's built-in ``.sample(seed=)`` draws
+    per-partition XORShift streams, so a repartition silently yields a
+    different subset — the reproducibility hazard this rewrite removes;
+    fraction still checked within binomial bounds in tests). The key
+    folds the composite (orderkey, linenumber) and wraps at 2^31 to
+    stay inside the mixer's bit-exact input range at any scale."""
+    li = table(spark, sf_dir, "lineitem")
+    key = (
+        F.col("l_orderkey") * 7 + F.col("l_linenumber") + F.lit(_SAMPLE_SALT)
+    ) % F.lit(2147483648)
     return (
-        table(spark, sf_dir, "lineitem")
-        .sample(fraction=0.1, seed=42)
+        li.filter(mix32(key) < F.lit(_SAMPLE_THRESH))
         .select("l_orderkey", "l_linenumber")
     )
 
@@ -347,19 +367,43 @@ def source_text(spark, sf_dir):
     return spark.read.text(out)
 
 
-@register("scan_stratified")  # per-stratum seeded sampling → rows-only
+_STRAT_SALT = 32452843  # 2e6-th prime
+_STRAT_FRACTIONS = {"en": 0.2, "de": 1.0, "es": 0.5, "fr": 1.0, "zh": 1.0}
+
+
+def _strat_oracle() -> str:
+    cases = " ".join(
+        f"WHEN '{lang}' THEN {int(frac * 4294967296)}"
+        for lang, frac in sorted(_STRAT_FRACTIONS.items())
+    )
+    return f"""
+SELECT doc_id, lang
+FROM documents
+WHERE {mix32_sql(f"doc_id + {_STRAT_SALT}")}
+      < (CASE lang {cases} ELSE 0 END)
+"""
+
+
+@register("scan_stratified", oracle=_strat_oracle())
 def scan_stratified(spark, sf_dir):
-    """Stratified sampling (sampleBy): per-class fractions — the
-    data-mixing primitive for training-set curation (e.g. downsample the
-    dominant language, keep the rare ones). Seeded and deterministic for
-    a fixed partitioning; per-stratum counts checked in tests."""
+    """Stratified sampling: per-class keep fractions — the data-mixing
+    primitive for training-set curation (e.g. downsample the dominant
+    language, keep the rare ones). The coin is mix32(doc_id + salt)
+    compared against a per-stratum threshold (r6 exact-oracle upgrade;
+    was ``sampleBy(seed=)``, whose per-partition RNG streams change the
+    subset on repartition — this rewrite is partition- and
+    engine-invariant, the property a resumable 100 TB curation run
+    needs). Thresholds ride a small CASE expression, not a join — the
+    stratum table is query-constant. Per-stratum counts checked in
+    tests."""
+    thresh = F.lit(0)
+    for lang, frac in sorted(_STRAT_FRACTIONS.items()):
+        thresh = F.when(F.col("lang") == lang, F.lit(int(frac * 4294967296))).otherwise(
+            thresh
+        )
     return (
         table(spark, sf_dir, "documents")
-        .sampleBy(
-            "lang",
-            fractions={"en": 0.2, "de": 1.0, "es": 0.5, "fr": 1.0, "zh": 1.0},
-            seed=7,
-        )
+        .filter(mix32(F.col("doc_id") + F.lit(_STRAT_SALT)) < thresh)
         .select("doc_id", "lang")
     )
 
