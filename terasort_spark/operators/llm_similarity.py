@@ -444,10 +444,10 @@ def emb_quantize(spark, sf_dir):
     )
 
 
-@register(
-    "emb_covariance",
-    oracle="""
-WITH cells AS (
+# CTE prefix ending in cov(i, j, cov) — the exact-decimal covariance
+# replay, shared by the emb_covariance oracle and the emb_pca_power
+# oracle (which diagonalizes the same matrix).
+_COV_PREFIX = """cells AS (
   SELECT vec_id,
          CAST(generate_subscripts(embedding, 1) AS INTEGER) AS pos,
          CAST(unnest(embedding) AS DOUBLE) AS v
@@ -464,13 +464,19 @@ prods AS (
          count(*) AS cnt
   FROM cells a JOIN cells b ON a.vec_id = b.vec_id AND a.pos <= b.pos
   GROUP BY a.pos, b.pos
-)
-SELECT i, j,
-       floor((s / cnt - ma.m * mb.m) * 10000 + 0.5) / 10000 AS cov
-FROM prods
-JOIN means ma ON ma.pos = i
-JOIN means mb ON mb.pos = j
-""",
+),
+cov AS MATERIALIZED (
+  SELECT i, j,
+         floor((s / cnt - ma.m * mb.m) * 10000 + 0.5) / 10000 AS cov
+  FROM prods
+  JOIN means ma ON ma.pos = i
+  JOIN means mb ON mb.pos = j
+)"""
+
+
+@register(
+    "emb_covariance",
+    oracle=f"WITH {_COV_PREFIX}\nSELECT i, j, cov FROM cov",
 )
 def emb_covariance(spark, sf_dir):
     """Distributed covariance matrix of the embedding columns (upper
@@ -552,68 +558,132 @@ def emb_covariance(spark, sf_dir):
     )
 
 
-@register(
-    "emb_pca_power",
-    oracle=None,  # eigensolve isn't SQL-expressible → rows-only;
-    # dominant-eigenvector property asserted in tests/test_llm.py
-)
-def emb_pca_power(spark, sf_dir):
-    """First principal component via power iteration. The data-sized
-    work is one Arrow-batched mapInPandas pass emitting a PARTIAL
-    (X'X, Σx, n) per batch — numpy outer products, the treeAggregate
-    shape — so the driver reduces one dims²-sized row per batch, never
-    the data. (emb_covariance is the decimal-exact oracle-checked twin
-    of this matrix; this path trades bit-determinism for a ~7× faster
-    scan — the unrounded matrices agree to ~1e-9, which moves
-    eigenVALUES by at most that much, though with a narrow eigengap the
-    eigenVECTOR may rotate more; the module test checks the robust
-    invariants, eigenvalue + residual.)
-    The constant-sized eigensolve runs on the driver; at 100 TB the
-    matrix is still dims×dims. Output: (pos, loading) of the dominant
-    eigenvector, sign-normalized so the largest-|loading| entry is
-    positive."""
-    import numpy as np
+PCA_SQUARINGS = 12  # C^(2^12): (λ2/λ1)^4096 ≈ 0 even at this corpus's 0.93 gap
+PCA_MSCALE = 100000  # matrix max-norm after each squaring; see overflow note
 
-    def partials(batches):
-        import pandas as pd
 
-        for pdf in batches:
-            if len(pdf) == 0:  # empty Arrow batch / empty partition
-                continue
-            x = np.stack(pdf["embedding"].to_numpy()).astype("float64")
-            yield pd.DataFrame(
-                {
-                    "xtx": [(x.T @ x).ravel().tolist()],
-                    "xsum": [x.sum(axis=0).tolist()],
-                    "n": [len(x)],
-                }
-            )
-
-    e = (
-        table(spark, sf_dir, "embeddings")
-        .filter(F.col("embedding").isNotNull())  # null vectors are unscoreable
-        .select("embedding")
+def _pca_oracle() -> str:
+    """Replay of the repeated-squaring eigensolve over the exact
+    covariance: quantize cov to 1e4 integer units, normalize the matrix
+    to max-abs PCA_MSCALE, square it PCA_SQUARINGS times (renormalizing
+    after each — truncating integer division, deterministic in every
+    engine), then read the dominant eigenvector off the pivot column of
+    the (numerically rank-1) result. Only the final L2 normalization
+    touches floats — one sqrt and one division per entry, fixed IEEE
+    expressions. Overflow: entries ≤ 1e5, squaring sums ≤ 64·1e10 =
+    6.4e11, rescale product ≤ 6.4e16 < 2^63; val² sums ≤ 6.4e11 < 2^53
+    so the double conversion is exact. Every chained CTE is MATERIALIZED
+    (the ml_logreg discipline — DuckDB inlines unmarked chains
+    exponentially)."""
+    parts = [
+        _COV_PREFIX,
+        """cu AS MATERIALIZED (
+  SELECT i, j, CAST(floor(cov * 10000 + 0.5) AS BIGINT) AS c FROM cov
+),
+full0 AS MATERIALIZED (
+  SELECT i, j, c FROM cu
+  UNION ALL
+  SELECT j AS i, i AS j, c FROM cu WHERE i <> j
+),
+mx0 AS (SELECT greatest(max(abs(c)), 1) AS mx FROM full0),
+m0 AS MATERIALIZED (
+  SELECT i, j, CAST((c * %(S)d) // (SELECT mx FROM mx0) AS BIGINT) AS c
+  FROM full0
+)"""
+        % {"S": PCA_MSCALE},
+    ]
+    for k in range(1, PCA_SQUARINGS + 1):
+        parts.append(
+            f"""s{k} AS MATERIALIZED (
+  SELECT a.i, b.j, sum(a.c * b.c) AS c
+  FROM m{k - 1} a JOIN m{k - 1} b ON a.j = b.i GROUP BY a.i, b.j
+),
+mx{k} AS (SELECT greatest(max(abs(c)), 1) AS mx FROM s{k}),
+m{k} AS MATERIALIZED (
+  SELECT i, j, CAST((c * {PCA_MSCALE}) // (SELECT mx FROM mx{k}) AS BIGINT) AS c
+  FROM s{k}
+)"""
+        )
+    last = f"m{PCA_SQUARINGS}"
+    parts.append(
+        f"""piv AS (SELECT j FROM {last} WHERE i = j ORDER BY c DESC, j ASC LIMIT 1),
+vcol AS MATERIALIZED (
+  SELECT i AS pos, c AS val FROM {last} WHERE j = (SELECT j FROM piv)
+),
+sgn AS (
+  SELECT CASE WHEN val < 0 THEN -1 ELSE 1 END AS s
+  FROM vcol ORDER BY abs(val) DESC, pos ASC LIMIT 1
+),
+nrm AS (SELECT sqrt(CAST(sum(val * val) AS DOUBLE)) AS nv FROM vcol)"""
     )
-    parts = e.mapInPandas(
-        partials, schema="xtx array<double>, xsum array<double>, n long"
-    ).collect()  # one row per Arrow batch — bounded by partitioning, not data
-    if not parts:  # empty corpus → no component, not a crash
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT pos,
+       floor(((SELECT s FROM sgn) * val) / (SELECT nv FROM nrm) * 10000 + 0.5)
+           / 10000 AS loading
+FROM vcol
+"""
+
+
+@register("emb_pca_power", oracle=_pca_oracle())
+def emb_pca_power(spark, sf_dir):
+    """First principal component of the embedding covariance — EXACT
+    oracle since r6. The data-sized work is emb_covariance's
+    decimal-exact distributed pass (Arrow-batched int64 partials, one
+    dims²-row partial per batch — never a data-sized collect); the
+    eigensolve over the resulting dims×dims matrix is repeated matrix
+    SQUARING in integer arithmetic: quantize cov to 1e4 units,
+    normalize to max-abs PCA_MSCALE, square PCA_SQUARINGS times
+    (truncating rescale after each). C^(2^k) is PSD and its eigengap
+    squares every step, so the result is numerically rank-1 and its
+    pivot column IS the dominant eigenvector — no convergence loop, no
+    float accumulation, identical integers in every engine (Python //
+    and DuckDB // both floor). Only the final L2 normalization touches
+    floats: one exact int→double conversion (< 2^53), one sqrt, one
+    division — fixed IEEE expressions, bit-equal across engines.
+    Output: (pos, loading), sign-normalized so the largest-|loading|
+    entry is positive; replaces the r3 float power iteration whose
+    1000 numpy matvecs weren't replayable."""
+    import math
+
+    cov_rows = emb_covariance(spark, sf_dir).collect()
+    if not cov_rows:  # empty corpus → no component, not a crash
         return spark.createDataFrame([], "pos int, loading double")
-    xtx = np.sum([np.array(r.xtx) for r in parts], axis=0)
-    xsum = np.sum([np.array(r.xsum) for r in parts], axis=0)
-    n = sum(r.n for r in parts)
-    dim = len(xsum)
-    mean = xsum / n
-    cov = xtx.reshape(dim, dim) / n - np.outer(mean, mean)
-    vec = np.full(dim, 1.0 / dim)
-    for _ in range(1000):  # (λ2/λ1)^k convergence; 1000 covers gaps ~0.99
-        nxt = cov @ vec
-        vec = nxt / np.linalg.norm(nxt)
-    pivot = int(np.argmax(np.abs(vec)))
-    if vec[pivot] < 0:
-        vec = -vec
+    dim = max(r.j for r in cov_rows)
+    m = [[0] * dim for _ in range(dim)]
+    for r in cov_rows:
+        c = int(math.floor(r.cov * 10000 + 0.5))
+        m[r.i - 1][r.j - 1] = c
+        m[r.j - 1][r.i - 1] = c
+
+    def tdiv(a, b):
+        # truncating integer division (toward zero) — DuckDB's // on
+        # integers truncates, Python's floors; they differ on negatives
+        q = abs(a) // b
+        return -q if a < 0 else q
+
+    def rescale(mat):
+        mx = max(max(abs(x) for x in row) for row in mat) or 1
+        return [[tdiv(x * PCA_MSCALE, mx) for x in row] for row in mat]
+
+    m = rescale(m)
+    for _ in range(PCA_SQUARINGS):
+        s = [
+            [sum(m[i][k] * m[k][j] for k in range(dim)) for j in range(dim)]
+            for i in range(dim)
+        ]
+        m = rescale(s)
+    # pivot column: largest diagonal entry (diag of ~v·vᵀ is v_i² —
+    # maximal amplitude, never sign-cancelled), smallest index on ties
+    piv = max(range(dim), key=lambda j: (m[j][j], -j))
+    v = [m[i][piv] for i in range(dim)]
+    sp = max(range(dim), key=lambda i: (abs(v[i]), -i))
+    if v[sp] < 0:
+        v = [-x for x in v]
+    nv = math.sqrt(float(sum(x * x for x in v)))
     return spark.createDataFrame(
-        [(i + 1, round(float(v), 4)) for i, v in enumerate(vec)],
+        [(i + 1, math.floor(x / nv * 10000 + 0.5) / 10000) for i, x in enumerate(v)],
         "pos int, loading double",
     )
 
