@@ -108,6 +108,20 @@ def _norm_sql(a):
 _COSINE_SQL = f"{_dot_sql('q.embedding', 'c.embedding')} / ({_norm_sql('q.embedding')} * {_norm_sql('c.embedding')})"
 
 
+def _ivf_proj_sql(j: int) -> str:
+    """Integer hyperplane projection for IVF bucket bit j: 6dp-quantized
+    coordinates (CTE column ``v``) dotted with mix32-derived signed
+    weights — exact int64, matching the Spark expression bit-for-bit.
+    Spark's transform index is 0-based, DuckDB's range is 1-based, hence
+    the i - 1."""
+    from terasort_spark.sources.tera_queries import mix32_sql
+
+    return (
+        "list_sum(list_transform(range(1, len(v) + 1), "
+        f"i -> v[i] * ({mix32_sql(f'{j * 1000} + i - 1')} - 2147483648)))"
+    )
+
+
 # Shared by sim_cosine_topk and sim_cosine_gemm: both declare the same
 # (q_id, c_id, cosine@4dp, rn) contract, so the same DuckDB twin grades
 # both — the GEMM path's BLAS dot products land on identical 4dp values
@@ -237,29 +251,70 @@ def knn_label(spark, sf_dir):
 
 @register(
     "sim_cosine_ivf",
-    oracle=None,  # bucketed ANN: recall asserted vs exact top-k in tests
+    oracle=f"""
+WITH xu AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS v
+  FROM embeddings
+),
+b AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         (CASE WHEN {_ivf_proj_sql(0)} > 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN {_ivf_proj_sql(1)} > 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN {_ivf_proj_sql(2)} > 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN {_ivf_proj_sql(3)} > 0 THEN 8 ELSE 0 END) AS bucket
+  FROM xu
+)
+SELECT q_id, c_id, cosine, rn
+FROM (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         {o_rnd(_COSINE_SQL, "cosine")},
+         CAST(row_number() OVER (
+              PARTITION BY q.vec_id
+              ORDER BY {o_rnd(_COSINE_SQL)} DESC, c.vec_id) AS INTEGER) AS rn
+  FROM (SELECT vec_id, embedding, unnest([bucket, xor(bucket, 1),
+               xor(bucket, 2), xor(bucket, 4), xor(bucket, 8)]) AS bucket
+        FROM b WHERE vec_id < 10) q
+  JOIN b c ON c.bucket = q.bucket AND c.vec_id != q.vec_id
+)
+WHERE rn <= 5
+""",
 )
 def sim_cosine_ivf(spark, sf_dir):
-    """IVF-style approximate nearest neighbor: coarse-quantize vectors by
-    the sign pattern of 4 fixed pseudo-random hyperplanes (deterministic
-    seeded projection), then brute-force cosine only within the probe's
-    bucket. The bucket key turns the all-pairs scan into an equi-join —
-    the shape that scales; recall vs the exact top-k is measured in
-    tests/test_llm.py."""
+    """IVF-style approximate nearest neighbor: coarse-quantize vectors
+    by the sign pattern of 4 fixed pseudo-random hyperplanes, then
+    brute-force cosine only within the probe's bucket. The bucket key
+    turns the all-pairs scan into an equi-join — the shape that scales;
+    recall vs the exact top-k is measured in tests/test_llm.py.
+
+    EXACT-oracle since r6: the hyperplanes are integer mix32 draws
+    (h_j[i] = mix32(j*1000 + i) − 2^31) dotted against 6dp-quantized
+    integer coordinates — the sign decision is exact int64 arithmetic
+    in every engine (the old sin()-hyperplane floats could flip a
+    near-zero sign between libm implementations); the in-bucket cosine
+    reuses sim_cosine_topk's verified float-fold contract. Overflow:
+    |x_u| ≤ 1e6, |h| ≤ 2^31 → per-term ≤ 2.2e15, ×64 terms ≤ 1.4e17
+    < 2^63."""
+    from terasort_spark.sources.tera_queries import mix32
+
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
     )
-    # deterministic hyperplane h_j[i] = sin(j*1000 + i) — fixed, seedless
-    def bucket(emb):
+    xu = F.transform(
+        F.col("emb"), lambda x: F.floor(x * 1000000 + F.lit(0.5)).cast("long")
+    )
+
+    def bucket(xu_col):
         bits = []
         for j in range(4):
             proj = F.aggregate(
-                F.zip_with(
-                    emb,
-                    F.transform(emb, lambda _, i: F.sin(F.lit(j * 1000) + i)),
-                    lambda a, h: a * h,
+                F.transform(
+                    xu_col,
+                    lambda x, i: x
+                    * (mix32(F.lit(j * 1000) + i) - F.lit(2147483648)),
                 ),
-                F.lit(0.0),
+                F.lit(0).cast("long"),
                 lambda acc, v: acc + v,
             )
             bits.append(F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0)))
@@ -268,9 +323,26 @@ def sim_cosine_ivf(spark, sf_dir):
             out = out + b
         return out
 
-    eb = e.withColumn("bucket", bucket(F.col("emb")))
-    q = eb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb"), "bucket"
+    eb = e.withColumn("bucket", bucket(xu))
+    # multi-probe: each query probes its own bucket plus the 4 Hamming-1
+    # neighbors — 5/16 of the space instead of 1/16, the standard
+    # recall/cost dial (candidates stay single-bucket, so no dup pairs)
+    bkt = F.col("bucket")
+    q = (
+        eb.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("emb").alias("q_emb"),
+            F.explode(
+                F.array(
+                    bkt,
+                    bkt.bitwiseXOR(F.lit(1)),
+                    bkt.bitwiseXOR(F.lit(2)),
+                    bkt.bitwiseXOR(F.lit(4)),
+                    bkt.bitwiseXOR(F.lit(8)),
+                )
+            ).alias("bucket"),
+        )
     )
     c = eb.select(
         F.col("vec_id").alias("c_id"), F.col("emb").alias("c_emb"), "bucket"
