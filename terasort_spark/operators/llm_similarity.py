@@ -955,8 +955,90 @@ PQ_TRAIN_ITER = 1  # Lloyd rounds per subspace codebook (1 beats 2 on recall her
 
 @register(
     "sim_cosine_pq",
-    oracle=None,  # trained-codebook ANN → rows-only; recall vs the exact
-    # brute-force ranking is asserted in tests/test_llm.py
+    oracle=f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+),
+subcells AS MATERIALIZED (
+  SELECT vec_id,
+         CAST((i - 1) // (len(embedding) // {PQ_SUB}) AS INTEGER) AS sub_id,
+         CAST((i - 1) % (len(embedding) // {PQ_SUB}) AS INTEGER) AS pos,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS x
+  FROM e, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
+),
+cb0 AS MATERIALIZED (
+  SELECT sub_id, CAST(vec_id AS INTEGER) AS cid, pos, x AS cx
+  FROM subcells WHERE vec_id < {PQ_K}
+),
+d0 AS MATERIALIZED (
+  SELECT s.vec_id, s.sub_id, k.cid, sum((s.x - k.cx) * (s.x - k.cx)) AS d2
+  FROM subcells s JOIN cb0 k ON s.sub_id = k.sub_id AND s.pos = k.pos
+  GROUP BY s.vec_id, s.sub_id, k.cid
+),
+a0 AS MATERIALIZED (
+  SELECT vec_id, sub_id, cid FROM (
+    SELECT vec_id, sub_id, cid,
+           row_number() OVER (PARTITION BY vec_id, sub_id ORDER BY d2, cid) AS rn
+    FROM d0) WHERE rn = 1
+),
+cb1 AS MATERIALIZED (
+  SELECT k.sub_id, k.cid, k.pos, coalesce(u.nx, k.cx) AS cx
+  FROM cb0 k LEFT JOIN (
+    SELECT a.sub_id, a.cid, s.pos,
+           CAST(floor(CAST(sum(s.x) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS nx
+    FROM a0 a JOIN subcells s ON s.vec_id = a.vec_id AND s.sub_id = a.sub_id
+    GROUP BY a.sub_id, a.cid, s.pos
+  ) u ON k.sub_id = u.sub_id AND k.cid = u.cid AND k.pos = u.pos
+),
+enc AS MATERIALIZED (
+  SELECT s.vec_id, s.sub_id, k.cid, sum((s.x - k.cx) * (s.x - k.cx)) AS d2
+  FROM subcells s JOIN cb1 k ON s.sub_id = k.sub_id AND s.pos = k.pos
+  GROUP BY s.vec_id, s.sub_id, k.cid
+),
+codes AS MATERIALIZED (
+  SELECT vec_id AS c_id, sub_id, cid FROM (
+    SELECT vec_id, sub_id, cid,
+           row_number() OVER (PARTITION BY vec_id, sub_id ORDER BY d2, cid) AS rn
+    FROM enc) WHERE rn = 1
+),
+lut AS MATERIALIZED (
+  SELECT s.vec_id AS q_id, s.sub_id, k.cid, sum(s.x * k.cx) AS pdot
+  FROM subcells s JOIN cb1 k ON s.sub_id = k.sub_id AND s.pos = k.pos
+  WHERE s.vec_id < 10
+  GROUP BY s.vec_id, s.sub_id, k.cid
+),
+norms AS MATERIALIZED (
+  SELECT vec_id, sqrt({_dot_sql('embedding', 'embedding')}) AS nrm FROM e
+),
+adots AS MATERIALIZED (
+  SELECT l.q_id, c.c_id, sum(l.pdot) AS adot
+  FROM codes c JOIN lut l ON l.sub_id = c.sub_id AND l.cid = c.cid
+  WHERE c.c_id != l.q_id
+  GROUP BY l.q_id, c.c_id
+),
+approx AS MATERIALIZED (
+  SELECT a.q_id, a.c_id,
+         (CAST(a.adot AS DOUBLE) / 1000000000000.0) / (qn.nrm * cn.nrm) AS acos
+  FROM adots a
+  JOIN norms qn ON qn.vec_id = a.q_id
+  JOIN norms cn ON cn.vec_id = a.c_id
+),
+shortlist AS MATERIALIZED (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY acos DESC, c_id) AS arn
+    FROM approx) WHERE arn <= 32
+)
+SELECT q_id, c_id, cosine, rn FROM (
+  SELECT s.q_id, s.c_id,
+         {o_rnd(_COSINE_SQL, "cosine")},
+         CAST(row_number() OVER (PARTITION BY s.q_id
+              ORDER BY {o_rnd(_COSINE_SQL)} DESC, s.c_id) AS INTEGER) AS rn
+  FROM shortlist s
+  JOIN e q ON q.vec_id = s.q_id
+  JOIN e c ON c.vec_id = s.c_id
+) WHERE rn <= 5
+""",
 )
 def sim_cosine_pq(spark, sf_dir):
     """Product-quantization ANN: split each vector into PQ_SUB
@@ -967,13 +1049,26 @@ def sim_cosine_pq(spark, sf_dir):
     dots — the memory layout (8 bytes + 1 norm per vector instead of
     256 bytes) that makes billion-vector ANN fit in RAM.
 
+    EXACT-oracle since r6: codebook training, encoding and the ADC
+    lookup run in 6dp-quantized int64 micro-units (distances are
+    integer sums of integer squares; centroid means re-quantize through
+    one deterministic double division — the emb_kmeans contract), so
+    the trained codebooks, the codes and the adot numerators are
+    bit-identical in every engine; the shortlist ordering divides the
+    exact integer adot by float norms built from the verified
+    sim_cosine_topk fold contract, and the final top-5 is the same
+    exact re-rank as before. The whole pipeline replays as one
+    unrolled-CTE SQL statement (the oracle above).
+
     Scale notes: training touches only the sample; codebooks
-    (PQ_SUB x PQ_K x subdim doubles) and the per-query LUT
+    (PQ_SUB x PQ_K x subdim ints) and the per-query LUT
     (10 x PQ_SUB x PQ_K partial dots) are driver-small and broadcast;
     encoding is a broadcast join + min per subvector; scoring shuffles
     only (q_id, c_id, partial) triples with map-side combine. No
     all-pairs step anywhere. Candidate norms ride alongside the codes
     (exact), as real PQ indexes store them."""
+    import math
+
     e = (
         table(spark, sf_dir, "embeddings")
         .filter(F.col("embedding").isNotNull())  # null vectors are unscoreable
@@ -981,6 +1076,15 @@ def sim_cosine_pq(spark, sf_dir):
             "vec_id",
             F.transform("embedding", lambda x: x.cast("double")).alias("v"),
         )
+    )
+    # quantized integer coordinates (6dp micro-units) drive training,
+    # encoding and the ADC numerators; the float v drives norms and the
+    # exact re-rank
+    e = e.withColumn(
+        "vu",
+        F.transform(
+            F.col("v"), lambda x: F.floor(x * 1000000 + F.lit(0.5)).cast("long")
+        ),
     )
     # one driver job seeds everything: the PQ_K smallest-id vectors give
     # both the dimensionality and the initial codebooks (sliced locally)
@@ -1000,7 +1104,7 @@ def sim_cosine_pq(spark, sf_dir):
         *[
             F.struct(
                 F.lit(s).alias("sub_id"),
-                F.slice("v", s * subdim + 1, subdim).alias("sv"),
+                F.slice("vu", s * subdim + 1, subdim).alias("sv"),
             )
             for s in range(PQ_SUB)
         ]
@@ -1014,29 +1118,40 @@ def sim_cosine_pq(spark, sf_dir):
             F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, t: acc + t
         )
 
-    def d2(x, y):
+    def idot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+
+    def id2(x, y):
         return F.aggregate(
             F.zip_with(x, y, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
+            F.lit(0).cast("long"),
             lambda acc, t: acc + t,
         )
 
     train = sub  # codebook training set; at 100 TB swap in a %-sample —
     # recall then depends on sample size per codeword, not corpus size
     cb_rows = [
-        (s, int(r["vec_id"]), list(r["v"])[s * subdim : (s + 1) * subdim])
+        (
+            s,
+            int(r["vec_id"]),
+            [int(x) for x in list(r["vu"])[s * subdim : (s + 1) * subdim]],
+        )
         for r in seed
         for s in range(PQ_SUB)
     ]
     for _ in range(PQ_TRAIN_ITER):
         cb = F.broadcast(
             spark.createDataFrame(
-                cb_rows, "sub_id int, cid int, cvec array<double>"
+                cb_rows, "sub_id int, cid int, cvec array<long>"
             )
         )
         best = (
             train.join(cb, "sub_id")
-            .withColumn("d2", d2(F.col("sv"), F.col("cvec")))
+            .withColumn("d2", id2(F.col("sv"), F.col("cvec")))
             .groupBy("vec_id", "sub_id")
             .agg(F.min(F.struct("d2", "cid")).alias("m"))
             .select("vec_id", "sub_id", F.col("m.cid").alias("cid"))
@@ -1045,22 +1160,30 @@ def sim_cosine_pq(spark, sf_dir):
             train.join(best, ["vec_id", "sub_id"])
             .select("sub_id", "cid", F.posexplode("sv").alias("pos", "val"))
             .groupBy("sub_id", "cid", "pos")
-            .agg(F.avg("val").alias("m"))
+            # integer re-quantized mean — one deterministic double
+            # division, the emb_kmeans centroid contract
+            .agg(
+                F.floor(
+                    F.sum("val").cast("double") / F.count(F.lit(1)) + F.lit(0.5)
+                )
+                .cast("long")
+                .alias("m")
+            )
             .groupBy("sub_id", "cid")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select("sub_id", "cid", F.col("pm.m").alias("cvec"))
             .collect()
         )
-        got = {(r["sub_id"], r["cid"]): list(r["cvec"]) for r in updated}
+        got = {(r["sub_id"], r["cid"]): [int(x) for x in r["cvec"]] for r in updated}
         cb_rows = [
             (s, c, got.get((s, c), old)) for s, c, old in cb_rows
         ]
     cb = F.broadcast(
-        spark.createDataFrame(cb_rows, "sub_id int, cid int, cvec array<double>")
+        spark.createDataFrame(cb_rows, "sub_id int, cid int, cvec array<long>")
     )
     codes = (
         sub.join(cb, "sub_id")
-        .withColumn("d2", d2(F.col("sv"), F.col("cvec")))
+        .withColumn("d2", id2(F.col("sv"), F.col("cvec")))
         .groupBy("vec_id", "sub_id")
         .agg(F.min(F.struct("d2", "cid")).alias("m"))
         .select(
@@ -1071,7 +1194,9 @@ def sim_cosine_pq(spark, sf_dir):
         sub.filter(F.col("vec_id") < 10)
         .select(F.col("vec_id").alias("q_id"), "sub_id", F.col("sv").alias("qsv"))
         .join(cb, "sub_id")
-        .select("q_id", "sub_id", "cid", dot(F.col("qsv"), F.col("cvec")).alias("pdot"))
+        .select(
+            "q_id", "sub_id", "cid", idot(F.col("qsv"), F.col("cvec")).alias("pdot")
+        )
     )
     norms = e.select("vec_id", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"))
     approx = (
@@ -1088,7 +1213,13 @@ def sim_cosine_pq(spark, sf_dir):
             "q_id",
         )
         .filter(F.col("c_id") != F.col("q_id"))
-        .withColumn("acos", F.col("adot") / (F.col("qnrm") * F.col("cnrm")))
+        # exact int adot (1e12 scale, < 2^53 so the double conversion is
+        # exact) over IEEE norms — the same value in every engine
+        .withColumn(
+            "acos",
+            (F.col("adot").cast("double") / F.lit(1000000000000.0))
+            / (F.col("qnrm") * F.col("cnrm")),
+        )
     )
     # ADC shortlist (top-32 by approximate cosine), then exact re-rank —
     # the standard PQ answer path: the quantized scan prunes 1e9 -> 32,
