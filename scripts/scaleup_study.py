@@ -99,6 +99,13 @@ MEASURED = {
     "dq_ks_drift": ("documents",),
     "sink_compacted": ("orders",),
     "dq_k_anonymity": ("documents",),
+    # r6 exact-oracle upgrades (arithmetic changed → re-measure shape)
+    "graph_pagerank": ("documents",),
+    "graph_triangles": ("documents",),
+    "emb_pca_power": ("embeddings",),
+    "sim_cosine_pq": ("embeddings",),
+    "scan_sample": ("lineitem",),
+    "scan_stratified": ("documents",),
 }
 
 OFFSETS = {  # per-copy id offsets, far above any base id
