@@ -1015,3 +1015,75 @@ def dq_k_anonymity(spark, sf_dir):
             F.when(safe, F.col("source")).otherwise("*").alias("source_out"),
         )
     )
+
+
+# Benford first-digit probabilities log10(1 + 1/d), embedded as literal
+# doubles via repr() so BOTH engines parse the identical shortest
+# round-trip decimal to the identical IEEE double (the SQL side casts
+# explicitly to DOUBLE; DuckDB would otherwise type the literal as
+# DECIMAL). Computing log10 at query time would instead compare two
+# libm implementations — the portability hazard this table removes.
+import math as _math
+
+_BENFORD_P = {d: _math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+_BENFORD_CASE = (
+    "CASE digit "
+    + " ".join(
+        f"WHEN {d} THEN CAST({_BENFORD_P[d]!r} AS DOUBLE)" for d in range(1, 10)
+    )
+    + " END"
+)
+
+
+@register(
+    "dq_benford",
+    oracle=f"""
+WITH digits AS (
+  SELECT CAST(substring(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                             AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM orders WHERE o_totalprice > 0
+),
+counts AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY digit
+)
+SELECT digit, n,
+       {o_rnd("CAST(n AS DOUBLE) / sum(n) OVER ()", "pct")},
+       {o_rnd(f"CAST(n AS DOUBLE) / sum(n) OVER () - ({_BENFORD_CASE})", "dev")}
+FROM counts
+""",
+)
+def dq_benford(spark, sf_dir):
+    """Benford's-law conformance of order totals: observed first-
+    significant-digit frequencies vs log10(1+1/d), the classic fraud /
+    synthetic-data / unit-mixup detector a warehouse DQ suite runs over
+    every money column (hand-keyed or fabricated amounts flatten the
+    digit curve; a cents-vs-dollars ingestion bug shifts it).
+
+    First digit is extracted NUMERICALLY-EXACTLY: quantize to cents
+    (floor(x*100+0.5) — identical IEEE arithmetic both engines, exact
+    for x >= 0.01), then take the first character of the INTEGER's
+    decimal string — integer-to-string is engine-identical, unlike
+    double formatting or floor(log10(x)) at power-of-ten boundaries.
+    Expected probabilities are shared literal doubles (see
+    _BENFORD_CASE), not runtime log10 calls.
+
+    Scale: one map-side-combined groupBy collapsing the scan to <= 9
+    rows; the total window runs over those 9 aggregated rows, never the
+    raw scan. Stateless per-row digit extraction in codegen."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    counts = (
+        o.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    total = F.sum("n").over(Window.partitionBy())
+    pct_raw = F.col("n").cast("double") / total
+    benford = F.expr(_BENFORD_CASE)
+    return counts.select(
+        "digit",
+        "n",
+        rnd(pct_raw, "pct"),
+        rnd(pct_raw - benford, "dev"),
+    )

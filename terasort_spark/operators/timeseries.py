@@ -152,6 +152,113 @@ FROM l{n}
 """
 
 
+# Lag-k autocorrelation from exact integer sufficient statistics.
+# Values are quantized to 4dp int64 (exact and identical in both
+# engines), so every sum/product below is exact integer arithmetic at
+# any partitioning; only the final Pearson ratio touches IEEE ops,
+# identically on both sides. Bounds at the fixture's ranges: q <= 5.7e6
+# (value <= 561), per-user n <= ~100, so m*Saa <= ~3e17 < 2^63.
+AC_LAGS = (1, 2, 3)
+AC_MIN_EVENTS = 24
+
+
+def _autocorr_oracle() -> str:
+    leads = ",\n         ".join(
+        f"lead(CAST(floor(value * 10000 + 0.5) AS BIGINT), {k})"
+        f" OVER (PARTITION BY user_id ORDER BY ts, event_id) AS q{k}"
+        for k in AC_LAGS
+    )
+    sums = ",\n         ".join(
+        f"CAST(count(q{k}) AS BIGINT) AS m{k},\n         "
+        f"CAST(sum(CASE WHEN q{k} IS NOT NULL THEN q END) AS BIGINT) AS sa{k},\n         "
+        f"CAST(sum(q{k}) AS BIGINT) AS sb{k},\n         "
+        f"CAST(sum(CASE WHEN q{k} IS NOT NULL THEN q * q END) AS BIGINT) AS saa{k},\n         "
+        f"CAST(sum(q{k} * q{k}) AS BIGINT) AS sbb{k},\n         "
+        f"CAST(sum(q * q{k}) AS BIGINT) AS sab{k}"
+        for k in AC_LAGS
+    )
+    rs = ",\n       ".join(
+        o_rnd(
+            f"CAST(m{k} * sab{k} - sa{k} * sb{k} AS DOUBLE)"
+            f" / nullif(sqrt(CAST(m{k} * saa{k} - sa{k} * sa{k} AS DOUBLE))"
+            f" * sqrt(CAST(m{k} * sbb{k} - sb{k} * sb{k} AS DOUBLE)), 0)",
+            f"r{k}",
+        )
+        for k in AC_LAGS
+    )
+    return f"""
+WITH seq AS (
+  SELECT user_id,
+         CAST(floor(value * 10000 + 0.5) AS BIGINT) AS q,
+         {leads}
+  FROM events WHERE value IS NOT NULL
+),
+sums AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         {sums}
+  FROM seq GROUP BY user_id
+  HAVING count(*) >= {AC_MIN_EVENTS}
+)
+SELECT user_id, n,
+       {rs}
+FROM sums
+"""
+
+
+@register("ts_autocorr", oracle=_autocorr_oracle())
+def ts_autocorr(spark, sf_dir):
+    """Per-entity lag-1/2/3 autocorrelation of the event-value series —
+    the seasonality/memory diagnostic behind forecasting-model choice
+    (near-zero ACF → ts_ewma suffices; strong lag structure → Holt or
+    seasonal models) and behind bot detection (machine traffic shows
+    spiky periodic ACF where organic traffic decays smoothly).
+
+    Estimator: Pearson correlation between (x_i) and (x_{i+k}) over
+    each user's ts-ordered series, k in {1,2,3}. Values quantize to 4dp
+    int64, so all six sufficient statistics per lag (m, Σa, Σb, Σa²,
+    Σb², Σab as conditional sums over the defined pairs) are EXACT
+    integers at any partitioning; the ratio is evaluated from those
+    integers in identical IEEE order on both engines.
+
+    Scale: one window keyed by user_id (high-cardinality — per-task
+    state is one user's history, never a global or handful-of-values
+    sort) producing the three leads, then ONE map-side-combined groupBy
+    to a users-sized table. No self-join: lead() pairs each row with
+    its k-successor in the same sort the window already owns."""
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    q = F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("bigint")
+    seq = (
+        ev.select("user_id", "ts", "event_id", q.alias("q"))
+        .withColumns({f"q{k}": F.lead("q", k).over(w) for k in AC_LAGS})
+        .drop("ts", "event_id")
+    )
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for k in AC_LAGS:
+        qk = F.col(f"q{k}")
+        aggs += [
+            F.count(qk).cast("bigint").alias(f"m{k}"),
+            F.sum(F.when(qk.isNotNull(), F.col("q"))).alias(f"sa{k}"),
+            F.sum(qk).alias(f"sb{k}"),
+            F.sum(F.when(qk.isNotNull(), F.col("q") * F.col("q"))).alias(f"saa{k}"),
+            F.sum(qk * qk).alias(f"sbb{k}"),
+            F.sum(F.col("q") * qk).alias(f"sab{k}"),
+        ]
+    sums = seq.groupBy("user_id").agg(*aggs).filter(
+        F.col("n") >= AC_MIN_EVENTS
+    )
+    out = [F.col("user_id"), F.col("n")]
+    for k in AC_LAGS:
+        m, sa, sb = F.col(f"m{k}"), F.col(f"sa{k}"), F.col(f"sb{k}")
+        saa, sbb, sab = F.col(f"saa{k}"), F.col(f"sbb{k}"), F.col(f"sab{k}")
+        num = (m * sab - sa * sb).cast("double")
+        den = F.sqrt((m * saa - sa * sa).cast("double")) * F.sqrt(
+            (m * sbb - sb * sb).cast("double")
+        )
+        out.append(rnd(num / F.when(den != 0, den), f"r{k}"))
+    return sums.select(*out)
+
+
 @register("ts_holt_forecast", oracle=_holt_oracle())
 def ts_holt_forecast(spark, sf_dir):
     """Holt double-exponential (level + trend) smoothing over each

@@ -485,3 +485,62 @@ def test_k_anonymity_guarantee_and_minimality(spark, sf_dir):
             assert kept >= n  # verbatim classes survive whole
         else:
             assert (lang, src) not in out_classes  # risky classes gone
+
+
+def test_autocorr_matches_numpy_and_is_bounded(spark, sf_dir):
+    import numpy as np
+
+    out = {r["user_id"]: r for r in _Q["ts_autocorr"](spark, sf_dir).collect()}
+    assert out, "no user met the minimum-history bar"
+    from terasort_spark.operators.timeseries import AC_LAGS, AC_MIN_EVENTS
+
+    for r in out.values():
+        assert r["n"] >= AC_MIN_EVENTS
+        for k in AC_LAGS:
+            v = r[f"r{k}"]
+            assert v is None or -1.0001 <= v <= 1.0001
+    # numpy replay on 10 users: Pearson corr of the 4dp-quantized
+    # series against its k-shift matches the exact-integer result
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    series: dict[int, list[float]] = {}
+    for row in sorted(ev, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+        series.setdefault(row["user_id"], []).append(row["value"])
+    checked = 0
+    for uid in sorted(out):
+        xs = np.floor(np.array(series[uid]) * 10000 + 0.5)
+        for k in AC_LAGS:
+            a, b = xs[:-k], xs[k:]
+            expect = np.corrcoef(a, b)[0, 1]
+            got = out[uid][f"r{k}"]
+            assert abs(got - expect) < 2e-4, (uid, k, got, expect)
+        checked += 1
+        if checked >= 10:
+            break
+    assert checked == 10
+
+
+def test_benford_digits_partition_and_replay(spark, sf_dir):
+    from collections import Counter
+
+    out = {r["digit"]: r for r in _Q["dq_benford"](spark, sf_dir).collect()}
+    assert set(out) <= set(range(1, 10)) and 1 in out
+    total = sum(r["n"] for r in out.values())
+    assert abs(sum(r["pct"] for r in out.values()) - 1.0) < 1e-3
+    # Python replay: digit histogram of cents-quantized totals
+    prices = [
+        r["o_totalprice"]
+        for r in table(spark, sf_dir, "orders").select("o_totalprice").collect()
+        if r["o_totalprice"] > 0
+    ]
+    import math
+
+    counts = Counter(int(str(int(math.floor(p * 100 + 0.5)))[0]) for p in prices)
+    assert total == len(prices)
+    for d, r in out.items():
+        assert r["n"] == counts[d], (d, r["n"], counts[d])
+        assert abs(r["dev"] - (r["pct"] - math.log10(1 + 1 / d))) < 2e-4
