@@ -270,22 +270,76 @@ def agg_approx(spark, sf_dir):
     )
 
 
-CM_DEPTH = 4  # count-min rows (independent hash functions)
+CM_DEPTH = 4  # count-min rows; <= 4 so the md5 nibble slices don't overlap
 CM_WIDTH = 1024  # buckets per row; overestimate <= e * N / width w.h.p.
 
 
-@register(
-    "agg_heavyhitters",
-    oracle=None,  # count-min cells depend on Spark's murmur3 → rows-only;
-    # the one-sided estimate guarantee is asserted in tests/test_llm.py
-)
+def _cm_bucket(tok_md5, depth):
+    """Depth-d count-min bucket: 3 hex nibbles of md5(token) at offset
+    8*d (chars 1-3 / 9-11 / 17-19 / 25-27 of the 32-char digest), i.e.
+    12 independent digest bits, folded mod CM_WIDTH. md5 replaces the
+    original murmur3 so the cells replay bit-for-bit in DuckDB — the
+    dedup_minhash r6 pattern (llm_dedup.py); structure is hash-agnostic
+    for a 100 TB fast-hash swap."""
+    return F.pmod(
+        F.conv(F.substring(tok_md5, depth * 8 + 1, 3), 16, 10).cast("int"),
+        F.lit(CM_WIDTH),
+    )
+
+
+def _cm_bucket_sql(h, depth):
+    start = depth * 8 + 1
+    nibs = " + ".join(
+        f"(strpos('0123456789abcdef', substr({h},{start + j},1))-1)*{16 ** (2 - j)}"
+        for j in range(3)
+    )
+    return f"(({nibs}) % {CM_WIDTH})"
+
+
+def _heavyhitters_oracle() -> str:
+    cell_rows = "\n    UNION ALL\n    ".join(
+        f"SELECT {i} AS depth, {_cm_bucket_sql('h', i)} AS bucket, tok FROM hx"
+        for i in range(CM_DEPTH)
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+hx AS (SELECT tok, md5(tok) AS h FROM toks),
+placed AS (
+    {cell_rows}
+),
+sketch AS (
+  SELECT depth, bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM placed GROUP BY depth, bucket
+),
+dtok AS (SELECT DISTINCT tok, md5(tok) AS h FROM toks),
+est AS (
+  SELECT p.tok, min(s.cnt) AS est
+  FROM ({cell_rows.replace("FROM hx", "FROM dtok")}) p
+  JOIN sketch s USING (depth, bucket)
+  GROUP BY p.tok
+),
+top AS (SELECT tok, est FROM est ORDER BY est DESC, tok LIMIT 20)
+SELECT CAST(row_number() OVER (ORDER BY est DESC, tok) AS INTEGER) AS rank,
+       tok, est
+FROM top
+"""
+
+
+@register("agg_heavyhitters", oracle=_heavyhitters_oracle())
 def agg_heavyhitters(spark, sf_dir):
     """Heavy-hitter tokens via a count-min sketch: every token
-    occurrence increments CM_DEPTH cells (murmur3(token, row) mod
+    occurrence increments CM_DEPTH cells (md5-nibble hash mod
     CM_WIDTH); a token's estimate is the MIN over its cells — never an
     underestimate, over by at most ~N/CM_WIDTH per colliding row. The
     streaming-friendly answer to "top tokens over 100 TB" when exact
     counts would need an unbounded groupBy state.
+
+    EXACT-oracle since r6: buckets derive from md5 digest slices
+    (_cm_bucket), so the full sketch → min-estimate → top-20 pipeline
+    replays bit-for-bit in DuckDB (_heavyhitters_oracle) — upgraded
+    from rows-only the same way as dedup_minhash/dedup_simhash.
 
     Scale notes: the sketch is an aggregation to a FIXED
     CM_DEPTH x CM_WIDTH = 4096-cell table — partial aggregation
@@ -298,11 +352,13 @@ def agg_heavyhitters(spark, sf_dir):
     d = table(spark, sf_dir, "documents").select(
         F.explode(F.split(F.lower("text"), " ")).alias("tok")
     )
+    # md5 once per row, then CM_DEPTH cheap slice/mod projections of it.
+    h = F.md5(F.col("tok"))
     cells = F.array(
         *[
             F.struct(
                 F.lit(i).alias("depth"),
-                F.pmod(F.hash("tok", F.lit(i)), F.lit(CM_WIDTH)).alias("bucket"),
+                _cm_bucket(h, i).alias("bucket"),
             )
             for i in range(CM_DEPTH)
         ]
