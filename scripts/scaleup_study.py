@@ -106,6 +106,10 @@ MEASURED = {
     "sim_cosine_pq": ("embeddings",),
     "scan_sample": ("lineitem",),
     "scan_stratified": ("documents",),
+    # r6 additions: lag-autocorrelation, Benford DQ, exact count-min
+    "ts_autocorr": ("events",),
+    "dq_benford": ("orders",),
+    "agg_heavyhitters": ("documents",),
 }
 
 OFFSETS = {  # per-copy id offsets, far above any base id
