@@ -430,3 +430,26 @@ def test_rfm_quartiles_from_histograms_not_global_ntile(spark, sf_dir):
     assert not bpart and len(bunpart) >= 2, bplan
     for line in bunpart:
         assert "sum(cnt#" in line, f"bounds window over raw rows:\n{line}"
+
+
+def test_autocorr_single_exchange_reuses_window_partitioning(spark, sf_dir):
+    """ts_autocorr must shuffle ONCE: the lead() window exchanges on
+    user_id and the sufficient-statistics groupBy (same key) must reuse
+    that partitioning — a second Exchange would re-shuffle 100 TB of
+    event rows that are already laid out correctly. The value filter
+    must reach the parquet scan."""
+    plan = executed_plan(_Q["ts_autocorr"](spark, sf_dir))
+    assert plan.count("Exchange") == 1, plan
+    assert "PushedFilters: [IsNotNull(value)]" in plan, plan
+
+
+def test_benford_total_window_runs_over_aggregated_rows(spark, sf_dir):
+    """dq_benford's grand-total window must consume the <=9-row digit
+    aggregate, never raw orders: the plan needs partial+final
+    HashAggregate BELOW the Window (map-side combine collapses each
+    scan partition to <=9 cells before any shuffle)."""
+    plan = executed_plan(_Q["dq_benford"](spark, sf_dir))
+    win = plan.find("Window")
+    agg = plan.find("HashAggregate")
+    assert win != -1 and agg != -1 and agg > win, plan
+    assert "partial_count" in plan, plan
