@@ -211,3 +211,69 @@ def multimodal_framesample(spark, sf_dir):
         sample_frames,
         schema="doc_id bigint, frame_idx int, n_frames int, frame_md5 string",
     )
+
+
+def _phash_bits_sql() -> str:
+    # bit (r, c) set iff thumbnail byte 4r+c < byte 4r+c+1 — the exact
+    # comparison phash_batched makes on the 4x4 fake decode (identity
+    # pooling), weighted 2^(3r+c).
+    terms = []
+    for r in range(4):
+        for c in range(3):
+            i, j = 4 * r + c, 4 * r + c + 1
+            terms.append(
+                f"CASE WHEN {_sha_byte(i)} < {_sha_byte(j)}"
+                f" THEN {1 << (3 * r + c)} ELSE 0 END"
+            )
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "multimodal_phash",
+    oracle=f"""
+WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents
+           WHERE text IS NOT NULL),
+ph AS (SELECT doc_id, CAST({_phash_bits_sql()} AS BIGINT) AS phash FROM h)
+SELECT phash,
+       min(doc_id) AS canonical_doc,
+       CAST(count(*) AS BIGINT) AS n_members
+FROM ph GROUP BY phash HAVING count(*) >= 2
+""",
+)
+def multimodal_phash(spark, sf_dir):
+    """Image near-dedup via perceptual hashing: every payload decodes
+    to a 4x4 thumbnail whose row-gradient signs form a 12-bit dHash
+    (sources/media.py phash_batched — works unchanged over the real
+    PNG/GIF/BMP/JPEG decoders; the declared query runs the
+    deterministic fake codec so the oracle replays the bits from
+    sha256 bytes). Buckets with >= 2 members are near-duplicate image
+    groups; each keeps its min-doc_id canonical — the dedup_exact
+    survivor rule applied to perceptual identity.
+
+    Scale: the decode+hash is one stateless Arrow-batched mapInPandas
+    pass (no shuffle), then ONE map-side-combined groupBy on the hash
+    key — the image twin of dedup_exact's content-hash groupBy.
+    Production would widen the hash to 64 bits (8x9 thumbnail) so
+    bucket sizes stay O(dup-cluster); the 12-bit demo hash is a
+    parameter, not a structural limit. No pair explosion: the output
+    is one row per bucket, never per pair."""
+    from terasort_spark.sources.media import phash_batched
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.encode(F.col("text"), "utf-8").alias("payload"),
+            F.lit("fake/raw").alias("media_type"),
+        )
+    )
+    ph = d.mapInPandas(phash_batched, schema="doc_id bigint, phash bigint")
+    return (
+        ph.groupBy("phash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc"),
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        )
+        .filter(F.col("n_members") >= 2)
+    )

@@ -378,3 +378,41 @@ def resize_batched_arrow(batches):
             + [pa.array(list(c), pa.float64()) for c in cols],
             names=["doc_id", "p00", "p01", "p10", "p11"],
         )
+
+
+def _pool_to_4x4(img: np.ndarray) -> np.ndarray:
+    """Box-downsample any grayscale array to 4x4 by equal-split block
+    means (identity for the 4x4 fake decode, so the SQL oracle's
+    byte-level comparisons replay it exactly)."""
+    if img.shape == (4, 4):
+        return img
+    return np.array(
+        [
+            [blk.mean() for blk in np.array_split(row_band, 4, axis=1)]
+            for row_band in np.array_split(img, 4, axis=0)
+        ]
+    )
+
+
+def phash_batched(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: 12-bit row-gradient perceptual hash (dHash).
+    Decode → 4x4 thumbnail → bit (r,c) set iff pixel (r,c) < (r,c+1);
+    near-identical images land in the same bucket, making image dedup
+    an equi-join/groupBy on the hash key. Works on every codec
+    decode_image supports; the declared query uses the deterministic
+    fake codec so DuckDB replays the bits from sha256 bytes."""
+    for pdf in batches:
+        hashes = []
+        for b, mt in zip(pdf["payload"], pdf["media_type"]):
+            t = _pool_to_4x4(decode_image(bytes(b), mt))
+            h = 0
+            for r in range(4):
+                for c in range(3):
+                    if t[r, c] < t[r, c + 1]:
+                        h |= 1 << (3 * r + c)
+            hashes.append(h)
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "phash": pd.Series(hashes, dtype="int64")}
+        )

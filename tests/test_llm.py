@@ -841,3 +841,63 @@ def test_gif_codec_lzw_roundtrip(spark):
     idx2 = rng.randint(0, 256, size=(17, 9))
     got2 = decode_gif(encode_gif(idx2.astype(np.uint8), pal, interlaced=True))
     assert np.allclose(got2, luma(pal[idx2].astype(np.float64)))
+
+
+def test_phash_buckets_replay_and_real_codec_path(spark, sf_dir):
+    """multimodal_phash invariants: every bucket's members truly share
+    the dHash (Python replay from sha256 bytes), the canonical is the
+    bucket min, and the SAME worker hashes a REAL PNG decode — two
+    perceptually-identical PNGs (one re-encoded with different row
+    filters) collide; a gradient-reversed one does not."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    out = {r["phash"]: r for r in _Q["multimodal_phash"](spark, sf_dir).collect()}
+    assert out, "no perceptual buckets on this corpus"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("text").isNotNull()
+    )
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+
+    def dhash(digest16):
+        h = 0
+        for r in range(4):
+            for c in range(3):
+                if digest16[4 * r + c] < digest16[4 * r + c + 1]:
+                    h |= 1 << (3 * r + c)
+        return h
+
+    from collections import Counter, defaultdict
+
+    groups = defaultdict(list)
+    for did, text in texts.items():
+        groups[dhash(hashlib.sha256(text.encode()).digest()[:16])].append(did)
+    expect = {h: ds for h, ds in groups.items() if len(ds) >= 2}
+    assert set(out) == set(expect)
+    for h, r in out.items():
+        assert r["canonical_doc"] == min(expect[h])
+        assert r["n_members"] == len(expect[h])
+    # real-codec path: phash_batched over PNG payloads
+    from terasort_spark.sources.media import phash_batched
+
+    base = np.arange(64, dtype=np.uint8).reshape(8, 8) * 4
+    twin = base.copy()  # same pixels, different PNG filter choices
+    flipped = base[:, ::-1].copy()  # gradient reversed -> different hash
+    payloads = [
+        _encode_png(base, 0, filters=[0] * 8),
+        _encode_png(twin, 0, filters=[1, 2, 3, 4, 0, 1, 2, 3]),
+        _encode_png(flipped, 0, filters=[0] * 8),
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "payload": payloads,
+            "media_type": ["image/png"] * 3,
+        }
+    )
+    got = pd.concat(list(phash_batched(iter([pdf]))))
+    hs = dict(zip(got["doc_id"], got["phash"]))
+    assert hs[1] == hs[2], "identical pixels must collide regardless of encoding"
+    assert hs[1] != hs[3], "reversed gradient must not collide"
