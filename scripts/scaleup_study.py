@@ -110,6 +110,15 @@ MEASURED = {
     "ts_autocorr": ("events",),
     "dq_benford": ("orders",),
     "agg_heavyhitters": ("documents",),
+    # r6 integrity/lifecycle wave + perceptual dedup
+    "multimodal_phash": ("documents",),
+    "dq_referential": (
+        "lineitem", "orders", "customer", "events", "part",
+        "supplier", "nation",
+    ),
+    "ts_seasonal": ("orders",),
+    "ml_feature_hash": ("documents",),
+    "source_mergeschema": ("orders",),
 }
 
 OFFSETS = {  # per-copy id offsets, far above any base id
@@ -119,6 +128,9 @@ OFFSETS = {  # per-copy id offsets, far above any base id
     "lineitem": ("l_orderkey", 100_000_000),
     "orders": ("o_orderkey", 100_000_000),
     "part": ("p_partkey", 100_000_000),
+    "customer": ("c_custkey", 10_000_000),
+    "supplier": ("s_suppkey", 10_000_000),
+    "nation": ("n_nationkey", 10_000),
 }
 
 

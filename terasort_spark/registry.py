@@ -76,6 +76,7 @@ _OPERATOR_MODULES = (
     "terasort_spark.operators.quality",
     "terasort_spark.operators.boilerplate",
     "terasort_spark.operators.rag",
+    "terasort_spark.operators.integrity",
 )
 
 _loaded = False

