@@ -119,6 +119,9 @@ MEASURED = {
     "ts_seasonal": ("orders",),
     "ml_feature_hash": ("documents",),
     "source_mergeschema": ("orders",),
+    "ml_confusion": ("documents",),
+    "ts_cusum": ("events",),
+    "sink_ann_index": ("embeddings",),
 }
 
 OFFSETS = {  # per-copy id offsets, far above any base id

@@ -249,6 +249,32 @@ def knn_label(spark, sf_dir):
     )
 
 
+def ivf_bucket(xu_col):
+    """16-way IVF coarse quantizer: sign pattern of 4 integer mix32
+    hyperplanes dotted against 6dp-quantized coordinates (``xu_col`` is
+    an array<long>). Exact int64 in both engines — shared by
+    sim_cosine_ivf and sink_ann_index (ann_index.py), twin of
+    _ivf_proj_sql."""
+    from terasort_spark.sources.tera_queries import mix32
+
+    bits = []
+    for j in range(4):
+        proj = F.aggregate(
+            F.transform(
+                xu_col,
+                lambda x, i: x * (mix32(F.lit(j * 1000) + i) - F.lit(2147483648)),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+
 @register(
     "sim_cosine_ivf",
     oracle=f"""
@@ -304,26 +330,7 @@ def sim_cosine_ivf(spark, sf_dir):
     xu = F.transform(
         F.col("emb"), lambda x: F.floor(x * 1000000 + F.lit(0.5)).cast("long")
     )
-
-    def bucket(xu_col):
-        bits = []
-        for j in range(4):
-            proj = F.aggregate(
-                F.transform(
-                    xu_col,
-                    lambda x, i: x
-                    * (mix32(F.lit(j * 1000) + i) - F.lit(2147483648)),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            )
-            bits.append(F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0)))
-        out = bits[0]
-        for b in bits[1:]:
-            out = out + b
-        return out
-
-    eb = e.withColumn("bucket", bucket(xu))
+    eb = e.withColumn("bucket", ivf_bucket(xu))
     # multi-probe: each query probes its own bucket plus the 4 Hamming-1
     # neighbors — 5/16 of the space instead of 1/16, the standard
     # recall/cost dial (candidates stay single-bucket, so no dup pairs)

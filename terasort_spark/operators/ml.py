@@ -592,3 +592,101 @@ def ml_calibration(spark, sf_dir):
             rnd(F.sum("y").cast("double") / F.count(F.lit(1)), "frac_pos"),
         )
     )
+
+
+_CONF_THRESHOLDS = (250, 500, 750)
+
+
+@register(
+    "ml_confusion",
+    oracle=f"""
+WITH {_SCORED_SQL},
+hist AS (
+    SELECT s, CAST(sum(y) AS BIGINT) AS n1,
+           CAST(count(*) - sum(y) AS BIGINT) AS n0
+    FROM scored GROUP BY s
+),
+conf AS (
+    SELECT t.threshold,
+           sum(CASE WHEN s >= t.threshold THEN n1 ELSE 0 END) AS tp,
+           sum(CASE WHEN s >= t.threshold THEN n0 ELSE 0 END) AS fp,
+           sum(CASE WHEN s <  t.threshold THEN n1 ELSE 0 END) AS fn,
+           sum(CASE WHEN s <  t.threshold THEN n0 ELSE 0 END) AS tn
+    FROM hist
+    CROSS JOIN (SELECT unnest([{", ".join(map(str, _CONF_THRESHOLDS))}])
+                AS threshold) t
+    GROUP BY t.threshold
+)
+SELECT CAST(threshold AS BIGINT) AS threshold,
+       CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+       CASE WHEN tp + fp = 0 THEN 0.0 ELSE
+            floor(CAST(tp AS DOUBLE) / (tp + fp) * 10000 + 0.5) / 10000
+       END AS precision_,
+       CASE WHEN tp + fn = 0 THEN 0.0 ELSE
+            floor(CAST(tp AS DOUBLE) / (tp + fn) * 10000 + 0.5) / 10000
+       END AS recall_,
+       CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0 ELSE
+            floor(2.0 * tp / (2 * tp + fp + fn) * 10000 + 0.5) / 10000
+       END AS f1
+FROM conf
+""",
+)
+def ml_confusion(spark, sf_dir):
+    """Thresholded confusion matrices for the stopword-ratio classifier
+    (completing ml_auc's threshold-free discrimination and
+    ml_calibration's reliability curve): at each operating point the
+    exact tp/fp/fn/tn plus floor-4dp precision/recall/F1 — the numbers
+    a corpus-filter threshold is actually chosen from.
+
+    Scale: documents collapse to the score HISTOGRAM first (one
+    map-combined groupBy, <=10001 integer keys); the 3 operating points
+    evaluate over histogram rows via a broadcast cross join — per-doc
+    work never grows with the threshold grid. The dq_benford/ml_auc
+    aggregate-before-window discipline applied to model evaluation."""
+    hist = (
+        _stopword_scored(spark, sf_dir)
+        .groupBy("s")
+        .agg(
+            F.sum("y").cast("bigint").alias("n1"),
+            (F.count(F.lit(1)) - F.sum("y")).cast("bigint").alias("n0"),
+        )
+    )
+    th = spark.range(len(_CONF_THRESHOLDS)).select(
+        F.element_at(
+            F.array(*[F.lit(t) for t in _CONF_THRESHOLDS]),
+            (F.col("id") + 1).cast("int"),
+        )
+        .cast("bigint")
+        .alias("threshold")
+    )
+    pos = F.col("s") >= F.col("threshold")
+    conf = (
+        hist.crossJoin(F.broadcast(th))
+        .groupBy("threshold")
+        .agg(
+            F.sum(F.when(pos, F.col("n1")).otherwise(0)).alias("tp"),
+            F.sum(F.when(pos, F.col("n0")).otherwise(0)).alias("fp"),
+            F.sum(F.when(~pos, F.col("n1")).otherwise(0)).alias("fn"),
+            F.sum(F.when(~pos, F.col("n0")).otherwise(0)).alias("tn"),
+        )
+    )
+
+    def ratio(num, den, alias):
+        return (
+            F.when(den == 0, F.lit(0.0)).otherwise(
+                F.floor(num.cast("double") / den * 10000 + F.lit(0.5)) / 10000
+            )
+        ).alias(alias)
+
+    tp, fp, fn, tn = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
+    return conf.select(
+        "threshold",
+        tp.cast("bigint").alias("tp"),
+        fp.cast("bigint").alias("fp"),
+        fn.cast("bigint").alias("fn"),
+        tn.cast("bigint").alias("tn"),
+        ratio(tp, tp + fp, "precision_"),
+        ratio(tp, tp + fn, "recall_"),
+        ratio(2 * tp, 2 * tp + fp + fn, "f1"),
+    )

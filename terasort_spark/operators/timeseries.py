@@ -319,3 +319,96 @@ def ts_holt_forecast(spark, sf_dir):
         rnd(l + 2 * b, "fc_2"),
         rnd(l + 3 * b, "fc_3"),
     )
+
+
+@register(
+    "ts_cusum",
+    oracle="""
+WITH ev AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(floor(CAST(value AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS iv
+  FROM events WHERE value IS NOT NULL
+),
+daily AS (
+  SELECT event_type, d, sum(iv) AS sv FROM ev GROUP BY event_type, d
+),
+st AS (
+  SELECT event_type, d,
+         sum(sv) OVER (PARTITION BY event_type ORDER BY d) AS pre,
+         row_number() OVER (PARTITION BY event_type ORDER BY d) AS t,
+         sum(sv) OVER (PARTITION BY event_type) AS total,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM daily
+),
+c AS (
+  SELECT event_type, d, n, n * pre - t * total AS cusum
+  FROM st
+)
+SELECT event_type, cp_date, n_days, max_dev FROM (
+  SELECT event_type, d AS cp_date, CAST(n AS BIGINT) AS n_days,
+         floor(abs(CAST(cusum AS DOUBLE)) / (n * 10000.0) * 10000 + 0.5)
+             / 10000 AS max_dev,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY abs(cusum) DESC, d) AS rk
+  FROM c
+)
+WHERE rk = 1
+""",
+)
+def ts_cusum(spark, sf_dir):
+    """CUSUM changepoint detection per event type: the day where the
+    cumulative deviation of daily value-sums from the series mean peaks
+    — the classical level-shift detector, computed relationally.
+
+    Exactness: per-event values quantize to 4dp integers at the scan,
+    so daily sums, prefix sums and the scaled statistic
+    n*prefix_t - t*total (= n * classic CUSUM_t, same argmax) are pure
+    int64 — bit-identical in both engines; |n*prefix| <= 31 days *
+    ~1e11 << 2^63. Only the reported deviation divides back to double,
+    floor-rounded.
+
+    Scale: the full-data pass is ONE map-combined groupBy onto
+    (event_type, day) — bounded domain, one row per type-day. Every
+    window (prefix sum, total, argmax rank) runs over those aggregated
+    rows, never raw events: the dq_benford aggregate-before-window
+    discipline. A type with years of history still gives its windows
+    only ~365 rows/year."""
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(
+        F.sum(
+            F.floor(F.col("value").cast("double") * 10000 + F.lit(0.5)).cast(
+                "long"
+            )
+        ).alias("sv")
+    )
+    w_ord = Window.partitionBy("event_type").orderBy("d")
+    w_all = Window.partitionBy("event_type")
+    st = daily.select(
+        "event_type",
+        "d",
+        F.sum("sv").over(w_ord).alias("pre"),
+        F.row_number().over(w_ord).alias("t"),
+        F.sum("sv").over(w_all).alias("total"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    c = st.select(
+        "event_type",
+        "d",
+        "n",
+        (F.col("n") * F.col("pre") - F.col("t") * F.col("total")).alias("cusum"),
+    )
+    w_rank = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum")).desc(), F.asc("d")
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("d").alias("cp_date"),
+            F.col("n").cast("bigint").alias("n_days"),
+            rnd(F.abs("cusum") / (F.col("n") * 10000.0), "max_dev"),
+        )
+    )

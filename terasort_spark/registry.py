@@ -77,6 +77,7 @@ _OPERATOR_MODULES = (
     "terasort_spark.operators.boilerplate",
     "terasort_spark.operators.rag",
     "terasort_spark.operators.integrity",
+    "terasort_spark.operators.ann_index",
 )
 
 _loaded = False

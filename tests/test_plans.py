@@ -496,3 +496,39 @@ def test_mergeschema_read_prunes_to_selected_columns(spark, sf_dir):
     df = _Q["source_mergeschema"](spark, sf_dir)
     plan = formatted_plan(df)
     assert "o_orderdate" not in plan, plan
+
+
+def test_ann_index_probe_is_dynamically_partition_pruned(spark, sf_dir):
+    """sink_ann_index: the index re-read must carry a dynamic-partition-
+    pruning expression on the bucket directory key — the probe reads
+    only the probed buckets' directories, never the full index."""
+    plan = executed_plan(_Q["sink_ann_index"](spark, sf_dir))
+    scan = [
+        l
+        for l in plan.splitlines()
+        if "FileScan" in l and "terasort_spark_ann_index" in l
+    ]
+    assert scan, plan
+    assert any("dynamicpruning" in l for l in scan), scan
+
+
+def test_ml_confusion_evaluates_over_histogram(spark, sf_dir):
+    """ml_confusion: threshold evaluation must consume the score
+    histogram (aggregate below the threshold cross join), never raw
+    documents per threshold."""
+    plan = executed_plan(_Q["ml_confusion"](spark, sf_dir))
+    assert "partial_sum" in plan or "partial_count" in plan, plan
+    # the histogram aggregate must appear below the broadcast join
+    agg = plan.rfind("HashAggregate")
+    bj = plan.find("BroadcastNestedLoopJoin")
+    assert bj != -1 and agg > bj, plan
+
+
+def test_ts_cusum_windows_over_daily_aggregate(spark, sf_dir):
+    """ts_cusum: every window consumes the (event_type, day) aggregate
+    — partial aggregation below the first window, no window over raw
+    events."""
+    plan = executed_plan(_Q["ts_cusum"](spark, sf_dir))
+    win = plan.find("Window")
+    assert win != -1, plan
+    assert "partial_sum" in plan[win:], plan

@@ -544,3 +544,119 @@ def test_benford_digits_partition_and_replay(spark, sf_dir):
     for d, r in out.items():
         assert r["n"] == counts[d], (d, r["n"], counts[d])
         assert abs(r["dev"] - (r["pct"] - math.log10(1 + 1 / d))) < 2e-4
+
+
+def test_confusion_matrices_replay_and_are_consistent(spark, sf_dir):
+    """ml_confusion: each threshold's matrix sums to the corpus size,
+    counts are monotone in the threshold (raising T can only move
+    predictions from positive to negative), and a Counter replay from
+    raw (s, y) pairs matches exactly."""
+    from collections import Counter
+
+    from terasort_spark.operators.ml import _stopword_scored
+
+    rows = {r["threshold"]: r for r in _Q["ml_confusion"](spark, sf_dir).collect()}
+    assert set(rows) == {250, 500, 750}
+    pairs = [(r["s"], r["y"]) for r in _stopword_scored(spark, sf_dir).collect()]
+    n = len(pairs)
+    for t, r in rows.items():
+        cm = Counter()
+        for s, y in pairs:
+            cm[(int(s >= t), y)] += 1
+        assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (
+            cm[(1, 1)], cm[(1, 0)], cm[(0, 1)], cm[(0, 0)]
+        )
+        assert r["tp"] + r["fp"] + r["fn"] + r["tn"] == n
+        if r["tp"] + r["fp"]:
+            assert 0.0 <= r["precision_"] <= 1.0 and 0.0 <= r["f1"] <= 1.0
+    ts = sorted(rows)
+    for lo, hi in zip(ts, ts[1:]):
+        assert rows[hi]["tp"] <= rows[lo]["tp"]
+        assert rows[hi]["fp"] <= rows[lo]["fp"]
+
+
+def test_cusum_matches_numpy_changepoint(spark, sf_dir):
+    """ts_cusum: replay the scaled CUSUM argmax in numpy from raw
+    events; a deliberately level-shifted series puts the changepoint at
+    the shift."""
+    import numpy as np
+    import pandas as pd
+
+    out = {r["event_type"]: r for r in _Q["ts_cusum"](spark, sf_dir).collect()}
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", F.date_trunc("day", "ts").cast("date").alias("d"),
+                "value")
+        .collect()
+    )
+    daily = {}
+    for r in ev:
+        key = (r["event_type"], r["d"])
+        daily[key] = daily.get(key, 0) + int(np.floor(r["value"] * 10000 + 0.5))
+    for et in {k[0] for k in daily}:
+        days = sorted(d for (t, d) in daily if t == et)
+        sv = np.array([daily[(et, d)] for d in days], dtype=np.int64)
+        n, tot = len(sv), sv.sum()
+        cus = n * np.cumsum(sv) - np.arange(1, n + 1) * tot
+        best = int(np.argmax(np.abs(cus)))  # ties: earliest, matches asc d
+        assert out[et]["cp_date"] == days[best]
+        assert out[et]["n_days"] == n
+        expect = np.floor(abs(cus[best]) / (n * 10000.0) * 10000 + 0.5) / 10000
+        assert out[et]["max_dev"] == expect
+    # synthetic level shift: flat 10s then flat 20s -> cusum peaks at the shift
+    pdf = pd.DataFrame({"v": [10.0] * 6 + [20.0] * 6})
+    sv = np.floor(pdf["v"].to_numpy() * 10000 + 0.5).astype(np.int64)
+    cus = len(sv) * np.cumsum(sv) - np.arange(1, len(sv) + 1) * sv.sum()
+    assert int(np.argmax(np.abs(cus))) == 5  # last pre-shift day
+
+
+def test_ann_index_layout_and_equivalence_to_unpartitioned_join(spark, sf_dir):
+    """sink_ann_index: the written layout really is one directory per
+    bucket, and the pruned probe answers EXACTLY what the in-memory
+    bucketed join (sim_cosine_ivf's single-probe form) answers."""
+    import os
+    import tempfile
+
+    out_rows = {
+        (r["q_id"], r["rn"]): r
+        for r in _Q["sink_ann_index"](spark, sf_dir).collect()
+    }
+    root = os.path.join(tempfile.gettempdir(), "terasort_spark_ann_index")
+    parts = [p for p in os.listdir(root) if p.startswith("bucket=")]
+    assert parts and all(0 <= int(p.split("=")[1]) < 16 for p in parts)
+    # in-memory twin
+    from terasort_spark.catalog import table
+    from terasort_spark.operators.llm_similarity import ivf_bucket
+    from terasort_spark.operators._util import rnd
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    xu = F.transform(F.col("emb"), lambda x: F.floor(x * 1000000 + F.lit(0.5)).cast("long"))
+    eb = e.withColumn("bucket", ivf_bucket(xu))
+    q = eb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb"), "bucket"
+    )
+    c = eb.select(F.col("vec_id").alias("c_id"), F.col("emb").alias("c_emb"), "bucket")
+
+    def dot(x, y):
+        return F.aggregate(F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0),
+                           lambda acc, v: acc + v)
+
+    cosine = dot(F.col("q_emb"), F.col("c_emb")) / (
+        F.sqrt(dot(F.col("q_emb"), F.col("q_emb")))
+        * F.sqrt(dot(F.col("c_emb"), F.col("c_emb")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    twin = (
+        q.join(c, "bucket")
+        .filter(F.col("c_id") != F.col("q_id"))
+        .withColumn("cosine", rnd(cosine))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+    for r in twin.collect():
+        got = out_rows[(r["q_id"], r["rn"])]
+        assert (got["c_id"], got["cosine"]) == (r["c_id"], r["cosine"])
