@@ -354,3 +354,54 @@ def join_asof_nearest(spark, sf_dir):
         .filter(F.col("is_p") == 1)
         .select("event_id", "user_id", "ts", "nearest_click_ts")
     )
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT * FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, p.ts,
+       (SELECT max(c.ts) FROM c
+        WHERE c.user_id = p.user_id
+          AND c.ts <= p.ts
+          AND c.ts >= p.ts - INTERVAL 1 HOUR) AS last_click_ts
+FROM p
+""",
+)
+def join_asof_tolerance(spark, sf_dir):
+    """Bounded-staleness as-of join (pandas ``merge_asof(tolerance=...)``
+    semantics): the latest click at or before each purchase, but only
+    if it happened within the last hour — older matches return NULL
+    instead of silently joining stale state. The guard every
+    feature-store / trade-alignment lookup needs.
+
+    Same linear union+window formulation as join_asof (one shuffle on
+    the high-cardinality user key, never a range self-join); the
+    tolerance is a stateless second-difference comparison AFTER the
+    window, so it adds zero shuffles. Oracle is the independent
+    correlated-subquery formulation, cross-checking the window algebra.
+    """
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts",
+        F.lit(None).cast("timestamp").alias("click_ts"),
+    )
+    tagged = clicks.withColumn("is_p", F.lit(0)).unionByName(
+        purchases.withColumn("is_p", F.lit(1))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    back = F.last("click_ts", ignorenulls=True).over(w)
+    within = F.col("ts").cast("long") - back.cast("long") <= 3600
+    return (
+        tagged.withColumn("last_click_ts", F.when(within, back))
+        .filter(F.col("is_p") == 1)
+        .select("event_id", "user_id", "ts", "last_click_ts")
+    )

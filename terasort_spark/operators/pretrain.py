@@ -251,3 +251,111 @@ def pipeline_pretrain_funnel(spark, sf_dir):
         " 3, 'quality', n_qual, 4, 'dedup', n_dedup)"
         " AS (stage_id, stage, n_docs)"
     )
+
+
+TOKEN_BUDGET = 2000  # per-language token budget (interior at sf0.001-0.1)
+
+
+@register(
+    "sample_token_budget",
+    oracle=f"""
+WITH scored AS (
+  SELECT lang, doc_id,
+         len(list_filter(string_split(lower(text), ' '), w -> w <> ''))
+             AS tok,
+         CAST(floor(
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                  w -> list_contains(['the','and','of','to','a','in','is','it'], w)))
+                  AS DOUBLE)
+             / len(list_filter(string_split(lower(text), ' '), w -> w <> ''))
+             * 10000 + 0.5) AS BIGINT) AS qs
+  FROM documents
+  WHERE text IS NOT NULL AND length(text) > 0
+    AND len(list_filter(string_split(lower(text), ' '), w -> w <> '')) > 0
+),
+cum AS (
+  SELECT lang, doc_id, tok, qs,
+         sum(tok) OVER (PARTITION BY lang ORDER BY qs DESC, doc_id) AS c
+  FROM scored
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(tok) AS BIGINT) AS tokens_selected,
+       CAST(min(qs) AS BIGINT) AS min_score
+FROM cum WHERE c <= {TOKEN_BUDGET}
+GROUP BY lang
+""",
+)
+def sample_token_budget(spark, sf_dir):
+    """Token-budgeted greedy selection: per language, admit documents
+    in descending quality order (stopword-ratio score, doc_id
+    tie-break) while the cumulative token count stays within the
+    per-language budget — how a pretraining mix fills each language's
+    token allocation from the best documents first.
+
+    The oracle states the semantics as one per-lang running sum over
+    RAW documents; the Spark plan must NOT do that (a per-lang window
+    over the corpus is the text_ccnet_bucket anti-pattern — 5 serial
+    sorts of the whole corpus at 100 TB). De-skewed equivalent:
+      1. collapse docs to the (lang, qs) HISTOGRAM (bounded: |langs| x
+         10001 score values) and run the budget prefix sum over
+         histogram rows;
+      2. buckets that fit entirely are admitted wholesale (stateless
+         broadcast-joined comparison, no per-doc window);
+      3. ONLY the single boundary bucket per lang — a bounded tie
+         group keyed by (lang, qs) — gets a per-doc running sum to
+         split it exactly at the budget.
+    Identical output, windows only over aggregates and tie-slices.
+    Companion discipline to text_ccnet_bucket/agg_weighted_percentile
+    (tests/test_plans.py asserts the window shapes)."""
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    toks = F.filter(F.split(F.lower("text"), " "), lambda t: F.length(t) > 0)
+    stops = ("the", "and", "of", "to", "a", "in", "is", "it")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*stops)))
+    n_tok = F.size(toks)
+    scored = d.select(
+        "lang",
+        "doc_id",
+        n_tok.cast("bigint").alias("tok"),
+        F.floor(n_stop / n_tok * 10000 + F.lit(0.5)).cast("bigint").alias("qs"),
+    ).filter(n_tok > 0)
+
+    # (1) histogram + budget prefix over histogram rows
+    hist = scored.groupBy("lang", "qs").agg(F.sum("tok").alias("btok"))
+    w_h = Window.partitionBy("lang").orderBy(F.desc("qs"))
+    hb = hist.select(
+        "lang",
+        "qs",
+        "btok",
+        (F.sum("btok").over(w_h) - F.col("btok")).alias("c_before"),
+    )
+    full = hb.filter(F.col("c_before") + F.col("btok") <= TOKEN_BUDGET)
+    boundary = hb.filter(
+        (F.col("c_before") < TOKEN_BUDGET)
+        & (F.col("c_before") + F.col("btok") > TOKEN_BUDGET)
+    )
+
+    # (2) whole buckets admitted without touching doc rows again
+    sel_full = scored.join(full.select("lang", "qs"), ["lang", "qs"])
+
+    # (3) split the one boundary bucket per lang on its own doc rows
+    w_b = Window.partitionBy("lang", "qs").orderBy("doc_id")
+    sel_boundary = (
+        scored.join(F.broadcast(boundary), ["lang", "qs"])
+        .withColumn("c_in", F.sum("tok").over(w_b))
+        .filter(F.col("c_before") + F.col("c_in") <= TOKEN_BUDGET)
+        .select("lang", "doc_id", "tok", "qs")
+    )
+
+    return (
+        sel_full.select("lang", "doc_id", "tok", "qs")
+        .unionAll(sel_boundary)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("tok").cast("bigint").alias("tokens_selected"),
+            F.min("qs").cast("bigint").alias("min_score"),
+        )
+    )

@@ -532,3 +532,18 @@ def test_ts_cusum_windows_over_daily_aggregate(spark, sf_dir):
     win = plan.find("Window")
     assert win != -1, plan
     assert "partial_sum" in plan[win:], plan
+
+
+def test_token_budget_windows_over_histogram_and_tie_slice_only(spark, sf_dir):
+    """sample_token_budget: no window partitioned only by lang may
+    consume raw document rows — the budget prefix runs over the
+    (lang, qs) histogram (sum(btok)), and the only doc-level window is
+    keyed by (lang, qs) (the boundary tie slice)."""
+    import re
+
+    plan = executed_plan(_Q["sample_token_budget"](spark, sf_dir))
+    for line in plan.splitlines():
+        if "Window [" not in line:
+            continue
+        if re.search(r"\], \[lang#\d+\](?:, \[|\s*$)", line):
+            assert "btok#" in line, f"lang-only window over raw rows:\n{line}"

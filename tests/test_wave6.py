@@ -660,3 +660,40 @@ def test_ann_index_layout_and_equivalence_to_unpartitioned_join(spark, sf_dir):
     for r in twin.collect():
         got = out_rows[(r["q_id"], r["rn"])]
         assert (got["c_id"], got["cosine"]) == (r["c_id"], r["cosine"])
+
+
+def test_token_budget_is_greedy_prefix_within_budget(spark, sf_dir):
+    """sample_token_budget: per lang the selection is exactly the
+    longest (qs desc, doc_id) prefix whose token total stays within
+    TOKEN_BUDGET — replayed in Python from raw docs."""
+    from terasort_spark.operators.pretrain import TOKEN_BUDGET
+
+    out = {r["lang"]: r for r in _Q["sample_token_budget"](spark, sf_dir).collect()}
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        .collect()
+    )
+    stops = {"the", "and", "of", "to", "a", "in", "is", "it"}
+    by_lang = {}
+    for r in docs:
+        toks = [w for w in r["text"].lower().split(" ") if w]
+        if not toks:
+            continue
+        qs = int((sum(w in stops for w in toks) / len(toks)) * 10000 + 0.5)
+        by_lang.setdefault(r["lang"], []).append((qs, r["doc_id"], len(toks)))
+    for lang, rows in by_lang.items():
+        rows.sort(key=lambda x: (-x[0], x[1]))
+        c, n, tok, mn = 0, 0, 0, None
+        for qs, _, t in rows:
+            if c + t > TOKEN_BUDGET:
+                break
+            c += t
+            n += 1
+            tok += t
+            mn = qs
+        got = out[lang]
+        assert (got["n_docs"], got["tokens_selected"], got["min_score"]) == (
+            n, tok, mn
+        ), lang
+        assert got["tokens_selected"] <= TOKEN_BUDGET
