@@ -122,6 +122,8 @@ MEASURED = {
     "ml_confusion": ("documents",),
     "ts_cusum": ("events",),
     "sink_ann_index": ("embeddings",),
+    "sample_token_budget": ("documents",),
+    "join_asof_tolerance": ("events",),
 }
 
 OFFSETS = {  # per-copy id offsets, far above any base id
