@@ -158,10 +158,16 @@ def text_novelty(spark, sf_dir):
     scores corpus-wide repetition, this one attributes each shingle to
     its earliest document.
 
-    Scale: identical shape to text_boilerplate — one groupBy keyed by
-    shingle (min instead of count), one equi-join back, one per-doc
-    rollup. min(doc_id) is order-insensitive, so no sort and no
-    sequential dependency despite the 'in ingestion order' semantics."""
+    Scale: min(doc_id) is order-insensitive, so no sort and no
+    sequential dependency despite the 'in ingestion order' semantics.
+    Unlike text_boilerplate (whose per-shingle df must rejoin every
+    occurrence), novelty only needs each doc's NOVEL-shingle count —
+    so instead of joining the full exploded stream back against firsts
+    (a shingle-keyed join of the two largest relations), count
+    firsts-per-winner (groupBy first_doc) and shingles-per-doc
+    (groupBy doc_id) and join the two DOC-sized aggregates. Same
+    output, the heavy join drops to |docs| rows a side (r6 rewrite:
+    4.5 s -> ~2 s at sf0.1)."""
     d = table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull() & (F.length("text") > 0)
     )
@@ -178,16 +184,21 @@ def text_novelty(spark, sf_dir):
     exploded = d.select(
         "doc_id", F.explode(shingles).alias("shingle")
     ).localCheckpoint(eager=False)
-    firsts = exploded.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
-    is_novel = (F.col("first_doc") == F.col("doc_id")).cast("int")
-    return (
-        exploded.join(firsts, "shingle")
+    per_doc = exploded.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles")
+    )
+    novel = (
+        exploded.groupBy("shingle")
+        .agg(F.min("doc_id").alias("doc_id"))
         .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
-            F.sum(is_novel).cast("bigint").alias("n_novel"),
-            rnd(F.sum(is_novel).cast("double") / F.count(F.lit(1)), "novelty"),
-        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_novel"))
+    )
+    n_novel = F.coalesce(F.col("n_novel"), F.lit(0).cast("bigint"))
+    return per_doc.join(novel, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        n_novel.alias("n_novel"),
+        rnd(n_novel.cast("double") / F.col("n_shingles"), "novelty"),
     )
 
 
