@@ -19,10 +19,27 @@ Two cross-engine hazards, two fixes:
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 DEC = "decimal(25,6)"
+
+
+def scratch_dir(spark, name: str) -> str:
+    """Session-scoped scratch path for sink/source round-trip queries.
+
+    Fixed /tmp names collide when two Spark processes run the same
+    operator concurrently (a pytest sweep next to a driver run clobbers
+    the other's files mid-read — transient FileNotFound / parquet-footer
+    errors). Suffixing the applicationId keeps the path stable WITHIN a
+    session (idempotent re-runs, bench reps reuse the overwrite) while
+    isolating processes — the same property a cluster job gets from a
+    per-application staging directory."""
+    app = spark.sparkContext.applicationId
+    return os.path.join(tempfile.gettempdir(), f"terasort_spark_{name}_{app}")
 
 
 def rnd(col: Column, alias: str | None = None, nd: int = 4) -> Column:

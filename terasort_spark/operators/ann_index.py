@@ -11,15 +11,13 @@ build → write → prune → re-rank pipeline replays in DuckDB.
 
 from __future__ import annotations
 
-import os
 import shutil
-import tempfile
 
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from terasort_spark.catalog import table
-from terasort_spark.operators._util import o_rnd, rnd
+from terasort_spark.operators._util import o_rnd, rnd, scratch_dir
 from terasort_spark.operators.llm_similarity import (
     _COSINE_SQL,
     _ivf_proj_sql,
@@ -78,7 +76,7 @@ def sink_ann_index(spark, sf_dir):
     unpartitioned bucketed join — the oracle), making this a
     sink-fidelity check too: doubles must round-trip the parquet write
     bit-exactly."""
-    out = os.path.join(tempfile.gettempdir(), "terasort_spark_ann_index")
+    out = scratch_dir(spark, "ann_index")
     shutil.rmtree(out, ignore_errors=True)
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")

@@ -18,12 +18,11 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
 
 from pyspark.sql import functions as F
 
 from terasort_spark.catalog import table
-from terasort_spark.operators._util import rnd
+from terasort_spark.operators._util import rnd, scratch_dir
 from terasort_spark.registry import register
 from terasort_spark.sources.snapshots import read_snapshot, write_version
 
@@ -66,7 +65,7 @@ def scan_changefeed(spark, sf_dir):
     classified against the v0 snapshot. The oracle replays the same
     change recipe relationally from `orders`, so the feed's semantics
     — not just its mechanics — are hash-checked."""
-    root = os.path.join(tempfile.gettempdir(), "terasort_spark_cdc")
+    root = scratch_dir(spark, "cdc")
     shutil.rmtree(root, ignore_errors=True)
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     base = o.filter(F.col("o_orderkey") % 4 != 3)
@@ -145,7 +144,7 @@ def ivm_incremental_agg(spark, sf_dir):
     the oracle recomputes v1 from scratch, so the delta algebra is
     hash-checked against ground truth, exactly to the cent (DECIMAL
     deltas — float deltas would drift after enough batches)."""
-    root = os.path.join(tempfile.gettempdir(), "terasort_spark_cdc_ivm")
+    root = scratch_dir(spark, "cdc_ivm")
     shutil.rmtree(root, ignore_errors=True)
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     base = o.filter(F.col("o_orderkey") % 4 != 3)
@@ -259,8 +258,8 @@ def sink_merge(spark, sf_dir):
     hive-pruned); the sink write is partition-parallel; at cluster scale
     the final overwrite becomes MERGE INTO a transactional table but the
     replace-by-key idempotence argument is identical."""
-    root = os.path.join(tempfile.gettempdir(), "terasort_spark_sink_merge")
-    out = os.path.join(tempfile.gettempdir(), "terasort_spark_sink_merge_out")
+    root = scratch_dir(spark, "sink_merge")
+    out = scratch_dir(spark, "sink_merge_out")
     shutil.rmtree(root, ignore_errors=True)
     shutil.rmtree(out, ignore_errors=True)
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")

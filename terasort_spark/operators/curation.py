@@ -19,15 +19,13 @@ rand() so sampling decisions are content-addressed and retry-stable.
 
 from __future__ import annotations
 
-import os
 import shutil
-import tempfile
 
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from terasort_spark.catalog import table
-from terasort_spark.operators._util import rnd
+from terasort_spark.operators._util import rnd, scratch_dir
 from terasort_spark.registry import register
 
 # BM25 free parameters (the Robertson/Sparck-Jones defaults).
@@ -507,7 +505,7 @@ def scan_zorder(spark, sf_dir):
     structure to maintain. The returned rows equal a plain filter on
     the source (layout changes cost, never semantics), which is exactly
     what the oracle checks."""
-    out = os.path.join(tempfile.gettempdir(), "terasort_spark_zorder")
+    out = scratch_dir(spark, "zorder")
     shutil.rmtree(out, ignore_errors=True)
     o = table(spark, sf_dir, "orders")
     x = (F.col("o_custkey") % 256).cast("int")

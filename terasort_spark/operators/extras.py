@@ -8,12 +8,11 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
 
 from pyspark.sql import functions as F
 
 from terasort_spark.catalog import table
-from terasort_spark.operators._util import o_rnd, rnd
+from terasort_spark.operators._util import o_rnd, rnd, scratch_dir
 from terasort_spark.registry import register
 from terasort_spark.sources.tera_queries import mix32, mix32_sql
 
@@ -219,8 +218,8 @@ def set_intersect_all(spark, sf_dir):
     return r.intersectAll(a)
 
 
-def _roundtrip_dir(fmt: str) -> str:
-    return os.path.join(tempfile.gettempdir(), f"terasort_spark_src_{fmt}")
+def _roundtrip_dir(spark, fmt: str) -> str:
+    return scratch_dir(spark, f"src_{fmt}")
 
 
 @register(
@@ -233,7 +232,7 @@ def _roundtrip_dir(fmt: str) -> str:
 def source_csv(spark, sf_dir):
     """CSV source: write orders as headered CSV, read back with explicit
     schema (never inference at scale — one pass saved, types pinned)."""
-    out = _roundtrip_dir("csv")
+    out = _roundtrip_dir(spark, "csv")
     shutil.rmtree(out, ignore_errors=True)
     o = table(spark, sf_dir, "orders")
     o.write.mode("overwrite").option("header", True).csv(out)
@@ -250,7 +249,7 @@ def source_csv(spark, sf_dir):
 )
 def source_jsonl(spark, sf_dir):
     """JSON-lines source round trip with explicit schema."""
-    out = _roundtrip_dir("jsonl")
+    out = _roundtrip_dir(spark, "jsonl")
     shutil.rmtree(out, ignore_errors=True)
     n = table(spark, sf_dir, "nation")
     n.write.mode("overwrite").json(out)
@@ -342,7 +341,7 @@ def source_orc(spark, sf_dir):
     same pushdown/pruning machinery). Avro is not bundled in this
     environment — gated out rather than stubbed since the reader API is
     identical (`.format('avro')`)."""
-    out = _roundtrip_dir("orc")
+    out = _roundtrip_dir(spark, "orc")
     shutil.rmtree(out, ignore_errors=True)
     table(spark, sf_dir, "supplier").write.mode("overwrite").orc(out)
     return spark.read.orc(out)
@@ -356,7 +355,7 @@ def source_text(spark, sf_dir):
     """Plain-text source: one row per line — the rawest ingest format a
     training-data pipeline starts from (wet/warc-style dumps). Written
     from documents.text, read back with line counts preserved."""
-    out = _roundtrip_dir("text")
+    out = _roundtrip_dir(spark, "text")
     shutil.rmtree(out, ignore_errors=True)
     (
         table(spark, sf_dir, "documents")
@@ -584,7 +583,7 @@ def source_csv_permissive(spark, sf_dir):
     only sane default for 100 TB of found data. Writes a CSV with
     deliberately broken rows, reads with a pinned schema, and returns
     per-file good/bad counts plus the malformed payloads."""
-    out = _roundtrip_dir("csv_bad")
+    out = _roundtrip_dir(spark, "csv_bad")
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
     n = table(spark, sf_dir, "nation").count()
@@ -679,7 +678,7 @@ def source_corrupt_parquet(spark, sf_dir):
     that dies on the first one never finishes. The flag is scoped to
     this read via the DataFrameReader option, not set session-wide —
     silently dropping files is a per-source decision, not a default."""
-    out = _roundtrip_dir("parquet_corrupt")
+    out = _roundtrip_dir(spark, "parquet_corrupt")
     shutil.rmtree(out, ignore_errors=True)
     n = table(spark, sf_dir, "nation")
     n.coalesce(1).write.mode("overwrite").parquet(out)

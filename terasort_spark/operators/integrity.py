@@ -12,12 +12,11 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, functions as F
 
 from terasort_spark.catalog import table
-from terasort_spark.operators._util import DEC, rnd
+from terasort_spark.operators._util import DEC, rnd, scratch_dir
 from terasort_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -236,7 +235,7 @@ def source_mergeschema(spark, sf_dir):
     path also exercises (the re-read projects through the merged
     schema, columns absent from a file are null-filled per row group
     with zero data scanned for them)."""
-    out = os.path.join(tempfile.gettempdir(), "terasort_spark_mergeschema")
+    out = scratch_dir(spark, "mergeschema")
     shutil.rmtree(out, ignore_errors=True)
     src = table(spark, sf_dir, "orders")
     src.filter(F.col("o_orderkey") % 2 == 0).select(

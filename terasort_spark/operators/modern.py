@@ -28,13 +28,12 @@ hashes are md5 over the exact joined token string on both engines.
 
 from __future__ import annotations
 
-import os
 import shutil
-import tempfile
 
 from pyspark.sql import functions as F
 
 from terasort_spark.catalog import table
+from terasort_spark.operators._util import scratch_dir
 from terasort_spark.registry import register
 
 # Chunking geometry: 16-token windows, stride 12 (25% overlap).
@@ -160,7 +159,7 @@ def source_xml(spark, sf_dir):
     with the schema pinned from the parquet original — no inference
     pass, so types survive exactly. XML is a row-framed format like
     JSONL: splittable per file, scans parallelize across files."""
-    out = os.path.join(tempfile.gettempdir(), "terasort_spark_src_xml")
+    out = scratch_dir(spark, "src_xml")
     shutil.rmtree(out, ignore_errors=True)
     nation = table(spark, sf_dir, "nation")
     (

@@ -12,15 +12,13 @@ and the time-travel read replays relationally.
 
 from __future__ import annotations
 
-import os
 import shutil
-import tempfile
 
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from terasort_spark.catalog import table
-from terasort_spark.operators._util import DEC, rnd
+from terasort_spark.operators._util import DEC, rnd, scratch_dir
 from terasort_spark.operators.llm_lm import _BIGRAMS_SQL, text_bigram_lm
 from terasort_spark.registry import register
 from terasort_spark.sources.snapshots import read_snapshot, write_version
@@ -246,7 +244,7 @@ def scan_timetravel(spark, sf_dir):
     Scale: the `_v <= 1` filter lands on the hive partition column, so
     v2's files are pruned at directory-listing time — the read costs
     the same whether 2 or 2000 later versions exist."""
-    root = os.path.join(tempfile.gettempdir(), "terasort_spark_timetravel")
+    root = scratch_dir(spark, "timetravel")
     shutil.rmtree(root, ignore_errors=True)
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     write_version(o.filter(F.col("o_orderkey") % 3 != 2), root, 0)

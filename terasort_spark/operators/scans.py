@@ -11,12 +11,11 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
 
 from pyspark.sql import functions as F
 
 from terasort_spark.catalog import table
-from terasort_spark.operators._util import dsum, o_dsum
+from terasort_spark.operators._util import dsum, o_dsum, scratch_dir
 from terasort_spark.registry import register
 
 _O_DSUM_REVENUE = o_dsum("l_extendedprice*(1-l_discount)", "revenue")
@@ -97,7 +96,7 @@ def sink_parquet(spark, sf_dir):
     """Write + re-read round-trip. Scale note: output is partitioned by a
     low-cardinality column — the layout a 100 TB pipeline would use for
     partition pruning on later reads."""
-    out = os.path.join(tempfile.gettempdir(), "terasort_spark_sink_parquet")
+    out = scratch_dir(spark, "sink_parquet")
     shutil.rmtree(out, ignore_errors=True)
     src = table(spark, sf_dir, "orders")
     src.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
@@ -128,7 +127,7 @@ def sink_partitioned_pruned(spark, sf_dir):
     that makes a 100 TB corpus cheap to slice by a low-cardinality key.
     Values must round-trip bit-exactly through the write, so this is a
     sink-fidelity check too (vs sink_parquet's weaker rows-only)."""
-    out = os.path.join(tempfile.gettempdir(), "terasort_spark_sink_part")
+    out = scratch_dir(spark, "sink_part")
     shutil.rmtree(out, ignore_errors=True)
     src = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     src.write.mode("overwrite").partitionBy("lang").parquet(out)
@@ -347,8 +346,8 @@ def sink_compacted(spark, sf_dir):
     and NameNode/listing into the bottleneck — periodic size-targeted
     rewrite is the standard operational fix (OPTIMIZE in table
     formats). One round-robin shuffle, no skew (keys never matter)."""
-    small_dir = os.path.join(tempfile.gettempdir(), "terasort_spark_smallfiles")
-    big_dir = os.path.join(tempfile.gettempdir(), "terasort_spark_compacted")
+    small_dir = scratch_dir(spark, "smallfiles")
+    big_dir = scratch_dir(spark, "compacted")
     shutil.rmtree(small_dir, ignore_errors=True)
     shutil.rmtree(big_dir, ignore_errors=True)
     src = table(spark, sf_dir, "orders").select(

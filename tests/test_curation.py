@@ -7,7 +7,6 @@ stability under corpus append, and plan shapes."""
 from __future__ import annotations
 
 import os
-import tempfile
 
 import pytest
 from pyspark.sql import functions as F
@@ -26,7 +25,9 @@ def test_zorder_rowgroup_stats_are_tight_in_both_dims(spark, sf_dir):
     import pyarrow.parquet as pq
 
     _Q["scan_zorder"](spark, sf_dir).collect()  # writes the layout
-    out = os.path.join(tempfile.gettempdir(), "terasort_spark_zorder")
+    from terasort_spark.operators._util import scratch_dir
+
+    out = scratch_dir(spark, "zorder")
     spans = []
     for name in os.listdir(out):
         if not name.endswith(".parquet"):

@@ -98,9 +98,11 @@ def test_partitioned_sink_prunes_partitions(spark, sf_dir):
     from terasort_spark.plans.checks import formatted_plan
 
     _Q["sink_parquet"](spark, sf_dir)  # materializes the partitioned dir
-    import os, tempfile
 
-    out = os.path.join(tempfile.gettempdir(), "terasort_spark_sink_parquet")
+
+    from terasort_spark.operators._util import scratch_dir
+
+    out = scratch_dir(spark, "sink_parquet")
     df = spark.read.parquet(out).filter(F.col("o_orderstatus") == "O").select(
         "o_orderkey"
     )

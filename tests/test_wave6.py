@@ -6,7 +6,6 @@ tests/test_oracle.py; these pin the operator-specific invariants."""
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import Window
 from pyspark.sql import functions as F
@@ -390,13 +389,14 @@ def test_compaction_reduces_file_count_to_size_target(spark, sf_dir):
     """sink_compacted must actually compact: 64 small input files, and
     the output file count equals ceil(on-disk bytes / 1 MiB)."""
     import os
-    import tempfile
 
     from terasort_spark.operators.scans import _COMPACT_TARGET_BYTES
 
     _Q["sink_compacted"](spark, sf_dir).collect()
-    small_dir = os.path.join(tempfile.gettempdir(), "terasort_spark_smallfiles")
-    big_dir = os.path.join(tempfile.gettempdir(), "terasort_spark_compacted")
+    from terasort_spark.operators._util import scratch_dir
+
+    small_dir = scratch_dir(spark, "smallfiles")
+    big_dir = scratch_dir(spark, "compacted")
     small = [f for f in os.listdir(small_dir) if f.endswith(".parquet")]
     big = [f for f in os.listdir(big_dir) if f.endswith(".parquet")]
     assert len(small) == 64
@@ -616,13 +616,14 @@ def test_ann_index_layout_and_equivalence_to_unpartitioned_join(spark, sf_dir):
     bucket, and the pruned probe answers EXACTLY what the in-memory
     bucketed join (sim_cosine_ivf's single-probe form) answers."""
     import os
-    import tempfile
 
     out_rows = {
         (r["q_id"], r["rn"]): r
         for r in _Q["sink_ann_index"](spark, sf_dir).collect()
     }
-    root = os.path.join(tempfile.gettempdir(), "terasort_spark_ann_index")
+    from terasort_spark.operators._util import scratch_dir
+
+    root = scratch_dir(spark, "ann_index")
     parts = [p for p in os.listdir(root) if p.startswith("bucket=")]
     assert parts and all(0 <= int(p.split("=")[1]) < 16 for p in parts)
     # in-memory twin
