@@ -96,20 +96,34 @@ def text_boilerplate(spark, sf_dir):
     exploded = d.select(
         "doc_id", F.explode(shingles).alias("shingle")
     ).localCheckpoint(eager=False)
-    df_counts = exploded.groupBy("shingle").agg(
-        F.count(F.lit(1)).alias("n_docs")
+    # n_boiler = n_shingles - n_unique: with DF_MIN == 2 a non-boiler
+    # shingle has df == 1 and belongs to exactly ONE document, whose id
+    # IS min(doc_id) — so instead of joining the full exploded stream
+    # back against the df table (a shingle-keyed join of the two
+    # largest relations), count unique-shingle ownership per doc and
+    # join two DOC-sized aggregates (the text_novelty r6 rewrite
+    # pattern; 4.8 s -> ~3.9 s at sf0.1, same hash).
+    assert DF_MIN == 2, "owner-count shortcut below assumes DF_MIN == 2"
+    per_doc = exploded.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles")
     )
-    is_boiler = (F.col("n_docs") >= DF_MIN).cast("int")
-    ratio = F.sum(is_boiler).cast("double") / F.count(F.lit(1))
-    return (
-        exploded.join(df_counts, "shingle")
+    uniq = (
+        exploded.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("doc_id"))
+        .filter(F.col("n_docs") < DF_MIN)
         .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
-            F.sum(is_boiler).cast("bigint").alias("n_boiler"),
-            rnd(ratio, "boiler_ratio"),
-            (ratio <= F.lit(KEEP_MAX_RATIO)).alias("keep"),
-        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_unique"))
+    )
+    n_boiler = F.col("n_shingles") - F.coalesce(
+        F.col("n_unique"), F.lit(0).cast("bigint")
+    )
+    ratio = n_boiler.cast("double") / F.col("n_shingles")
+    return per_doc.join(uniq, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        n_boiler.alias("n_boiler"),
+        rnd(ratio, "boiler_ratio"),
+        (ratio <= F.lit(KEEP_MAX_RATIO)).alias("keep"),
     )
 
 
