@@ -442,3 +442,52 @@ def test_auc_histogram_ranksum_equals_pairwise(spark, scored):
     want = math.floor(two_u / (2.0 * len(pos) * len(neg)) * 10000 + 0.5) / 10000
     assert (row["n_pos"], row["n_neg"]) == (len(pos), len(neg))
     assert row["auc"] == want
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    corpus=st.lists(
+        st.frozensets(st.integers(min_value=0, max_value=30), min_size=1, max_size=12),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_boilerplate_owner_identity(corpus):
+    """The text_boilerplate r6 rewrite rests on: with DF_MIN == 2, a
+    doc's boiler-shingle count equals its shingle count minus the
+    number of shingles it UNIQUELY owns (df == 1 → min-owner is the
+    only owner). Brute force vs identity over random shingle-set
+    corpora."""
+    from collections import Counter
+
+    df = Counter(s for doc in corpus for s in doc)
+    for i, doc in enumerate(corpus):
+        brute = sum(1 for s in doc if df[s] >= 2)
+        unique_owned = sum(1 for s in doc if df[s] == 1)
+        assert brute == len(doc) - unique_owned
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    corpus=st.lists(
+        st.frozensets(st.integers(min_value=0, max_value=30), min_size=0, max_size=12),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_novelty_owner_identity(corpus):
+    """The text_novelty r6 rewrite rests on: a doc's novel-shingle count
+    (shingles whose earliest owner is this doc) equals the number of
+    first-occurrence wins it takes in the min-doc_id aggregation —
+    i.e. groupBy(shingle).min(doc) then groupBy(winner).count matches
+    the per-doc brute force."""
+    from collections import Counter
+
+    firsts = {}
+    for i, doc in enumerate(corpus):
+        for s in doc:
+            firsts.setdefault(s, i)
+    wins = Counter(firsts.values())
+    for i, doc in enumerate(corpus):
+        brute = sum(1 for s in doc if firsts[s] == i)
+        assert brute == wins.get(i, 0)
