@@ -225,12 +225,20 @@ def sink_bucketed(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
-    spark.sql("DROP TABLE IF EXISTS sink_bucketed_orders")
-    spark.sql("DROP TABLE IF EXISTS sink_bucketed_lineitem")
+    # table names carry the applicationId (same isolation as
+    # _util.scratch_dir): two processes sharing a warehouse dir would
+    # otherwise rmtree each other's buckets mid-read
+    app = "".join(
+        c if c.isalnum() else "_" for c in spark.sparkContext.applicationId
+    )
+    t_o = f"sink_bucketed_orders_{app}"
+    t_li = f"sink_bucketed_lineitem_{app}"
+    spark.sql(f"DROP TABLE IF EXISTS {t_o}")
+    spark.sql(f"DROP TABLE IF EXISTS {t_li}")
     # a previous SESSION's table may survive as an orphaned warehouse
     # directory the new catalog doesn't know about — clear the location
     wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    for t in ("sink_bucketed_orders", "sink_bucketed_lineitem"):
+    for t in (t_o, t_li):
         shutil.rmtree(
             os.path.join(wh.removeprefix("file:"), t), ignore_errors=True
         )
@@ -238,16 +246,16 @@ def sink_bucketed(spark, sf_dir):
         o.write.bucketBy(8, "o_orderkey")
         .sortBy("o_orderkey")
         .mode("overwrite")
-        .saveAsTable("sink_bucketed_orders")
+        .saveAsTable(t_o)
     )
     (
         li.write.bucketBy(8, "l_orderkey")
         .sortBy("l_orderkey")
         .mode("overwrite")
-        .saveAsTable("sink_bucketed_lineitem")
+        .saveAsTable(t_li)
     )
-    ob = spark.table("sink_bucketed_orders")
-    lb = spark.table("sink_bucketed_lineitem")
+    ob = spark.table(t_o)
+    lb = spark.table(t_li)
     # merge hint: the broadcast path would be chosen at this size, but
     # the POINT is the shuffle-free sort-merge over buckets
     j = ob.hint("merge").join(lb, ob.o_orderkey == lb.l_orderkey)
