@@ -124,6 +124,7 @@ MEASURED = {
     "sink_ann_index": ("embeddings",),
     "sample_token_budget": ("documents",),
     "join_asof_tolerance": ("events",),
+    "multimodal_phash_hamming": ("documents",),
 }
 
 OFFSETS = {  # per-copy id offsets, far above any base id

@@ -277,3 +277,81 @@ def multimodal_phash(spark, sf_dir):
         )
         .filter(F.col("n_members") >= 2)
     )
+
+
+@register(
+    "multimodal_phash_hamming",
+    oracle=f"""
+WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents
+           WHERE text IS NOT NULL),
+ph AS (SELECT doc_id, CAST({_phash_bits_sql()} AS BIGINT) AS phash FROM h),
+probes AS (
+  SELECT doc_id, phash,
+         unnest([phash, {", ".join(f"xor(phash, {1 << b})" for b in range(12))}])
+             AS probe
+  FROM ph
+)
+SELECT DISTINCT p.doc_id AS a_id, c.doc_id AS b_id,
+       CAST(bit_count(xor(p.phash, c.phash)) AS INTEGER) AS hamming
+FROM probes p
+JOIN ph c ON c.phash = p.probe AND p.doc_id < c.doc_id
+""",
+)
+def multimodal_phash_hamming(spark, sf_dir):
+    """Perceptual near-duplicate PAIRS within Hamming distance 1 of the
+    dHash — the multi-probe extension of multimodal_phash's exact-bucket
+    groups (a dHash flips single bits under mild recompression, so
+    distance-1 recall is what makes perceptual dedup robust in
+    practice). Each image probes its own hash plus the 12 one-bit
+    flips; candidates come from an EQUI-join of probes against exact
+    hashes (the sim_cosine_ivf multi-probe dial applied to images) and
+    the reported distance is a stateless popcount verify. p.doc < c.doc
+    finds each pair exactly once from the smaller id's probe set.
+
+    Scale: never an all-pairs image comparison — candidate volume is
+    (13/2^bits) x |pairs sharing a neighborhood|, and the production
+    hash widens to 64 bits (8x9 thumbnail) so neighborhoods shrink to
+    true near-dup clusters while the plan shape (probe explode +
+    equi-join + popcount filter) is unchanged; the 12-bit demo hash,
+    like multimodal_phash's, is a parameter. The probe fan-out is a
+    13x scan-stage explode — pipelined, no extra shuffle beyond the
+    one hash-keyed join exchange."""
+    from terasort_spark.sources.media import phash_batched
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.encode(F.col("text"), "utf-8").alias("payload"),
+            F.lit("fake/raw").alias("media_type"),
+        )
+    )
+    ph = d.mapInPandas(phash_batched, schema="doc_id bigint, phash bigint")
+    probe = F.explode(
+        F.array(
+            F.col("phash"),
+            *[F.col("phash").bitwiseXOR(F.lit(1 << b)) for b in range(12)],
+        )
+    ).alias("probe")
+    probes = ph.select(
+        F.col("doc_id").alias("a_id"), F.col("phash").alias("a_phash"), probe
+    )
+    cands = ph.select(
+        F.col("doc_id").alias("b_id"), F.col("phash").alias("b_phash")
+    )
+    return (
+        probes.join(
+            cands,
+            (F.col("probe") == F.col("b_phash"))
+            & (F.col("a_id") < F.col("b_id")),
+        )
+        .select(
+            "a_id",
+            "b_id",
+            F.bit_count(F.col("a_phash").bitwiseXOR(F.col("b_phash")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .distinct()
+    )

@@ -901,3 +901,37 @@ def test_phash_buckets_replay_and_real_codec_path(spark, sf_dir):
     hs = dict(zip(got["doc_id"], got["phash"]))
     assert hs[1] == hs[2], "identical pixels must collide regardless of encoding"
     assert hs[1] != hs[3], "reversed gradient must not collide"
+
+
+def test_phash_hamming_pairs_match_bruteforce(spark, sf_dir):
+    """multimodal_phash_hamming: exactly the set of doc pairs whose
+    replayed dHashes differ in <= 1 bit — no misses (multi-probe covers
+    the full distance-1 neighborhood), no extras (popcount verify)."""
+    import hashlib
+    from itertools import combinations
+
+    got = {
+        (r["a_id"], r["b_id"]): r["hamming"]
+        for r in _Q["multimodal_phash_hamming"](spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("text").isNotNull()
+    )
+
+    def dhash(text):
+        dg = hashlib.sha256(text.encode()).digest()[:16]
+        h = 0
+        for r in range(4):
+            for c in range(3):
+                if dg[4 * r + c] < dg[4 * r + c + 1]:
+                    h |= 1 << (3 * r + c)
+        return h
+
+    hashes = {r["doc_id"]: dhash(r["text"]) for r in docs.collect()}
+    expect = {}
+    for a, b in combinations(sorted(hashes), 2):
+        d = bin(hashes[a] ^ hashes[b]).count("1")
+        if d <= 1:
+            expect[(a, b)] = d
+    assert got == expect
+    assert any(v == 1 for v in got.values()), "distance-1 recall untested"
