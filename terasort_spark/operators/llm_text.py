@@ -137,6 +137,40 @@ def _marker_hits_sql(words):
     )
 
 
+
+def langid_pred_spark(toks):
+    """Deterministic langid argmax ladder (de > es > fr > en with
+    ties-to-English) — shared by text_langid and text_langid_confusion."""
+    hits = {k: _marker_hits_spark(toks, v) for k, v in _LANG_MARKERS.items()}
+    return (
+        F.when(
+            (hits["de"] > hits["en"])
+            & (hits["de"] >= hits["es"])
+            & (hits["de"] >= hits["fr"]),
+            "de",
+        )
+        .when((hits["es"] > hits["en"]) & (hits["es"] >= hits["fr"]), "es")
+        .when(hits["fr"] > hits["en"], "fr")
+        .otherwise("en")
+    ), hits
+
+
+def langid_pred_sql() -> str:
+    h = {k: _marker_hits_sql(v) for k, v in _LANG_MARKERS.items()}
+    return f"""CASE
+         WHEN {h["de"]} > {h["en"]}
+          AND {h["de"]} >= {h["es"]}
+          AND {h["de"]} >= {h["fr"]}
+           THEN 'de'
+         WHEN {h["es"]} > {h["en"]}
+          AND {h["es"]} >= {h["fr"]}
+           THEN 'es'
+         WHEN {h["fr"]} > {h["en"]}
+           THEN 'fr'
+         ELSE 'en'
+       END"""
+
+
 @register(
     "text_langid",
     oracle=f"""
@@ -662,5 +696,53 @@ def text_keywords(spark, sf_dir):
             "term",
             F.col("rank").cast("bigint").alias("rank"),
             rnd(F.col("score").cast("double") / 1000000, "tfidf"),
+        )
+    )
+
+
+@register(
+    "text_langid_confusion",
+    oracle=f"""
+WITH pred AS (
+  SELECT lang AS true_lang, {langid_pred_sql()} AS predicted_lang
+  FROM documents WHERE text IS NOT NULL
+),
+sized AS (
+  SELECT true_lang, count(*) AS n_true FROM pred GROUP BY true_lang
+)
+SELECT p.true_lang, p.predicted_lang,
+       CAST(count(*) AS BIGINT) AS n,
+       floor(CAST(count(*) AS DOUBLE) / max(s.n_true) * 10000 + 0.5) / 10000
+           AS row_frac
+FROM pred p JOIN sized s USING (true_lang)
+GROUP BY p.true_lang, p.predicted_lang
+""",
+)
+def text_langid_confusion(spark, sf_dir):
+    """Multiclass confusion matrix for the langid heuristic over the
+    WHOLE corpus: per (true_lang, predicted_lang) cell count and the
+    row-normalized fraction (per-class recall on the diagonal) — the
+    corpus-level evaluation that decides whether a langid filter is
+    safe to gate a pretraining mix with (ml_confusion's binary twin,
+    one axis up).
+
+    Scale: the prediction is pure codegen (array marker hits + CASE
+    ladder, shared with text_langid); the corpus collapses in ONE
+    map-combined groupBy onto <= |langs|^2 cells, and the per-class
+    sizes join back from a langs-sized broadcast. No windows, no
+    skewed keys, nothing per-doc survives the aggregation."""
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = F.split(F.lower("text"), " ")
+    pred_col, _ = langid_pred_spark(toks)
+    pred = d.select(
+        F.col("lang").alias("true_lang"), pred_col.alias("predicted_lang")
+    )
+    sized = pred.groupBy("true_lang").agg(F.count(F.lit(1)).alias("n_true"))
+    return (
+        pred.join(F.broadcast(sized), "true_lang")
+        .groupBy("true_lang", "predicted_lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            rnd(F.count(F.lit(1)).cast("double") / F.max("n_true"), "row_frac"),
         )
     )

@@ -935,3 +935,39 @@ def test_phash_hamming_pairs_match_bruteforce(spark, sf_dir):
             expect[(a, b)] = d
     assert got == expect
     assert any(v == 1 for v in got.values()), "distance-1 recall untested"
+
+
+def test_langid_confusion_mass_and_diagonal(spark, sf_dir):
+    """text_langid_confusion invariants: cell counts sum to the corpus,
+    each row's fractions sum to ~1, and the matrix agrees with a
+    per-doc Python replay of the shared prediction ladder."""
+    from collections import Counter
+
+    rows = _Q["text_langid_confusion"](spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("text").isNotNull()
+    )
+    from terasort_spark.operators.llm_text import _LANG_MARKERS
+
+    markers = {k: set(v) for k, v in _LANG_MARKERS.items()}
+
+    def pred(text):
+        toks = text.lower().split(" ")
+        h = {k: sum(t in v for t in toks) for k, v in markers.items()}
+        if h["de"] > h["en"] and h["de"] >= h["es"] and h["de"] >= h["fr"]:
+            return "de"
+        if h["es"] > h["en"] and h["es"] >= h["fr"]:
+            return "es"
+        if h["fr"] > h["en"]:
+            return "fr"
+        return "en"
+
+    expect = Counter((r["lang"], pred(r["text"])) for r in docs.collect())
+    got = {(r["true_lang"], r["predicted_lang"]): r["n"] for r in rows}
+    assert got == dict(expect)
+    assert sum(got.values()) == docs.count()
+    by_true = Counter()
+    for (t, _), n in got.items():
+        by_true[t] += n
+    for r in rows:
+        assert abs(r["row_frac"] - r["n"] / by_true[r["true_lang"]]) < 1e-3
