@@ -125,6 +125,7 @@ MEASURED = {
     "sample_token_budget": ("documents",),
     "join_asof_tolerance": ("events",),
     "multimodal_phash_hamming": ("documents",),
+    "text_langid_confusion": ("documents",),
 }
 
 OFFSETS = {  # per-copy id offsets, far above any base id
