@@ -132,14 +132,23 @@ def ts_seasonal(spark, sf_dir):
         .agg(F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("rev"))
     )
     grand = daily.agg(F.avg("rev").alias("grand"))
-    return (
-        daily.crossJoin(F.broadcast(grand))
-        .groupBy((F.dayofweek("d") - F.lit(1)).cast("bigint").alias("dow"))
+    # Mirror the oracle's expression ORDER bit-for-bit: per-dow avg(rev)
+    # first, ONE division by the grand mean after (avg(rev/grand) is
+    # algebraically equal but not IEEE-identical, so a 4dp floor-boundary
+    # straddle could flip the last digit at other scale factors — r6
+    # ADVICE). The grand scalar now joins AFTER the 7-row aggregate.
+    per_dow = (
+        daily.groupBy((F.dayofweek("d") - F.lit(1)).cast("bigint").alias("dow"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_days"),
-            rnd(F.avg("rev"), "avg_rev"),
-            rnd(F.avg(F.col("rev") / F.col("grand")), "seasonal_index"),
+            F.avg("rev").alias("avg_rev_raw"),
         )
+    )
+    return per_dow.crossJoin(F.broadcast(grand)).select(
+        "dow",
+        "n_days",
+        rnd(F.col("avg_rev_raw"), "avg_rev"),
+        rnd(F.col("avg_rev_raw") / F.col("grand"), "seasonal_index"),
     )
 
 

@@ -25,6 +25,11 @@ from terasort_spark.registry import register
 CHUNK_TOKENS = 32
 DIMS = 16
 TOP_K = 5
+# chunk_id = doc_id * CHUNK_ID_STRIDE + chunk_index. The stride bounds
+# tokens-per-document at CHUNK_ID_STRIDE * CHUNK_TOKENS (32M tokens) —
+# beyond any single document; the old 1000 stride silently collided at
+# >= 32k tokens/doc (r6 ADVICE). doc_id * 1e6 stays far under int64.
+CHUNK_ID_STRIDE = 1_000_000
 
 # The fixed query set (a serving workload is a stream of these; three
 # literals keep the declared query deterministic).
@@ -59,8 +64,8 @@ WITH doc_toks AS (
     ), unnest(generate_series(1, len(toks))) AS i(i)
 ),
 chunk_vec AS (
-    SELECT doc_id * 1000 + CAST((ord - 1) // {CHUNK_TOKENS} AS BIGINT)
-               AS chunk_id,
+    SELECT doc_id * {CHUNK_ID_STRIDE}
+               + CAST((ord - 1) // {CHUNK_TOKENS} AS BIGINT) AS chunk_id,
            {_dim_sql("tok")} AS dim, count(*) AS w
     FROM doc_toks GROUP BY 1, 2
 ),
@@ -122,8 +127,10 @@ def pipeline_rag_retrieval(spark, sf_dir):
     dim = F.expr(_dim_sql("tok"))
     chunk_vec = (
         exploded.select(
-            (F.col("doc_id") * 1000 + (F.col("pos") / CHUNK_TOKENS).cast("bigint"))
-            .alias("chunk_id"),
+            (
+                F.col("doc_id") * CHUNK_ID_STRIDE
+                + (F.col("pos") / CHUNK_TOKENS).cast("bigint")
+            ).alias("chunk_id"),
             dim.alias("dim"),
         )
         .groupBy("chunk_id", "dim")

@@ -313,13 +313,22 @@ def scan_rowgroup_stats(spark, sf_dir):
                 if c.path_in_schema not in ("doc_id", "n_chars"):
                     continue
                 st = c.statistics
-                if st is None:
-                    continue
+                # Fail LOUDLY when a writer omitted statistics for a
+                # targeted column — silently skipping would return wrong
+                # min/max/null counts while claiming footer fidelity (r6
+                # ADVICE). A production engine would fall back to a data
+                # scan; here the contract is "footers are faithful".
+                if st is None or not st.has_min_max or st.null_count is None:
+                    raise ValueError(
+                        f"{fp} row-group {g}: column "
+                        f"{c.path_in_schema!r} lacks parquet statistics "
+                        "(min/max/null_count) — metadata-only answer "
+                        "would be wrong; rewrite the file or scan data"
+                    )
                 cur = agg.setdefault(c.path_in_schema, [0, None, None])
-                cur[0] += st.null_count or 0
-                if st.has_min_max:
-                    cur[1] = st.min if cur[1] is None else min(cur[1], st.min)
-                    cur[2] = st.max if cur[2] is None else max(cur[2], st.max)
+                cur[0] += st.null_count
+                cur[1] = st.min if cur[1] is None else min(cur[1], st.min)
+                cur[2] = st.max if cur[2] is None else max(cur[2], st.max)
     rows = [
         (name, int(v[0]), v[1], v[2])
         for name, v in sorted(agg.items())

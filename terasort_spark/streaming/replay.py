@@ -75,13 +75,18 @@ def run_to_memory(
     (processing all available work between arrivals so watermarks advance
     deterministically), then stop and return the sink table.
 
-    One automatic retry on a transient streaming failure: under a
+    One automatic retry on a transient STREAMING failure only: under a
     heavily loaded suite the zero-interval trigger can occasionally die
     mid-replay (observed once in r5 and once in r6, different tests,
     both green in isolation). Staging is idempotent (overwrite +
     rename), so the retry restarts a FRESH query (new sink table) and
     re-releases every chunk; a deterministic failure still fails —
-    the retry fires at most once and re-raises."""
+    the retry fires at most once and re-raises. Exceptions raised by the
+    stagers themselves (test bugs, assertion errors) are NOT retried —
+    they propagate immediately with their original traceback (r6
+    ADVICE: the old blanket ``except Exception`` masked stager bugs)."""
+    from pyspark.errors.exceptions.base import StreamingQueryException
+
     qname = name if _attempt == 0 else f"{name}_retry{_attempt}"
     q = (
         stream_df.writeStream.format("memory")
@@ -94,7 +99,7 @@ def run_to_memory(
         for stage in stagers:
             stage()
             q.processAllAvailable()
-    except Exception as exc:
+    except StreamingQueryException as exc:
         q.stop()
         if _attempt >= 1:
             raise

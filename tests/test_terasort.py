@@ -94,6 +94,42 @@ def test_tera_file_roundtrip(spark, tmp_path):
     assert report["sorted_within"] and report["sorted_between"], report
 
 
+def test_terasort_query_correct_without_exchange_reuse(spark):
+    """The declared `terasort` query's global index must NOT depend on
+    Spark deduping the two canonically-identical range exchanges (r6
+    VERDICT task 2): the offsets branch derives from the SAME
+    localCheckpointed `tagged` RDD as the output branch, so turning
+    exchange reuse (and AQE) OFF must still produce idx == the
+    row_number a total sort would assign. If either branch ever
+    re-sampled range boundaries independently, idx would misalign and
+    this check fails."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from terasort_spark.sources.tera_queries import terasort_query
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in ("spark.sql.exchange.reuse", "spark.sql.adaptive.enabled")
+    }
+    try:
+        spark.conf.set("spark.sql.exchange.reuse", "false")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        out = terasort_query(spark, sf_dir=None)
+        expected = F.row_number().over(Window.orderBy("key", "id")) - 1
+        bad = out.withColumn("want", expected.cast("long")).filter(
+            F.col("idx") != F.col("want")
+        )
+        assert bad.count() == 0
+        assert out.count() == 100_000
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_teragen_datasource_plugin(spark):
     """The custom Python DataSource (connector-plugin surface): reader
     plans its own id-range partitions, generates deterministically on
