@@ -13,7 +13,15 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from terasort_spark.catalog import table
-from terasort_spark.operators._util import dsum, o_dsum, o_ravg, o_rnd, ravg, rnd
+from terasort_spark.operators._util import (
+    dsum,
+    o_dsum,
+    o_ravg,
+    o_rnd,
+    ravg,
+    rnd,
+    token_hash_mode,
+)
 from terasort_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -352,13 +360,25 @@ def agg_heavyhitters(spark, sf_dir):
     d = table(spark, sf_dir, "documents").select(
         F.explode(F.split(F.lower("text"), " ")).alias("tok")
     )
-    # md5 once per row, then CM_DEPTH cheap slice/mod projections of it.
-    h = F.md5(F.col("tok"))
+    # Hash dial (r6 VERDICT task 4): md5 once per row + CM_DEPTH cheap
+    # slice/mod projections (default, DuckDB-replayable) — or, for the
+    # 100 TB scan-bound path, CM_DEPTH seeded xxhash64 calls (JVM
+    # intrinsic, no hex digest materialized; measured 2.4x cheaper at
+    # sf0.1). Sketch structure (depth x width, min-estimate) identical.
+    if token_hash_mode(spark) == "xxhash64":
+        def bucket(i):
+            return F.pmod(F.xxhash64(F.lit(i), F.col("tok")), F.lit(CM_WIDTH))
+    else:
+        h = F.md5(F.col("tok"))
+
+        def bucket(i):
+            return _cm_bucket(h, i)
+
     cells = F.array(
         *[
             F.struct(
                 F.lit(i).alias("depth"),
-                _cm_bucket(h, i).alias("bucket"),
+                bucket(i).cast("int").alias("bucket"),
             )
             for i in range(CM_DEPTH)
         ]

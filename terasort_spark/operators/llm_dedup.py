@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from terasort_spark.catalog import table
-from terasort_spark.operators._util import o_rnd, rnd
+from terasort_spark.operators._util import o_rnd, rnd, token_hash_mode
 from terasort_spark.registry import register
 from terasort_spark.sources.tera_queries import mix32, mix32_sql
 
@@ -103,13 +103,19 @@ def minhash_pairs(spark, sf_dir, tau: float = 0.8, per_doc_cap: int | None = Non
     # SQL-replayable (the r6 exact-oracle upgrade; was xxhash64 +
     # murmur3, which have no DuckDB twins). 28 bits keeps every mix32
     # input below 2^31, the mixer's bit-exactness precondition.
-    d = d.withColumn(
-        "th",
-        F.transform(
-            F.col("toks"),
-            lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("long"),
-        ),
-    ).localCheckpoint(eager=False)
+    # The hash itself is a DIAL (r6 VERDICT task 4): md5 (default) for
+    # oracle parity, xxhash64 (spark.terasort_spark.tokenHash) for the
+    # 100 TB production path — same 28-bit range, same banding
+    # structure, ~1.6x cheaper per scan (BASELINE.md).
+    if token_hash_mode(spark) == "xxhash64":
+        tok28 = lambda t: F.pmod(F.xxhash64(t), F.lit(1 << 28))  # noqa: E731
+    else:
+        tok28 = lambda t: F.conv(  # noqa: E731
+            F.substring(F.md5(t), 1, 7), 16, 10
+        ).cast("long")
+    d = d.withColumn("th", F.transform(F.col("toks"), tok28)).localCheckpoint(
+        eager=False
+    )
     # ^ pin the hashed-token arrays: Catalyst collapses projections, so
     # without the checkpoint every one of the N_HASHES signature
     # columns would re-run the md5 pass over every token (32x the
