@@ -17,7 +17,6 @@ from pyspark.sql import functions as F
 from terasort_spark.catalog import table
 from terasort_spark.operators._util import o_rnd, rnd, token_hash_mode
 from terasort_spark.registry import register
-from terasort_spark.sources.tera_queries import mix32, mix32_sql
 
 N_HASHES = 32  # minhash signature length
 N_BANDS = 4  # bands of 8 rows each: P(candidate) = 1-(1-s^8)^4

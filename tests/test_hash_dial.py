@@ -60,7 +60,6 @@ def test_minhash_dial_structural_contract_both_modes(spark, sf_dir):
     identical schema, every dropped doc has a verified smaller-id
     near-duplicate at exact Jaccard >= 0.8, and the two modes agree on
     the vast majority of documents."""
-    from pyspark.sql import functions as F
 
     from terasort_spark.catalog import table
 

@@ -5,7 +5,6 @@ correctness suite can't observe."""
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from terasort_spark.catalog import table

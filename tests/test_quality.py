@@ -4,7 +4,6 @@ version isolation)."""
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from terasort_spark.catalog import table

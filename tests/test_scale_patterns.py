@@ -5,7 +5,6 @@ operator docstrings point at for 100 TB operation (SURVEY.md §7)."""
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
