@@ -78,6 +78,7 @@ _OPERATOR_MODULES = (
     "terasort_spark.operators.rag",
     "terasort_spark.operators.integrity",
     "terasort_spark.operators.ann_index",
+    "terasort_spark.operators.wave7",
 )
 
 _loaded = False
