@@ -42,7 +42,10 @@ from terasort_spark.sources.teragen import teragen, terasort  # noqa: E402
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT = os.path.join("/tmp", "terasort_spark_scaleup")
-SCALES = (1, 2, 5, 10)
+# Override for spot checks, e.g. SCALEUP_SCALES=1,20 for a 20x point.
+SCALES = tuple(
+    int(s) for s in os.environ.get("SCALEUP_SCALES", "1,2,5,10").split(",")
+)
 REPS = int(os.environ.get("SCALEUP_REPS", "2"))  # after one discarded warm-up
 
 # query name -> tables it needs materialized at scale
@@ -126,6 +129,12 @@ MEASURED = {
     "join_asof_tolerance": ("events",),
     "multimodal_phash_hamming": ("documents",),
     "text_langid_confusion": ("documents",),
+    # round-7 wave (source_fixedwidth is input-independent — fixed 20k
+    # generated records regardless of sf_dir — so it has no scaling row)
+    "ml_mrr": ("embeddings",),
+    "sample_reservoir": ("documents",),
+    "multimodal_scenecut": ("documents",),
+    "pipeline_preference_pairs": ("documents",),
 }
 
 OFFSETS = {  # per-copy id offsets, far above any base id
@@ -213,16 +222,20 @@ def main() -> None:
         results.setdefault("terasort_1Mx", {})[k] = t
         print(json.dumps({"query": "terasort_1Mx", "scale": k, "sec": t}), flush=True)
 
-    print("\n| query | 1x (s) | 2x | 5x | 10x | alpha (t~K^a) |")
-    print("|---|---|---|---|---|---|")
+    top = max(SCALES)
+    hdr = " | ".join(f"{k}x" for k in SCALES)
+    print(f"\n| query | {hdr} (s) | alpha (t~K^a) |")
+    print("|---" * (len(SCALES) + 2) + "|")
     bad = []
     for name, row in results.items():
-        alpha = math.log(row[10] / row[1]) / math.log(10) if row[1] > 0 else 0.0
-        print(
-            f"| {name} | {row[1]} | {row[2]} | {row[5]} | {row[10]} "
-            f"| {alpha:.2f} |"
+        alpha = (
+            math.log(row[top] / row[1]) / math.log(top)
+            if row[1] > 0 and top > 1
+            else 0.0
         )
-        if alpha > 1.5 and row[10] > 2.0:
+        cells = " | ".join(str(row[k]) for k in SCALES)
+        print(f"| {name} | {cells} | {alpha:.2f} |")
+        if alpha > 1.5 and row[top] > 2.0:
             bad.append((name, round(alpha, 2)))
     if bad:
         print(f"SUPER-LINEAR: {bad}", file=sys.stderr)
