@@ -58,6 +58,11 @@ HEADLINERS = [
     ("ts_cusum", "windows consume the (event_type, day) aggregate, never raw events"),
     ("sample_token_budget", "budget prefix over the (lang, score) histogram; only the boundary tie-slice gets a doc-level window"),
     ("text_novelty", "owner-identity rewrite: two doc-sized aggregates join at doc granularity — no shingle-keyed join of exploded vs firsts"),
+    ("sample_reservoir", "TakeOrderedAndProject: per-partition K-row heaps, no global sort"),
+    ("pipeline_preference_pairs", "two rank-1 windows carry constant rn<=1 -> WindowGroupLimit keeps per-group state at one row map-side"),
+    ("multimodal_scenecut", "one stateless mapInPandas frame-hash pass; lag window keyed by high-cardinality doc_id"),
+    ("ml_mrr", "bounded 10-query ground-truth side joins broadcast; the evaluated IVF side keeps its bucketed equi-join"),
+    ("source_fixedwidth", "pluggable DataSource scan: record-aligned byte-range splits (~32 partitions from 8 files) feed a pure projection"),
 ]
 
 
