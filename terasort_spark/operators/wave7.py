@@ -170,8 +170,11 @@ def ml_mrr(spark, sf_dir):
         * F.sqrt(dot(F.col("c_emb"), F.col("c_emb")))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    # broadcast the BOUNDED query sample (10 rows) so the non-equi join
+    # streams the candidate side — at 100 TB the candidates must never
+    # be the build side
     exact = (
-        q.join(c, F.col("c_id") != F.col("q_id"))
+        F.broadcast(q).join(c, F.col("c_id") != F.col("q_id"))
         .withColumn("cosine", rnd(cosine))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 1)

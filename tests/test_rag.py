@@ -38,7 +38,9 @@ def test_rag_chunk_ids_trace_back_to_documents(spark, sf_dir):
         .collect()
     }
     for r in rows:
-        assert r["chunk_id"] // 1000 in doc_ids
+        from terasort_spark.operators.rag import CHUNK_ID_STRIDE
+
+        assert r["chunk_id"] // CHUNK_ID_STRIDE in doc_ids
 
 
 def test_gaps_islands_matches_python_replay(spark, sf_dir):
