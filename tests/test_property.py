@@ -491,3 +491,65 @@ def test_novelty_owner_identity(corpus):
     for i, doc in enumerate(corpus):
         brute = sum(1 for s in doc if firsts[s] == i)
         assert brute == wins.get(i, 0)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    record_len=st.integers(min_value=2, max_value=64),
+    key_frac=st.floats(min_value=0.01, max_value=0.99),
+    file_recs=st.lists(st.integers(min_value=0, max_value=200), min_size=1, max_size=4),
+    split_bytes=st.integers(min_value=1, max_value=4096),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_fixedwidth_split_planning_recovers_every_record_once(
+    tmp_path_factory, record_len, key_frac, file_recs, split_bytes, seed
+):
+    """The fixedwidth DataSource's split planner (byte ranges, aligned
+    to record_len, ~split_bytes each) must cover every file exactly
+    once with no tear at any boundary: reading all planned partitions
+    yields the exact multiset of written records for ANY record_len /
+    key_len / file sizes / split size — the property binaryRecords
+    gives for free and a custom planner must not lose."""
+    import random
+
+    from terasort_spark.sources.fixedwidth_ds import FixedWidthReader
+
+    key_len = max(1, min(record_len - 1, int(record_len * key_frac)))
+    rng = random.Random(seed)
+    d = tmp_path_factory.mktemp("fw")
+    written = []
+    for fi, n in enumerate(file_recs):
+        recs = [
+            bytes(rng.randrange(256) for _ in range(record_len))
+            for _ in range(n)
+        ]
+        (d / f"f{fi}.dat").write_bytes(b"".join(recs))
+        written += recs
+    reader = FixedWidthReader(
+        {
+            "path": str(d),
+            "record_len": str(record_len),
+            "key_len": str(key_len),
+            "split_bytes": str(split_bytes),
+        }
+    )
+    parts = reader.partitions()
+    # ranges are record-aligned and disjointly cover each file
+    by_file = {}
+    for p in parts:
+        if not p.path:
+            continue
+        assert p.start % record_len == 0 and p.end % record_len == 0
+        by_file.setdefault(p.path, []).append((p.start, p.end))
+    for path, ranges in by_file.items():
+        ranges.sort()
+        assert ranges[0][0] == 0
+        for (s1, e1), (s2, e2) in zip(ranges, ranges[1:]):
+            assert e1 == s2  # contiguous, no gap/overlap
+        import os
+
+        assert ranges[-1][1] == os.path.getsize(path)
+    got = sorted(
+        k + v for p in parts for (k, v) in reader.read(p)
+    )
+    assert got == sorted(written)
