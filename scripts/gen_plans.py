@@ -63,6 +63,7 @@ HEADLINERS = [
     ("multimodal_scenecut", "one stateless mapInPandas frame-hash pass; lag window keyed by high-cardinality doc_id"),
     ("ml_mrr", "bounded 10-query ground-truth side joins broadcast; the evaluated IVF side keeps its bucketed equi-join"),
     ("source_fixedwidth", "pluggable DataSource scan: record-aligned byte-range splits (~32 partitions from 8 files) feed a pure projection"),
+    ("mv_rewrite", "MV query rewrite: the only FileScan is the daily pre-aggregate, never orders.parquet; monthly roll-up of DECIMAL partial sums"),
 ]
 
 

@@ -135,6 +135,7 @@ MEASURED = {
     "sample_reservoir": ("documents",),
     "multimodal_scenecut": ("documents",),
     "pipeline_preference_pairs": ("documents",),
+    "mv_rewrite": ("orders",),  # refresh cost scales; the answer side is MV-sized
 }
 
 OFFSETS = {  # per-copy id offsets, far above any base id

@@ -79,6 +79,7 @@ _OPERATOR_MODULES = (
     "terasort_spark.operators.integrity",
     "terasort_spark.operators.ann_index",
     "terasort_spark.operators.wave7",
+    "terasort_spark.plans.mv_rewrite",
 )
 
 _loaded = False
