@@ -136,6 +136,7 @@ MEASURED = {
     "multimodal_scenecut": ("documents",),
     "pipeline_preference_pairs": ("documents",),
     "mv_rewrite": ("orders",),  # refresh cost scales; the answer side is MV-sized
+    "text_markup_extract": ("documents",),
 }
 
 OFFSETS = {  # per-copy id offsets, far above any base id

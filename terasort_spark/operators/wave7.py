@@ -430,3 +430,89 @@ def pipeline_preference_pairs(spark, sf_dir):
             (F.col("chosen_score") - F.col("rejected_score")).alias("margin"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# text_markup_extract — HTML -> visible text (the WET-extraction step).
+
+# Deterministic markup wrapper: the corpus has no raw HTML, so the query
+# MANUFACTURES a realistic page around each document (head with script,
+# heading, paragraph, per-doc links) — the _with_dups convention from
+# llm_dedup. Extraction must get exactly the visible text back out.
+_SCRIPT = "<script>var x = 1;</script>"
+
+
+@register(
+    "text_markup_extract",
+    oracle=f"""
+WITH page AS (
+    SELECT doc_id,
+           '<html><head>{_SCRIPT}</head><body><h1>' || lang ||
+           '</h1><p>' || text || '</p><a href="u' || doc_id ||
+           '">more</a>' ||
+           CASE WHEN doc_id % 3 = 0 THEN '<a href="v">x</a>' ELSE '' END ||
+           '</body></html>' AS html
+    FROM documents WHERE text IS NOT NULL
+),
+stripped AS (
+    SELECT doc_id, html,
+           trim(regexp_replace(regexp_replace(regexp_replace(html,
+               '<script>.*?</script>', ' ', 'g'),
+               '<[^>]*>', ' ', 'g'),
+               ' +', ' ', 'g')) AS clean_text
+    FROM page
+)
+SELECT doc_id, clean_text,
+       CAST(length(clean_text) AS BIGINT) AS n_chars_clean,
+       CAST(len(regexp_extract_all(html, '<a href=')) AS INTEGER) AS n_links
+FROM stripped
+""",
+)
+def text_markup_extract(spark, sf_dir):
+    """Markup-to-text extraction — the first step of every web-corpus
+    pipeline (WET extraction): drop non-content blocks (<script> here;
+    style/nav in production), strip tags, collapse whitespace, and keep
+    link counts as a quality signal (link-farm pages have high
+    links-per-char). The page is manufactured deterministically around
+    each document so the oracle can verify the extraction recovers the
+    visible text EXACTLY (heading + body), not approximately.
+
+    Scale: three regexp_replace passes and one regexp count, all
+    whole-stage codegen over the scan — no shuffle at all; the output
+    is one row per page. Java and RE2 both support the non-greedy
+    block pattern; production would swap the regex chain for a real
+    HTML parser behind the same projection."""
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    html = F.concat(
+        F.lit(f"<html><head>{_SCRIPT}</head><body><h1>"),
+        F.col("lang"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit('</p><a href="u'),
+        F.col("doc_id").cast("string"),
+        F.lit('">more</a>'),
+        F.when(F.col("doc_id") % 3 == 0, F.lit('<a href="v">x</a>')).otherwise(
+            F.lit("")
+        ),
+        F.lit("</body></html>"),
+    )
+    page = d.select("doc_id", html.alias("html"))
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("html"), "<script>.*?</script>", " "),
+                "<[^>]*>",
+                " ",
+            ),
+            " +",
+            " ",
+        )
+    )
+    return page.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.length(clean).cast("bigint").alias("n_chars_clean"),
+        F.size(F.regexp_extract_all(F.col("html"), F.lit("<a href="), 0))
+        .cast("int")
+        .alias("n_links"),
+    )

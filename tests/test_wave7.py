@@ -228,3 +228,34 @@ def test_mv_rollup_matches_direct_fact_aggregation(spark, sf_dir):
     )
     want = {(r["m"], r["o_orderpriority"]): (r["n"], r["rev"]) for r in direct}
     assert got == want
+
+
+# ----------------------------------------------------- text_markup_extract --
+
+
+def test_markup_extract_recovers_visible_text_exactly(spark, sf_dir):
+    """Extraction must return EXACTLY the visible text (heading + body
+    + link anchors, single-spaced): no tag fragments, no script code,
+    no leaked attributes."""
+    rows = _Q["text_markup_extract"](spark, sf_dir).collect()
+    assert rows
+    texts = {
+        r["doc_id"]: (r["lang"], r["text"])
+        for r in table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "lang", "text")
+        .collect()
+    }
+    for r in rows:
+        lang, text = texts[r["doc_id"]]
+        extra = "more x" if r["doc_id"] % 3 == 0 else "more"
+        want = " ".join(f"{lang} {text} {extra}".split())
+        assert r["clean_text"] == want, (r["doc_id"], r["clean_text"][:80])
+        assert "<" not in r["clean_text"] and "var x" not in r["clean_text"]
+        assert r["n_chars_clean"] == len(want)
+        assert r["n_links"] == (2 if r["doc_id"] % 3 == 0 else 1)
+
+
+def test_markup_extract_plan_is_shuffle_free(spark, sf_dir):
+    plan = _plan(_Q["text_markup_extract"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
