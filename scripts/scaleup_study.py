@@ -224,15 +224,18 @@ def main() -> None:
         results.setdefault("terasort_1Mx", {})[k] = t
         print(json.dumps({"query": "terasort_1Mx", "scale": k, "sec": t}), flush=True)
 
-    top = max(SCALES)
+    # alpha is fitted between the smallest and largest measured scales,
+    # so SCALEUP_SCALES=2,20 (no 1x point) still reports t~K^a over the
+    # measured decade instead of crashing after the whole run.
+    lo, top = min(SCALES), max(SCALES)
     hdr = " | ".join(f"{k}x" for k in SCALES)
     print(f"\n| query | {hdr} (s) | alpha (t~K^a) |")
     print("|---" * (len(SCALES) + 2) + "|")
     bad = []
     for name, row in results.items():
         alpha = (
-            math.log(row[top] / row[1]) / math.log(top)
-            if row[1] > 0 and top > 1
+            math.log(row[top] / row[lo]) / math.log(top / lo)
+            if row[lo] > 0 and top > lo
             else 0.0
         )
         cells = " | ".join(str(row[k]) for k in SCALES)

@@ -59,6 +59,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     (a real spark-submit leaves it None and builds the session)."""
     args = _build_parser().parse_args(argv)
 
+    if args.cmd == "list":
+        # pure-Python registry read — no SparkSession/JVM boot needed
+        from terasort_spark import registry
+
+        for name in sorted(registry.queries()):
+            print(name)
+        return 0
+
     from terasort_spark.catalog import DEFAULT_SF_DIR
     from terasort_spark.engine import Engine
 
@@ -92,11 +100,6 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         print(json.dumps(report))
         ok = report["sorted_within"] and report["sorted_between"]
         return 0 if ok else 1
-
-    if args.cmd == "list":
-        for name in eng.names():
-            print(name)
-        return 0
 
     if args.cmd == "query":
         eng.query(args.name).show(args.limit, truncate=False)

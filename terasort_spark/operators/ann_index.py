@@ -100,10 +100,7 @@ def sink_ann_index(spark, sf_dir):
         )
     )
 
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
-        )
+    from terasort_spark.operators.llm_similarity import dot_fold as dot
 
     cosine = dot(F.col("q_emb"), F.col("c_emb")) / (
         F.sqrt(dot(F.col("q_emb"), F.col("q_emb")))

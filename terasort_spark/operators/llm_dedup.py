@@ -483,10 +483,7 @@ def dedup_embcos(spark, sf_dir):
     a = e.select(F.col("vec_id").alias("a_id"), F.col("v").alias("a_v"))
     b = e.select(F.col("vec_id").alias("b_id"), F.col("v").alias("b_v"))
 
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, t: acc + t
-        )
+    from terasort_spark.operators.llm_similarity import dot_fold as dot
 
     cos = dot(F.col("a_v"), F.col("b_v")) / (
         F.sqrt(dot(F.col("a_v"), F.col("a_v"))) * F.sqrt(dot(F.col("b_v"), F.col("b_v")))

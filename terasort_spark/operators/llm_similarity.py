@@ -94,6 +94,18 @@ def sim_jaccard(spark, sf_dir):
     )
 
 
+def dot_fold(x, y):
+    """THE dot-product fold every cosine operator (and its oracle's
+    list_sum twin) depends on bit-for-bit: a sequential left fold over
+    zip_with products with a 0.0 init. One definition — callers
+    (sim_cosine_topk/knn_label/sim_cosine_ivf/gemm verify/ml_mrr) must
+    import this rather than re-stating it, so the fold order/init can
+    never silently diverge between the index and its evaluator."""
+    return F.aggregate(
+        F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
 def _dot_sql(a, b):
     return (
         f"list_sum(list_transform(list_zip({a}, {b}), "
@@ -161,12 +173,7 @@ def sim_cosine_topk(spark, sf_dir):
     )
     c = e.select(F.col("vec_id").alias("c_id"), F.col("emb").alias("c_emb"))
 
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+    dot = dot_fold
 
     cosine = dot(F.col("q_emb"), F.col("c_emb")) / (
         F.sqrt(dot(F.col("q_emb"), F.col("q_emb")))
@@ -225,10 +232,7 @@ def knn_label(spark, sf_dir):
         F.col("vec_id").alias("c_id"), F.col("label"), F.col("emb").alias("c_emb")
     )
 
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
-        )
+    dot = dot_fold
 
     cosine = dot(F.col("q_emb"), F.col("c_emb")) / (
         F.sqrt(dot(F.col("q_emb"), F.col("q_emb")))
@@ -355,10 +359,7 @@ def sim_cosine_ivf(spark, sf_dir):
         F.col("vec_id").alias("c_id"), F.col("emb").alias("c_emb"), "bucket"
     )
 
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
-        )
+    dot = dot_fold
 
     cosine = dot(F.col("q_emb"), F.col("c_emb")) / (
         F.sqrt(dot(F.col("q_emb"), F.col("q_emb")))
@@ -1120,10 +1121,7 @@ def sim_cosine_pq(spark, sf_dir):
         "vec_id", "p.sub_id", "p.sv"
     )
 
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, t: acc + t
-        )
+    dot = dot_fold
 
     def idot(x, y):
         return F.aggregate(

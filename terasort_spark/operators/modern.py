@@ -344,12 +344,7 @@ def sim_cosine_mrl(spark, sf_dir):
     )
     c = e.select(F.col("vec_id").alias("c_id"), F.col("emb").alias("c_emb"))
 
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+    from terasort_spark.operators.llm_similarity import dot_fold as dot
 
     def cos(x, y):
         return dot(x, y) / (F.sqrt(dot(x, x)) * F.sqrt(dot(y, y)))

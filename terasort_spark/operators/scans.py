@@ -318,17 +318,29 @@ def scan_rowgroup_stats(spark, sf_dir):
                 # min/max/null counts while claiming footer fidelity (r6
                 # ADVICE). A production engine would fall back to a data
                 # scan; here the contract is "footers are faithful".
-                if st is None or not st.has_min_max or st.null_count is None:
+                # Exception: an ALL-NULL row group legitimately has
+                # null_count but no min/max — the metadata answer is
+                # still exact (nothing to fold into min/max).
+                if st is None or st.null_count is None:
                     raise ValueError(
                         f"{fp} row-group {g}: column "
                         f"{c.path_in_schema!r} lacks parquet statistics "
-                        "(min/max/null_count) — metadata-only answer "
+                        "(null_count) — metadata-only answer would be "
+                        "wrong; rewrite the file or scan data"
+                    )
+                all_null = st.null_count == rg.num_rows
+                if not st.has_min_max and not all_null:
+                    raise ValueError(
+                        f"{fp} row-group {g}: column "
+                        f"{c.path_in_schema!r} has non-null values but "
+                        "no min/max statistics — metadata-only answer "
                         "would be wrong; rewrite the file or scan data"
                     )
                 cur = agg.setdefault(c.path_in_schema, [0, None, None])
                 cur[0] += st.null_count
-                cur[1] = st.min if cur[1] is None else min(cur[1], st.min)
-                cur[2] = st.max if cur[2] is None else max(cur[2], st.max)
+                if st.has_min_max:
+                    cur[1] = st.min if cur[1] is None else min(cur[1], st.min)
+                    cur[2] = st.max if cur[2] is None else max(cur[2], st.max)
     rows = [
         (name, int(v[0]), v[1], v[2])
         for name, v in sorted(agg.items())

@@ -26,12 +26,14 @@ _FW_PARTS = 8
 
 
 def _fw_oracle() -> str:
-    from terasort_spark.sources.tera_queries import _KEY_SQL
+    # built from the SAME constants as tera_queries._gen_df/_GEN_SQL so
+    # a future VALUE_LEN change cannot silently desync this oracle
+    from terasort_spark.sources.tera_queries import _KEY_SQL, VALUE_LEN
 
     return f"""
 SELECT id,
        {_KEY_SQL} AS key,
-       rpad(lpad(CAST(id AS VARCHAR), 32, '0'), 90, 'X') AS value
+       rpad(lpad(CAST(id AS VARCHAR), 32, '0'), {VALUE_LEN}, 'X') AS value
 FROM range(0, {_FW_ROWS}) t(id)
 """
 
@@ -160,10 +162,7 @@ def ml_mrr(spark, sf_dir):
     )
     c = e.select(F.col("vec_id").alias("c_id"), F.col("emb").alias("c_emb"))
 
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
-        )
+    from terasort_spark.operators.llm_similarity import dot_fold as dot
 
     cosine = dot(F.col("q_emb"), F.col("c_emb")) / (
         F.sqrt(dot(F.col("q_emb"), F.col("q_emb")))

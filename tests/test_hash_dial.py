@@ -24,7 +24,15 @@ from terasort_spark.operators._util import TOKEN_HASH_CONF
 from terasort_spark.registry import queries
 
 _Q = queries()
-SF01 = "/root/testdata/sf0.01"
+# the dial-identity check runs at the GRADED scale (sf0.01) rather than
+# the suite's default sf0.001; derive it from the same root the conftest
+# fixture uses so a relocated corpus redirects this test too
+import os as _os
+
+SF01 = _os.path.join(
+    _os.path.dirname(_os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.001")),
+    "sf0.01",
+)
 
 
 @contextlib.contextmanager
