@@ -12,8 +12,11 @@ registry access:
 Each subcommand is a thin shim over the library (Engine /
 sources/teragen.py), so spark-submit'ing this module on a cluster runs
 the identical code paths the tests pin. Exit status: teravalidate
-returns nonzero when the directory is NOT a valid sorted permutation —
-the scriptable contract the reference's validator has.
+returns nonzero when the directory is NOT sorted — and, when the
+caller supplies ``--expect-rows`` / ``--expect-checksum`` (printed by
+teragen / computable via sources.teragen.checksum), also when records
+were dropped, duplicated, or corrupted, which upgrades the check to
+the reference validator's full sorted-permutation contract.
 """
 
 from __future__ import annotations
@@ -31,6 +34,12 @@ def _build_parser() -> argparse.ArgumentParser:
     g.add_argument("--rows", type=int, required=True)
     g.add_argument("--out", required=True)
     g.add_argument("--partitions", type=int, default=32)
+    g.add_argument(
+        "--checksum",
+        action="store_true",
+        help="also read back the written files and print their content "
+        "checksum, for a later teravalidate --expect-checksum",
+    )
 
     s = sub.add_parser("terasort", help="sort a record directory")
     s.add_argument("--input", required=True)
@@ -39,6 +48,19 @@ def _build_parser() -> argparse.ArgumentParser:
 
     v = sub.add_parser("teravalidate", help="validate a sorted directory")
     v.add_argument("--input", required=True)
+    v.add_argument(
+        "--expect-rows",
+        type=int,
+        default=None,
+        help="fail unless the directory holds exactly this many records",
+    )
+    v.add_argument(
+        "--expect-checksum",
+        type=int,
+        default=None,
+        help="fail unless the order-insensitive content checksum matches "
+        "(catches duplicated/corrupted records a sort check cannot)",
+    )
 
     sub.add_parser("list", help="list registered queries")
 
@@ -78,7 +100,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         paths = write_tera_files(
             eng.teragen(args.rows, args.partitions), args.out
         )
-        print(json.dumps({"rows": args.rows, "files": len(paths)}))
+        out = {"rows": args.rows, "files": len(paths)}
+        if args.checksum:
+            from terasort_spark.sources.teragen import checksum, read_tera_files
+
+            out["checksum"] = checksum(read_tera_files(eng.spark, args.out))
+        print(json.dumps(out))
         return 0
 
     if args.cmd == "terasort":
@@ -94,11 +121,19 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         return 0
 
     if args.cmd == "teravalidate":
-        from terasort_spark.sources.teragen import read_tera_files
+        from terasort_spark.sources.teragen import checksum, read_tera_files
 
-        report = eng.teravalidate(read_tera_files(eng.spark, args.input))
-        print(json.dumps(report))
+        df = read_tera_files(eng.spark, args.input)
+        report = eng.teravalidate(df)
         ok = report["sorted_within"] and report["sorted_between"]
+        if args.expect_rows is not None:
+            report["rows_ok"] = report["n_rows"] == args.expect_rows
+            ok = ok and report["rows_ok"]
+        if args.expect_checksum is not None:
+            report["checksum"] = checksum(df)
+            report["checksum_ok"] = report["checksum"] == args.expect_checksum
+            ok = ok and report["checksum_ok"]
+        print(json.dumps(report))
         return 0 if ok else 1
 
     if args.cmd == "query":

@@ -279,10 +279,11 @@ def ivf_bucket(xu_col):
 
 
 
-@register(
-    "sim_cosine_ivf",
-    oracle=f"""
-WITH xu AS (
+# Shared oracle text for the IVF index: the bucket-assignment CTEs and
+# the multi-probe top-5 inner query. sim_cosine_ivf's oracle AND
+# ml_mrr's oracle (wave7._mrr_oracle) are both composed from these, so
+# the index and its evaluation metric cannot drift apart silently.
+IVF_BUCKET_CTES = f"""xu AS (
   SELECT vec_id, embedding,
          list_transform(embedding,
              x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS v
@@ -295,10 +296,9 @@ b AS MATERIALIZED (
        + (CASE WHEN {_ivf_proj_sql(2)} > 0 THEN 4 ELSE 0 END)
        + (CASE WHEN {_ivf_proj_sql(3)} > 0 THEN 8 ELSE 0 END) AS bucket
   FROM xu
-)
-SELECT q_id, c_id, cosine, rn
-FROM (
-  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+)"""
+
+IVF_TOPK_INNER = f"""SELECT q.vec_id AS q_id, c.vec_id AS c_id,
          {o_rnd(_COSINE_SQL, "cosine")},
          CAST(row_number() OVER (
               PARTITION BY q.vec_id
@@ -306,7 +306,16 @@ FROM (
   FROM (SELECT vec_id, embedding, unnest([bucket, xor(bucket, 1),
                xor(bucket, 2), xor(bucket, 4), xor(bucket, 8)]) AS bucket
         FROM b WHERE vec_id < 10) q
-  JOIN b c ON c.bucket = q.bucket AND c.vec_id != q.vec_id
+  JOIN b c ON c.bucket = q.bucket AND c.vec_id != q.vec_id"""
+
+
+@register(
+    "sim_cosine_ivf",
+    oracle=f"""
+WITH {IVF_BUCKET_CTES}
+SELECT q_id, c_id, cosine, rn
+FROM (
+  {IVF_TOPK_INNER}
 )
 WHERE rn <= 5
 """,

@@ -87,36 +87,20 @@ def source_fixedwidth(spark, sf_dir):
 
 
 def _mrr_oracle() -> str:
+    # composed from the SAME constants sim_cosine_ivf's oracle uses
+    # (llm_similarity.IVF_BUCKET_CTES / IVF_TOPK_INNER), so the index
+    # and its evaluation metric cannot drift apart silently.
     from terasort_spark.operators.llm_similarity import (
         _COSINE_SQL,
-        _ivf_proj_sql,
+        IVF_BUCKET_CTES,
+        IVF_TOPK_INNER,
     )
 
     return f"""
-WITH xu AS (
-  SELECT vec_id, embedding,
-         list_transform(embedding,
-             x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS v
-  FROM embeddings
-),
-b AS MATERIALIZED (
-  SELECT vec_id, embedding,
-         (CASE WHEN {_ivf_proj_sql(0)} > 0 THEN 1 ELSE 0 END)
-       + (CASE WHEN {_ivf_proj_sql(1)} > 0 THEN 2 ELSE 0 END)
-       + (CASE WHEN {_ivf_proj_sql(2)} > 0 THEN 4 ELSE 0 END)
-       + (CASE WHEN {_ivf_proj_sql(3)} > 0 THEN 8 ELSE 0 END) AS bucket
-  FROM xu
-),
+WITH {IVF_BUCKET_CTES},
 ivf AS MATERIALIZED (
   SELECT q_id, c_id, rn FROM (
-    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-           CAST(row_number() OVER (
-                PARTITION BY q.vec_id
-                ORDER BY {o_rnd(_COSINE_SQL)} DESC, c.vec_id) AS INTEGER) AS rn
-    FROM (SELECT vec_id, embedding, unnest([bucket, xor(bucket, 1),
-                 xor(bucket, 2), xor(bucket, 4), xor(bucket, 8)]) AS bucket
-          FROM b WHERE vec_id < 10) q
-    JOIN b c ON c.bucket = q.bucket AND c.vec_id != q.vec_id
+    {IVF_TOPK_INNER}
   ) WHERE rn <= 5
 ),
 exact AS MATERIALIZED (

@@ -80,6 +80,16 @@ class FixedWidthReader(DataSourceReader):
         if not partition.path:
             return
         rl, kl = self.record_len, self.key_len
+        # splits were planned from the DRIVER's view of the filesystem;
+        # on a cluster without a shared FS the file can be absent here
+        # even though planning succeeded — name that misconfiguration
+        # explicitly so it is not mistaken for data corruption
+        if not os.path.exists(partition.path):
+            raise FileNotFoundError(
+                f"{partition.path}: planned on the driver but not visible "
+                "to this executor — the fixedwidth source requires a "
+                "filesystem shared by driver and executors (NFS/local)"
+            )
         with open(partition.path, "rb") as f:
             f.seek(partition.start)
             remaining = partition.end - partition.start

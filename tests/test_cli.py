@@ -35,6 +35,34 @@ def test_cli_gen_sort_validate_roundtrip(spark, tmp_path, capsys):
     # the UNSORTED directory must FAIL validation (nonzero exit) —
     # the scriptable contract a validator exists for
     assert main(["teravalidate", "--input", gen_dir], spark=spark) == 1
+    capsys.readouterr()
+
+    # --expect-rows/--expect-checksum upgrade the check to the full
+    # sorted-PERMUTATION contract: a sorted directory with dropped or
+    # duplicated records must now fail too
+    from terasort_spark.sources.teragen import checksum, read_tera_files
+
+    cks = checksum(read_tera_files(spark, gen_dir))
+    assert main(
+        ["teravalidate", "--input", sort_dir,
+         "--expect-rows", "20000", "--expect-checksum", str(cks)],
+        spark=spark,
+    ) == 0
+    report = json.loads(capsys.readouterr().out)
+    assert report["rows_ok"] and report["checksum_ok"]
+
+    assert main(
+        ["teravalidate", "--input", sort_dir, "--expect-rows", "19999"],
+        spark=spark,
+    ) == 1
+    assert json.loads(capsys.readouterr().out)["rows_ok"] is False
+
+    assert main(
+        ["teravalidate", "--input", sort_dir,
+         "--expect-checksum", str(cks + 1)],
+        spark=spark,
+    ) == 1
+    assert json.loads(capsys.readouterr().out)["checksum_ok"] is False
 
 
 def test_cli_list_query_explain(spark, sf_dir, capsys):

@@ -50,6 +50,9 @@ def test_invalid_hash_mode_raises(spark, sf_dir):
             _Q["agg_heavyhitters"](spark, sf_dir).collect()
 
 
+@pytest.mark.skipif(
+    not _os.path.isdir(SF01), reason="sf0.01 corpus not present"
+)
 def test_heavyhitters_dial_identical_output_at_sf001(spark):
     """At the graded scale the count-min estimates resolve to the same
     top-20 (the 1024-wide sketch has enough room that neither hash's
