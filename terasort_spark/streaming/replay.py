@@ -22,12 +22,21 @@ EVENTS_SCHEMA = (
 )
 
 
-def stage_chunks(spark: SparkSession, sf_dir: str, out_dir: str, n_chunks: int = 4):
-    """Split events into n_chunks files by event_id range (ts is roughly
-    increasing with event_id, so chunks arrive in near-time-order like a
-    real stream). Returns the list of chunk-staging callables so tests
-    control arrival order."""
-    ev = table(spark, sf_dir, "events").orderBy("event_id").collect()
+def stage_chunks(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    n_chunks: int = 4,
+    order_by: tuple = ("event_id",),
+):
+    """Split events into n_chunks files by ``order_by`` range (the
+    default event_id order is roughly time-ordered, like a real stream).
+    Pass ``order_by=("ts", "event_id")`` for strictly nondecreasing
+    event time — then no event is ever late relative to the watermark,
+    which makes append-mode window aggregation drop-free and therefore
+    equal to the batch twin. Returns the list of chunk-staging callables
+    so tests control arrival order."""
+    ev = table(spark, sf_dir, "events").orderBy(*order_by).collect()
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
     per = (len(ev) + n_chunks - 1) // n_chunks
