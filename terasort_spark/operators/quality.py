@@ -78,16 +78,47 @@ def text_ccnet_bucket(spark, sf_dir):
     langs = table(spark, sf_dir, "documents").select("doc_id", "lang")
     # Both the histogram branch and the final join consume `rows`;
     # localCheckpoint pins ONE execution of the bigram-LM scoring
-    # instead of recomputing the whole model per branch.
-    rows = scores.join(langs, "doc_id").localCheckpoint(eager=False)
-    hist = rows.groupBy("lang", "avg_logprob").agg(
-        F.count(F.lit(1)).alias("cnt")
+    # instead of recomputing the whole model per branch. Repartitioning
+    # on (lang, avg_logprob) BEFORE the checkpoint lets both consumers
+    # reuse that single exchange: LogicalRDD preserves the materialized
+    # HashPartitioning, so the histogram groupBy and the tie-group
+    # window below both plan with NO further shuffle of the doc-level
+    # rows (r7 VERDICT task 3 — was two separate full shuffles).
+    # The histogram key is the INTEGER 4dp score (bijective with
+    # avg_logprob = score_i / 1e4): a raw-double shuffle key gets
+    # wrapped in knownfloatingpointnormalized(...) by the planner, which
+    # never matches a preserved HashPartitioning — with a long key both
+    # consumers really do reuse the one exchange (plan-asserted in
+    # tests/test_plans.py).
+    score_i = F.floor(F.col("avg_logprob") * 10000 + F.lit(0.5)).cast("long")
+    scored = (
+        scores.join(langs, "doc_id")
+        .withColumn("score_i", score_i)
+        .localCheckpoint(eager=False)
     )
+    # Second pin, partitioned AND sorted on the downstream key: under
+    # AQE a lazy checkpoint records UnknownPartitioning (the adaptive
+    # plan has no final partitioning at planning time), so this tiny
+    # scan→shuffle→sort subtree is planned with AQE off — the
+    # LogicalRDD then carries HashPartitioning(lang, score_i) + the
+    # sort order, and BOTH downstream consumers plan with zero further
+    # exchanges or sorts over doc-level rows.
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        rows = (
+            scored.repartition("lang", "score_i")
+            .sortWithinPartitions("lang", "score_i", "doc_id")
+            .localCheckpoint(eager=False)
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+    hist = rows.groupBy("lang", "score_i").agg(F.count(F.lit(1)).alias("cnt"))
     # Windows below are per-lang but run over HISTOGRAM rows (above the
     # aggregate) — state is #distinct scores, not #docs.
     w_cum = (
         Window.partitionBy("lang")
-        .orderBy(F.desc("avg_logprob"))
+        .orderBy(F.desc("score_i"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     w_all = Window.partitionBy("lang")
@@ -98,16 +129,16 @@ def text_ccnet_bucket(spark, sf_dir):
         .withColumn("n", F.sum("cnt").over(w_all))
         .select(
             "lang",
-            "avg_logprob",
+            "score_i",
             (F.col("cum_end") - F.col("cnt")).alias("n_before"),
             (q + F.least(r, F.lit(1))).alias("t1"),
             (q * 2 + F.least(r, F.lit(2))).alias("t2"),
         )
     )
-    w_tie = Window.partitionBy("lang", "avg_logprob").orderBy("doc_id")
+    w_tie = Window.partitionBy("lang", "score_i").orderBy("doc_id")
     rn = F.col("n_before") + F.row_number().over(w_tie)
     return (
-        rows.join(F.broadcast(bounds), ["lang", "avg_logprob"])
+        rows.join(F.broadcast(bounds), ["lang", "score_i"])
         .withColumn(
             "bucket",
             F.when(rn <= F.col("t1"), "head")

@@ -314,6 +314,19 @@ def test_ccnet_bucket_windows_over_histogram_not_raw_docs(spark, sf_dir):
             continue
         if re.search(r"\], \[lang#\d+\](?:, \[|\s*$)", line):
             assert "sum(cnt#" in line, f"lang-only window over raw rows:\n{line}"
+    # r8 exchange-reuse: the checkpoint is partitioned+sorted on
+    # (lang, score_i) up front, so the post-checkpoint plan re-shuffles
+    # NOTHING doc-sized — the only shuffle exchange left is the
+    # histogram-sized per-lang one feeding the tercile bounds, and the
+    # doc-level tie-group window runs with no Sort of its own.
+    shuffles = [
+        l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    ]
+    assert len(shuffles) == 1, plan
+    assert re.search(r"hashpartitioning\(lang#\d+, \d+\)", shuffles[0]), shuffles[0]
+    # exactly one Sort too — the histogram-side per-lang cumulative
+    # window; the doc-level window inherits the checkpoint's sort order
+    assert plan.count("Sort [") == 1, plan
 
 
 def test_weighted_percentile_window_over_histogram_not_raw_docs(spark, sf_dir):
