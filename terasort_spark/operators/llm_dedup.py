@@ -412,23 +412,25 @@ def dedup_simhash(spark, sf_dir):
     Exact-oracle upgrade (round 6): the per-token hash is the first 16
     bits of md5 — identical in both engines — so the ±1 bit votes are
     exact integer sums and the whole fingerprint replays in SQL (was
-    xxhash64, which has no DuckDB twin). At 100 TB swap md5 back for a
-    cheap 64-bit integer hash if profiling shows the scan is
-    hash-bound; the scheme only needs uniformity, and the structure
-    (one hash per DISTINCT token, all JVM higher-order functions, zero
-    shuffles before the fingerprint groupBy) is hash-agnostic."""
+    xxhash64, which has no DuckDB twin). The token hash is the r6 DIAL
+    (spark.terasort_spark.tokenHash): md5 (default) for oracle parity,
+    xxhash64 for the 100 TB scan-bound path — the scheme only needs
+    uniformity, and the structure (one hash per DISTINCT token, all JVM
+    higher-order functions, zero shuffles before the fingerprint
+    groupBy) is hash-agnostic; tests/test_hash_dial.py pins that
+    exact-duplicate texts land on one fingerprint in BOTH modes."""
     d = table(spark, sf_dir, "documents").select(
         "doc_id", F.array_distinct(F.split(F.lower("text"), " ")).alias("toks")
     )
     # For each bit b: +1 if token-hash bit set else -1; sum over tokens;
     # fingerprint bit = 1 iff sum > 0. All JVM higher-order functions.
-    d = d.withColumn(
-        "th",
-        F.transform(
-            F.col("toks"),
-            lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long"),
-        ),
-    )
+    if token_hash_mode(spark) == "xxhash64":
+        tok16 = lambda t: F.pmod(F.xxhash64(t), F.lit(1 << 16))  # noqa: E731
+    else:
+        tok16 = lambda t: F.conv(  # noqa: E731
+            F.substring(F.md5(t), 1, 4), 16, 10
+        ).cast("long")
+    d = d.withColumn("th", F.transform(F.col("toks"), tok16))
 
     def make_vote(b):
         # HOF merge lambdas must be exactly 2-ary; bind b via closure

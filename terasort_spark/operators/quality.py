@@ -504,10 +504,20 @@ def text_dsir_weights(spark, sf_dir):
     d = table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull() & (F.length("text") > 0)
     )
+    from terasort_spark.operators._util import token_hash_mode
+
     toks = F.filter(F.split(F.lower("text"), " "), lambda t: F.length(t) > 0)
+    # bucket id: 2 md5 hex chars (default, DuckDB-replayable) or
+    # xxhash64 mod 256 under the production tokenHash dial — the bucket
+    # value never reaches the output, so only the ASSIGNMENT moves;
+    # per-doc n_toks is dial-invariant (tests/test_hash_dial.py)
+    if token_hash_mode(spark) == "xxhash64":
+        bucket = F.pmod(F.xxhash64("w"), F.lit(_DSIR_B)).cast("string")
+    else:
+        bucket = F.substring(F.md5("w"), 1, 2)
     occ = d.select(
         "doc_id", "lang", F.explode(toks).alias("w")
-    ).select("doc_id", "lang", F.substring(F.md5("w"), 1, 2).alias("b"))
+    ).select("doc_id", "lang", bucket.alias("b"))
     w_all = Window.partitionBy()
     buckets = (
         occ.groupBy("b")
