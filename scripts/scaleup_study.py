@@ -137,6 +137,10 @@ MEASURED = {
     "pipeline_preference_pairs": ("documents",),
     "mv_rewrite": ("orders",),  # refresh cost scales; the answer side is MV-sized
     "text_markup_extract": ("documents",),
+    # round-8 wave
+    "dedup_probabilistic": ("documents",),
+    "pipeline_ivm_rewrite": ("orders",),
+    "text_minhash_containment": ("documents",),
 }
 
 OFFSETS = {  # per-copy id offsets, far above any base id

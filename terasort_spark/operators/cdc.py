@@ -34,6 +34,36 @@ from terasort_spark.sources.snapshots import read_snapshot, write_version
 #               tombstones for keys not in base are no-ops (dropped)
 
 
+def stage_orders_cdc(spark, sf_dir, name: str, extra_cols: tuple = ()):
+    """Write the shared v0/v1 CDC fixture (the recipe above) under a
+    session-scoped scratch root and return that root. ONE staging
+    implementation backs scan_changefeed, ivm_incremental_agg and
+    wave8.pipeline_ivm_rewrite so the recipe and its three oracles
+    cannot drift apart. ``extra_cols`` rides immutable dimension
+    columns (e.g. order date/priority) along in every segment."""
+    root = scratch_dir(spark, name)
+    shutil.rmtree(root, ignore_errors=True)
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", *extra_cols
+    )
+    base = o.filter(F.col("o_orderkey") % 4 != 3)
+    write_version(base, root, 0)
+    ups = o.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 1.1
+    )
+    dels = (
+        o.filter(
+            (F.col("o_orderkey") % 17 == 0) & (F.col("o_orderkey") % 10 != 0)
+        )
+        .withColumn("o_totalprice", F.lit(None).cast("double"))
+        .withColumn("_deleted", F.lit(True))
+    )
+    write_version(
+        ups.withColumn("_deleted", F.lit(False)).unionByName(dels), root, 1
+    )
+    return root
+
+
 @register(
     "scan_changefeed",
     oracle="""
@@ -65,25 +95,7 @@ def scan_changefeed(spark, sf_dir):
     classified against the v0 snapshot. The oracle replays the same
     change recipe relationally from `orders`, so the feed's semantics
     — not just its mechanics — are hash-checked."""
-    root = scratch_dir(spark, "cdc")
-    shutil.rmtree(root, ignore_errors=True)
-    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    base = o.filter(F.col("o_orderkey") % 4 != 3)
-    write_version(base, root, 0)
-    ups = o.filter(F.col("o_orderkey") % 10 == 0).withColumn(
-        "o_totalprice", F.col("o_totalprice") * 1.1
-    )
-    dels = (
-        o.filter(
-            (F.col("o_orderkey") % 17 == 0) & (F.col("o_orderkey") % 10 != 0)
-        )
-        .select("o_orderkey")
-        .withColumn("o_totalprice", F.lit(None).cast("double"))
-        .withColumn("_deleted", F.lit(True))
-    )
-    write_version(
-        ups.withColumn("_deleted", F.lit(False)).unionByName(dels), root, 1
-    )
+    root = stage_orders_cdc(spark, sf_dir, "cdc")
 
     seg1 = spark.read.parquet(os.path.join(root, "_v=1"))
     prev = read_snapshot(spark, root, ["o_orderkey"], version=0).select(
@@ -144,25 +156,7 @@ def ivm_incremental_agg(spark, sf_dir):
     the oracle recomputes v1 from scratch, so the delta algebra is
     hash-checked against ground truth, exactly to the cent (DECIMAL
     deltas — float deltas would drift after enough batches)."""
-    root = scratch_dir(spark, "cdc_ivm")
-    shutil.rmtree(root, ignore_errors=True)
-    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    base = o.filter(F.col("o_orderkey") % 4 != 3)
-    write_version(base, root, 0)
-    ups = o.filter(F.col("o_orderkey") % 10 == 0).withColumn(
-        "o_totalprice", F.col("o_totalprice") * 1.1
-    )
-    dels = (
-        o.filter(
-            (F.col("o_orderkey") % 17 == 0) & (F.col("o_orderkey") % 10 != 0)
-        )
-        .select("o_orderkey")
-        .withColumn("o_totalprice", F.lit(None).cast("double"))
-        .withColumn("_deleted", F.lit(True))
-    )
-    write_version(
-        ups.withColumn("_deleted", F.lit(False)).unionByName(dels), root, 1
-    )
+    root = stage_orders_cdc(spark, sf_dir, "cdc_ivm")
 
     grp = (F.col("o_orderkey") % 100).alias("grp")
     dec = "decimal(25,6)"

@@ -67,9 +67,13 @@ def dedup_exact(spark, sf_dir):
     )
 
 
-def minhash_pairs(spark, sf_dir, tau: float = 0.8, per_doc_cap: int | None = None):
-    """MinHash-LSH near-duplicate PAIRS (internal; tests assert recall
-    against the exact Jaccard pair set).
+def lsh_candidates(spark, sf_dir, per_doc_cap: int | None = None):
+    """MinHash-LSH candidate generation — the shared front half of
+    minhash_pairs (exact-Jaccard verification) and wave8's
+    text_minhash_containment (signature-agreement estimation). Returns
+    ``(sig, pairs)``: ``sig`` carries doc_id, toks and the mh0..mh{N}
+    signature columns; ``pairs`` is the banded candidate set
+    (a_id < b_id), capped per b_id when per_doc_cap is given.
 
     signature: one xxhash64 per token, re-mixed into 32 "permutations"
     by cheap integer murmur3 (fully deterministic, no RNG state);
@@ -220,6 +224,15 @@ def minhash_pairs(spark, sf_dir, tau: float = 0.8, per_doc_cap: int | None = Non
             .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
             .dropDuplicates(["a_id", "b_id"])
         )
+    return sig, pairs
+
+
+def minhash_pairs(spark, sf_dir, tau: float = 0.8, per_doc_cap: int | None = None):
+    """MinHash-LSH near-duplicate PAIRS: lsh_candidates' banded
+    candidate set, verified at exact Jaccard >= tau by re-joining the
+    token sets (tests assert recall against the exact Jaccard pair
+    set)."""
+    sig, pairs = lsh_candidates(spark, sf_dir, per_doc_cap)
     toks = sig.select("doc_id", "toks")
     verified = pairs.join(
         toks.select(F.col("doc_id").alias("a_id"), F.col("toks").alias("a_toks")),
@@ -238,17 +251,15 @@ def minhash_pairs(spark, sf_dir, tau: float = 0.8, per_doc_cap: int | None = Non
     )
 
 
-def lsh_pairs_sql(tau: float, cap: int = 8) -> str:
-    """WITH-clause body replaying ``minhash_pairs(tau, per_doc_cap=cap)``
+def lsh_candidates_sql(cap: int = 8) -> str:
+    """WITH-clause body replaying ``lsh_candidates(per_doc_cap=cap)``
     in DuckDB SQL: 28-bit md5 token hashes, 32 universal-hash
     permutations, polynomial band buckets, per-bucket nearest-smaller
-    candidate slices, the cap-smallest per-doc cap, and exact-Jaccard
-    verification — every stage exact integer (or one deterministic IEEE
-    division), so downstream consumers hash bit-for-bit. Ends with CTE
-    ``lsh_pairs(a_id, b_id)`` (a_id < b_id, verified at Jaccard >= tau);
-    intermediate CTEs ``d`` (doc_id, toks) and ``th_t`` stay visible to
-    callers. Shared by the dedup_minhash keep/drop oracle and the graph
-    oracles (graph_triangles/graph_pagerank ride the same edge list)."""
+    candidate slices and the cap-smallest per-doc cap — every stage
+    exact integer. Ends with CTE ``capped(b_id, a_id)``; CTEs ``d``
+    (doc_id, toks), ``th_t`` and ``sig`` (mh0..mh31) stay visible to
+    callers. Shared by lsh_pairs_sql (exact-Jaccard verification) and
+    wave8's containment oracle (signature-agreement estimation)."""
     h28 = (
         "((strpos('0123456789abcdef', substr(md5(t),1,1))-1)*16777216"
         " + (strpos('0123456789abcdef', substr(md5(t),2,1))-1)*1048576"
@@ -274,11 +285,6 @@ def lsh_pairs_sql(tau: float, cap: int = 8) -> str:
             f"SELECT doc_id, {b} AS band, {acc} AS bucket FROM sig"
         )
     bands_sql = "\n    UNION ALL\n    ".join(band_selects)
-    inter = "len(list_filter(ta.toks, x -> list_contains(tb.toks, x)))"
-    jacc = (
-        f"floor(CAST({inter} AS DOUBLE)"
-        f" / (len(ta.toks) + len(tb.toks) - {inter}) * 10000 + 0.5) / 10000"
-    )
     return f"""d AS MATERIALIZED (
     SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks
     FROM documents
@@ -307,7 +313,21 @@ cand AS MATERIALIZED (
 capped AS MATERIALIZED (
     SELECT b_id, unnest(list_sort(list(DISTINCT a_id))[1:{cap}]) AS a_id
     FROM cand GROUP BY b_id
-),
+)"""
+
+
+def lsh_pairs_sql(tau: float, cap: int = 8) -> str:
+    """lsh_candidates_sql + exact-Jaccard verification, ending with CTE
+    ``lsh_pairs(a_id, b_id)`` (a_id < b_id, verified at Jaccard >= tau)
+    — the replay of ``minhash_pairs(tau, per_doc_cap=cap)``. Shared by
+    the dedup_minhash keep/drop oracle and the graph oracles
+    (graph_triangles/graph_pagerank ride the same edge list)."""
+    inter = "len(list_filter(ta.toks, x -> list_contains(tb.toks, x)))"
+    jacc = (
+        f"floor(CAST({inter} AS DOUBLE)"
+        f" / (len(ta.toks) + len(tb.toks) - {inter}) * 10000 + 0.5) / 10000"
+    )
+    return f"""{lsh_candidates_sql(cap)},
 lsh_pairs AS MATERIALIZED (
     SELECT c.a_id, c.b_id
     FROM capped c

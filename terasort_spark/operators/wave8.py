@@ -1,0 +1,412 @@
+"""Round-8 wave: compositions the LLM-pipeline north star still lacked —
+a Bloom-filter admission gate for recurring-crawl dedup ingest
+(bounded-state cross-snapshot dedup), the composed materialized-view
+lifecycle (change feed → incremental maintenance → query rewrite,
+hash-checked against a from-scratch recompute), and asymmetric
+containment estimation at LSH scale (sim_containment is exact-only and
+bounded; this one rides dedup_minhash's banded candidates).
+
+All three are exact-oracle: the Bloom filter is built from md5-slice bit
+positions so DuckDB replays the BITMAP itself (might_contain and the
+fast/verified routing hash-match, not just the admitted set), the MV
+lifecycle reuses cdc.stage_orders_cdc + plans.mv_rewrite.answer_from_mv
+so one staging recipe backs all three CDC oracles, and the containment
+estimate is integer signature agreement over lsh_candidates' shared CTE
+text.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from terasort_spark.catalog import table
+from terasort_spark.operators._util import DEC, o_rnd, rnd, scratch_dir
+from terasort_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# dedup_probabilistic — Bloom-filter cross-snapshot admission gate.
+#
+# dedup_incremental (curation.py) answers "which batch docs are new?"
+# with an exact hash anti-join: the EXISTING corpus's full hash set
+# rides the shuffle every ingest. At 100 TB the existing side is the
+# whole corpus; the standing structure a recurring crawl actually keeps
+# is a Bloom filter over existing content hashes — M bits NO MATTER HOW
+# MANY DOCUMENTS — and the exact join runs only for the Bloom-positive
+# (suspected-duplicate) sliver. No false negatives: a Bloom miss is
+# PROOF the doc is new, so fast-path docs skip the corpus join entirely.
+
+BLOOM_M = 8192  # filter bits (demo scale; production sizes ~10 bits/key)
+BLOOM_W = 32  # bits per word -> M/W = 256 words, broadcast as a tiny map
+BLOOM_K = 2  # hash functions per key
+
+
+def _hex_int_sql(expr: str, nibbles: int) -> str:
+    """DuckDB integer from the first ``nibbles`` hex chars of ``expr``
+    (DuckDB lacks conv(); this is the llm_dedup h28 nibble-parse
+    pattern, parameterized)."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr({expr},{i + 1},1))-1)*{16 ** (nibbles - 1 - i)}"
+        for i in range(nibbles)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _bloom_pos_sql(h_expr: str, k: int) -> str:
+    """Bit position k for key ``h_expr``: 16 bits of md5(h || '#k'),
+    mod BLOOM_M — the same expression the Spark side evaluates."""
+    md5_expr = f"md5({h_expr} || '#{k}')"
+    return f"({_hex_int_sql(md5_expr, 4)} % {BLOOM_M})"
+
+
+def _bloom_pos_spark(h_col, k: int):
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(h_col, F.lit(f"#{k}"))), 1, 4), 16, 10
+        ).cast("long"),
+        F.lit(BLOOM_M),
+    )
+
+
+def _probabilistic_oracle() -> str:
+    e_pos = ", ".join(_bloom_pos_sql("h", k) for k in range(BLOOM_K))
+    b_pos = ", ".join(_bloom_pos_sql("b.h", k) for k in range(BLOOM_K))
+    return f"""
+WITH existing AS MATERIALIZED (
+  SELECT DISTINCT md5(text) AS h FROM documents
+  WHERE doc_id % 5 = 0 AND text IS NOT NULL
+),
+batch AS MATERIALIZED (
+  SELECT md5(text) AS h, min(doc_id) AS doc_id,
+         CAST(count(*) AS BIGINT) AS n_copies
+  FROM documents WHERE doc_id % 5 <> 0 AND text IS NOT NULL
+  GROUP BY md5(text)
+),
+epos AS MATERIALIZED (
+  SELECT unnest([{e_pos}]) AS p FROM existing
+),
+words AS MATERIALIZED (
+  SELECT p // {BLOOM_W} AS widx,
+         bit_or(CAST(1 AS BIGINT) << (p % {BLOOM_W})) AS w
+  FROM epos GROUP BY p // {BLOOM_W}
+),
+probe AS MATERIALIZED (
+  SELECT h, bool_and(
+           w.w IS NOT NULL AND ((w.w >> (bp.p % {BLOOM_W})) & 1) = 1
+         ) AS might
+  FROM (SELECT b.h, unnest([{b_pos}]) AS p FROM batch b) bp
+  LEFT JOIN words w ON w.widx = bp.p // {BLOOM_W}
+  GROUP BY h
+)
+SELECT b.doc_id, b.h, b.n_copies,
+       CASE WHEN p.might THEN 'verified' ELSE 'fast' END AS path
+FROM batch b
+JOIN probe p USING (h)
+LEFT JOIN existing e USING (h)
+WHERE e.h IS NULL
+"""
+
+
+@register("dedup_probabilistic", oracle=_probabilistic_oracle())
+def dedup_probabilistic(spark, sf_dir):
+    """Bloom-gated incremental dedup: admit a crawl batch against the
+    existing corpus using an M-bit Bloom filter over existing content
+    hashes. Batch hashes the filter has DEFINITELY never seen are
+    admitted on the fast path (no corpus join at all — the no-false-
+    negative guarantee); Bloom-positive hashes go through the exact
+    anti-join, which clears false positives ('verified' path) and drops
+    true duplicates. Output = every admitted (new) doc with its batch
+    keep-id, copy count, and which path admitted it.
+
+    Oracle-replayed BITMAP: bit positions are 16 md5 bits of (h || '#k')
+    mod M, the words are bit_or aggregates — both engines build the
+    identical filter, so the fast/verified routing itself is
+    hash-checked, not just the final admitted set (join_bloom's oracle,
+    by contrast, only checks the answer). tests/test_wave8.py
+    additionally pins admitted == the exact anti-join and that NO
+    existing hash ever tests negative.
+
+    100 TB: the filter is M bits regardless of corpus size and ships as
+    a ~M/W-entry broadcast map; per-batch cost is one scan of the batch
+    plus an equi-join whose left side is only the Bloom-positive sliver
+    (true dups + ~(1-e^{{-Kn/M}})^K false positives). The md5 positions
+    are the oracle-parity mode; production swaps xxhash64 exactly as the
+    tokenHash dial does for the other sketches."""
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    h = F.md5("text").alias("h")
+    existing = (
+        d.filter(F.col("doc_id") % 5 == 0).select(h).distinct()
+    )
+    batch = (
+        d.filter(F.col("doc_id") % 5 != 0)
+        .select("doc_id", h)
+        .groupBy("h")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        )
+    )
+    # build: K positions per existing hash, OR'd into 32-bit words held
+    # in longs — bounded state (256 rows) whatever the corpus size
+    epos = existing.select(
+        F.explode(
+            F.array(*[_bloom_pos_spark(F.col("h"), k) for k in range(BLOOM_K)])
+        ).alias("p")
+    )
+    words = epos.groupBy(
+        (F.col("p") / BLOOM_W).cast("long").alias("widx")
+    ).agg(
+        F.bit_or(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(p % {BLOOM_W} AS INT))")
+        ).alias("w")
+    )
+    # probe: K bit tests per batch hash against the broadcast words map
+    bpos = batch.select(
+        "h",
+        F.explode(
+            F.array(*[_bloom_pos_spark(F.col("h"), k) for k in range(BLOOM_K)])
+        ).alias("p"),
+    )
+    hit = F.col("w").isNotNull() & (
+        F.expr(f"shiftright(w, CAST(p % {BLOOM_W} AS INT))").bitwiseAND(F.lit(1))
+        == 1
+    )
+    probe = (
+        bpos.join(
+            F.broadcast(words),
+            (F.col("p") / BLOOM_W).cast("long") == F.col("widx"),
+            "left",
+        )
+        .groupBy("h")
+        .agg(F.bool_and(hit).alias("might"))
+    )
+    gated = batch.join(probe, "h")
+    # fast path: Bloom miss == PROOF of novelty, no corpus join
+    fast = gated.filter(~F.col("might")).withColumn("path", F.lit("fast"))
+    # suspected dups: exact anti-join clears the false positives
+    verified = (
+        gated.filter(F.col("might"))
+        .join(existing, "h", "left_anti")
+        .withColumn("path", F.lit("verified"))
+    )
+    return fast.unionByName(verified).select(
+        "doc_id", "h", "n_copies", "path"
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_ivm_rewrite — the composed materialized-view lifecycle.
+
+
+@register(
+    "pipeline_ivm_rewrite",
+    # the oracle recomputes the v1 monthly answer FROM SCRATCH; the
+    # operator must reach the same numbers having only (a) aggregated
+    # the v0 base once, (b) applied the change feed as signed deltas,
+    # (c) answered the month query from the refreshed view
+    oracle=f"""
+WITH v1 AS (
+  SELECT o_orderdate, o_orderpriority,
+         CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 1.1
+              ELSE o_totalprice END AS price
+  FROM orders
+  WHERE (o_orderkey % 4 <> 3 OR o_orderkey % 10 = 0)
+    AND NOT (o_orderkey % 17 = 0 AND o_orderkey % 10 <> 0)
+)
+SELECT date_trunc('month', o_orderdate) AS order_month,
+       o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {o_rnd("CAST(sum(CAST(price AS DECIMAL(25,6))) AS DOUBLE)", "revenue")}
+FROM v1
+GROUP BY 1, 2
+""",
+)
+def pipeline_ivm_rewrite(spark, sf_dir):
+    """End-to-end materialized-view lifecycle, composed from the two
+    halves that until now were only proven separately: stage the
+    versioned table (cdc.stage_orders_cdc — the SAME recipe/oracle
+    scan_changefeed and ivm_incremental_agg grade against), materialize
+    the daily-grain MV from v0, apply the v1 change feed to the MV as
+    signed DECIMAL deltas (ivm_incremental_agg's algebra at the view's
+    grain — insert (+1,+new), update (0,new−old), delete (−1,−old)),
+    persist the refreshed view, then answer the MONTHLY query from it
+    through mv_rewrite.answer_from_mv's derivability-checked rewrite.
+    The oracle recomputes v1 monthly from scratch, so a hash match
+    proves maintenance ∘ rewrite == truth — the invariant a warehouse's
+    continuous aggregates live or die by.
+
+    100 TB: the fact table is scanned once (v0 refresh); every later
+    step costs O(changes) + O(view): the feed join's left side is the
+    delta segment (partition-pruned), the merge unions view-sized
+    inputs, and the month answer scans |days|x|priorities| rows. The
+    from-scratch recompute exists only oracle-side."""
+    from terasort_spark.operators.cdc import stage_orders_cdc
+    from terasort_spark.plans.mv_rewrite import answer_from_mv
+    from terasort_spark.sources.snapshots import read_snapshot
+
+    dims = ("o_orderdate", "o_orderpriority")
+    root = stage_orders_cdc(spark, sf_dir, "ivm_mv", extra_cols=dims)
+
+    # (a) the stored daily view, refreshed from v0 (the one fact scan)
+    mv0 = scratch_dir(spark, "ivm_mv_v0")
+    shutil.rmtree(mv0, ignore_errors=True)
+    (
+        spark.read.parquet(os.path.join(root, "_v=0"))
+        .groupBy(*dims)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).alias("revenue_dec"),
+        )
+        .write.mode("overwrite")
+        .parquet(mv0)
+    )
+
+    # (b) the signed delta stream at the view's grain
+    seg1 = spark.read.parquet(os.path.join(root, "_v=1"))
+    prev = read_snapshot(spark, root, ["o_orderkey"], version=0).select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("old_price"),
+        *[F.col(c).alias(f"prev_{c}") for c in dims],
+    )
+    feed = seg1.join(prev, "o_orderkey", "left").filter(
+        ~(F.col("_deleted") & F.col("old_price").isNull())
+    )
+    dn = (
+        F.when(F.col("_deleted"), -1)
+        .when(F.col("old_price").isNull(), 1)
+        .otherwise(0)
+        .cast("long")
+    )
+    ds = (
+        F.when(F.col("_deleted"), -F.col("old_price").cast(DEC))
+        .when(F.col("old_price").isNull(), F.col("o_totalprice").cast(DEC))
+        .otherwise(
+            F.col("o_totalprice").cast(DEC) - F.col("old_price").cast(DEC)
+        )
+    )
+    # dimensions are immutable, so either side of the join carries them
+    deltas = (
+        feed.select(
+            *[F.coalesce(F.col(c), F.col(f"prev_{c}")).alias(c) for c in dims],
+            dn.alias("n_orders"),
+            ds.alias("revenue_dec"),
+        )
+        .groupBy(*dims)
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("revenue_dec").alias("revenue_dec"),
+        )
+    )
+
+    # (c) merge view + deltas, persist the refreshed view
+    mv1 = scratch_dir(spark, "ivm_mv_v1")
+    shutil.rmtree(mv1, ignore_errors=True)
+    (
+        spark.read.parquet(mv0)
+        .unionByName(deltas)
+        .groupBy(*dims)
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("revenue_dec").alias("revenue_dec"),
+        )
+        .filter(F.col("n_orders") > 0)
+        .write.mode("overwrite")
+        .parquet(mv1)
+    )
+
+    # (d) the monthly question answered FROM the refreshed view
+    ans = answer_from_mv(
+        spark, mv1, ("order_month", "o_orderpriority"), ("n_orders", "revenue_dec")
+    )
+    return ans.select(
+        "order_month",
+        "o_orderpriority",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        rnd(F.col("revenue_dec").cast("double"), "revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_minhash_containment — asymmetric containment at LSH scale.
+
+CONTAIN_EST_TAU = 0.7  # keep pairs whose ESTIMATED containment >= tau
+CONTAIN_CAP = 8  # dedup_minhash's per-doc candidate cap
+
+
+def _containment_oracle() -> str:
+    from terasort_spark.operators.llm_dedup import N_HASHES, lsh_candidates_sql
+
+    agree = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(N_HASHES)
+    )
+    ej = f"(CAST(({agree}) AS DOUBLE) / {N_HASHES})"
+    cont = f"((({ej} / (1 + {ej})) * (len(ta.toks) + len(tb.toks))) / len(tb.toks))"
+    return f"""
+WITH {lsh_candidates_sql(cap=CONTAIN_CAP)}
+SELECT c.a_id, c.b_id,
+       {o_rnd(ej, "est_jaccard")},
+       {o_rnd(cont, "containment")}
+FROM capped c
+JOIN th_t ta ON ta.doc_id = c.a_id
+JOIN th_t tb ON tb.doc_id = c.b_id
+JOIN sig sa ON sa.doc_id = c.a_id
+JOIN sig sb ON sb.doc_id = c.b_id
+WHERE {o_rnd(cont)} >= {CONTAIN_EST_TAU!r}
+"""
+
+
+@register("text_minhash_containment", oracle=_containment_oracle())
+def text_minhash_containment(spark, sf_dir):
+    """Asymmetric containment at LSH scale: how much of candidate doc B
+    lives inside doc A — the signal that catches quotes, boilerplate
+    inclusions and subset-crawls that symmetric Jaccard dilutes
+    (|A∩B|/|A∪B| is small when A is much larger than B even if B ⊂ A).
+    sim_containment computes this exactly but only under a hard
+    doc-count bound; this operator rides dedup_minhash's banded
+    candidate generation (lsh_candidates — same signatures, same
+    bands, same per-doc cap) and ESTIMATES containment from signature
+    agreement without ever re-touching token sets pairwise:
+    Ĵ = (1/32)·Σ 1[mh_i(A)=mh_i(B)], |A∩B| ≈ Ĵ/(1+Ĵ)·(|A|+|B|),
+    containment(B) = |A∩B|/|B| with exact set sizes.
+
+    Deterministic estimate: signature agreement is an integer count and
+    the arithmetic is a fixed-order IEEE expression, so the estimate —
+    not just the candidate set — replays bit-for-bit in the oracle.
+
+    100 TB: identical cost shape to dedup_minhash (the signatures and
+    banding ARE dedup_minhash's); the estimation join moves 32 longs
+    per doc instead of token arrays, so verification bandwidth is
+    constant-size per candidate regardless of document length."""
+    from terasort_spark.operators.llm_dedup import N_HASHES, lsh_candidates
+
+    sig, pairs = lsh_candidates(spark, sf_dir, per_doc_cap=CONTAIN_CAP)
+    a = sig.select(
+        F.col("doc_id").alias("a_id"),
+        F.size("toks").alias("na"),
+        *[F.col(f"mh{i}").alias(f"amh{i}") for i in range(N_HASHES)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("b_id"),
+        F.size("toks").alias("nb"),
+        *[F.col(f"mh{i}").alias(f"bmh{i}") for i in range(N_HASHES)],
+    )
+    j = pairs.join(a, "a_id").join(b, "b_id")
+    agree = F.lit(0)
+    for i in range(N_HASHES):
+        agree = agree + F.when(
+            F.col(f"amh{i}") == F.col(f"bmh{i}"), 1
+        ).otherwise(0)
+    ej = agree.cast("double") / F.lit(N_HASHES)
+    cont = ((ej / (F.lit(1) + ej)) * (F.col("na") + F.col("nb"))) / F.col("nb")
+    return (
+        j.select(
+            "a_id",
+            "b_id",
+            rnd(ej, "est_jaccard"),
+            rnd(cont, "containment"),
+        )
+        .filter(F.col("containment") >= CONTAIN_EST_TAU)
+    )

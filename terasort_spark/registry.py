@@ -80,6 +80,7 @@ _OPERATOR_MODULES = (
     "terasort_spark.operators.ann_index",
     "terasort_spark.operators.wave7",
     "terasort_spark.plans.mv_rewrite",
+    "terasort_spark.operators.wave8",
 )
 
 _loaded = False
