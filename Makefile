@@ -1,0 +1,25 @@
+# Mechanical verification entry points (SURVEY.md §5b). Run on a SOLO
+# machine — concurrent Spark jobs skew timings and can race on sink
+# scratch paths. Approximate runtimes on local[32]:
+#
+#   make verify   full evidence chain: driver-contract sweep at sf0.01
+#                 (~15 min), full-registry hash sweep at sf0.1 (~35 min),
+#                 partition-invariance 7v32 at sf0.01 (~30 min)
+#   make test     pytest suite at sf0.001 (~14 min)
+#   make bench    headline benchmark at sf0.1, one JSON line (~13 min)
+#
+# Each stage fails fast with a nonzero exit; "FAILS: 0" per stage is the
+# green state every round must re-establish mechanically.
+
+.PHONY: verify test bench
+
+verify:
+	python scripts/drive_driver.py
+	python scripts/sweep_sf01.py
+	python scripts/sweep_partition_invariance.py
+
+test:
+	python -m pytest tests/ -q
+
+bench:
+	python bench.py
