@@ -66,6 +66,7 @@ MEASURED = {
     "events_sequence_match": ("events",),
     # round-5 wave (added r6, VERDICT task 4)
     "text_ccnet_bucket": ("documents",),
+    "text_bigram_lm": ("documents",),
     "dedup_soft": ("documents",),
     "sample_temperature": ("documents",),
     "agg_weighted_percentile": ("documents",),
