@@ -142,6 +142,7 @@ MEASURED = {
     "dedup_probabilistic": ("documents",),
     "pipeline_ivm_rewrite": ("orders",),
     "text_minhash_containment": ("documents",),
+    "scan_position_delete": ("orders",),
 }
 
 OFFSETS = {  # per-copy id offsets, far above any base id

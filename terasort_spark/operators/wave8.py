@@ -410,3 +410,89 @@ def text_minhash_containment(spark, sf_dir):
         )
         .filter(F.col("containment") >= CONTAIN_EST_TAU)
     )
+
+
+# ---------------------------------------------------------------------------
+# scan_position_delete — merge-on-read POSITIONAL deletes.
+
+@register(
+    "scan_position_delete",
+    # the oracle states the SEMANTICS relationally (base minus the
+    # deleted predicate); the operator must reach it through the
+    # position-delete mechanism — file write, (file_path, row_index)
+    # delete-vector encoding, anti-join merge-on-read
+    oracle="""
+SELECT o_orderkey,
+       o_orderstatus,
+       floor(o_totalprice * 10000 + 0.5) / 10000 AS price
+FROM orders
+WHERE o_orderkey % 4 <> 3
+  AND NOT (o_orderkey % 9 = 0)
+""",
+)
+def scan_position_delete(spark, sf_dir):
+    """Merge-on-read positional deletes — the Iceberg v2 / Delta
+    deletion-vector mechanism, complementing snapshots.py's KEY-based
+    tombstones: deletes address physical ROW POSITIONS
+    (file_path, row_index), so dropping rows never rewrites a data
+    file. Staging writes the base table partitioned by a bucket key,
+    derives the delete vector by scanning the committed files WITH
+    Spark's _metadata columns (file_path + row_index) under the delete
+    predicate, and persists those positions. The read path is then:
+    data scan + metadata columns, LEFT ANTI join against the
+    (broadcast) delete vector on (file_path, row_index). The oracle
+    states the intended semantics relationally, so the hash match
+    proves the positional encode/decode loses and resurrects nothing.
+
+    100 TB: deletes cost O(deleted positions) in storage and a
+    broadcast-able side in the read (vectors are per-file and tiny
+    relative to data); the data files are immutable — the property
+    that makes concurrent readers and time travel cheap. A compaction
+    (sink_compacted) later folds vectors into rewritten files."""
+    data_dir = scratch_dir(spark, "posdel_data")
+    del_dir = scratch_dir(spark, "posdel_deletes")
+    shutil.rmtree(data_dir, ignore_errors=True)
+    shutil.rmtree(del_dir, ignore_errors=True)
+
+    base = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 4 != 3)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            (F.col("o_orderkey") % 8).alias("bucket"),
+        )
+    )
+    base.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(data_dir)
+
+    schema = "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+    with_meta = spark.read.schema(schema).parquet(data_dir).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("_metadata.file_path").alias("file_path"),
+        F.col("_metadata.row_index").alias("pos"),
+    )
+    # commit the delete VECTOR: positions of rows matching the delete
+    # predicate, addressed physically — no data file is touched
+    (
+        with_meta.filter(F.col("o_orderkey") % 9 == 0)
+        .select("file_path", "pos")
+        .write.mode("overwrite")
+        .parquet(del_dir)
+    )
+
+    deletes = spark.read.schema("file_path string, pos bigint").parquet(del_dir)
+    return (
+        with_meta.join(
+            F.broadcast(deletes), ["file_path", "pos"], "left_anti"
+        )
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            rnd(F.col("o_totalprice"), "price"),
+        )
+    )

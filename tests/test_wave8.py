@@ -172,3 +172,40 @@ def test_containment_estimates_track_truth(spark, sf_dir):
         exact = len(a & b) / len(b)
         errs.append(abs(r["containment"] - exact))
     assert errs and sum(errs) / len(errs) < 0.12, sum(errs) / len(errs)
+
+
+def test_position_delete_read_is_broadcast_antijoin(spark, sf_dir):
+    """The merge-on-read plan must anti-join the delete vector as a
+    BROADCAST (vectors are tiny relative to data) — never shuffle the
+    data side for the merge — and carry the metadata position columns
+    through the scan stage."""
+    df = _Q["scan_position_delete"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_position_delete_exact_semantics(spark, sf_dir):
+    """Positions must drop EXACTLY the delete-predicate rows: nothing
+    resurrected, nothing extra lost — checked against a relational
+    recompute in Spark."""
+    from terasort_spark.operators._util import rnd
+
+    want = sorted(
+        map(
+            tuple,
+            table(spark, sf_dir, "orders")
+            .filter(
+                (F.col("o_orderkey") % 4 != 3)
+                & ~(F.col("o_orderkey") % 9 == 0)
+            )
+            .select(
+                "o_orderkey",
+                "o_orderstatus",
+                rnd(F.col("o_totalprice"), "price"),
+            )
+            .collect(),
+        )
+    )
+    got = sorted(map(tuple, _Q["scan_position_delete"](spark, sf_dir).collect()))
+    assert got == want
