@@ -43,7 +43,7 @@ HEADLINERS = [
     ("scan_zorder", "Morton key from codegen bit-ops; RangePartitioning exchange writes the clustered layout"),
     ("profile_table", "distinct counts via two-level dedup groupBy — no Expand of the row stream"),
     ("ts_holt_forecast", "unrolled recursion: one pivot shuffle, then pure codegen arithmetic"),
-    ("text_ccnet_bucket", "de-skewed terciles: lang-only windows consume the (lang, score) histogram; doc-level window keyed by (lang, avg_logprob)"),
+    ("text_ccnet_bucket", "de-skewed terciles over a pinned (lang, score_i) checkpoint: ONE histogram-sized per-lang exchange, doc-level window inherits the checkpoint's partitioning and sort"),
     ("agg_weighted_percentile", "per-source running sum over the (source, n_chars) weight histogram, not raw docs"),
     ("sink_bucketed", "bucketed+sorted layout: fact-fact sort-merge join AND per-key agg with ZERO Exchange"),
     ("sample_stratified_alloc", "constant-bounded rank filter activates WindowGroupLimit; apportionment over langs-sized aggregate"),
@@ -64,6 +64,10 @@ HEADLINERS = [
     ("ml_mrr", "bounded 10-query ground-truth side joins broadcast; the evaluated IVF side keeps its bucketed equi-join"),
     ("source_fixedwidth", "pluggable DataSource scan: record-aligned byte-range splits (~32 partitions from 8 files) feed a pure projection"),
     ("mv_rewrite", "MV query rewrite: the only FileScan is the daily pre-aggregate, never orders.parquet; monthly roll-up of DECIMAL partial sums"),
+    ("dedup_probabilistic", "Bloom gate: 256-word filter built by bit_or aggregation, broadcast to the probe; exact anti-join sees only the Bloom-positive sliver"),
+    ("pipeline_ivm_rewrite", "composed MV lifecycle: the month answer's only FileScan is the refreshed view directory"),
+    ("text_minhash_containment", "banded-LSH candidates (shared with dedup_minhash); estimation join moves 32 signature longs per pair, never token arrays"),
+    ("scan_position_delete", "merge-on-read positional deletes: broadcast LEFT ANTI on (file_path, row_index); no SortMergeJoin, data files immutable"),
 ]
 
 
