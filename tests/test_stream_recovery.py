@@ -196,3 +196,66 @@ def test_checkpoint_recovery_tumbling_equals_batch(spark, sf_dir, dirs):
     # a dropped micro-batch → missing/short windows; a re-processed one
     # or unrestored window partials → duplicate/short windows
     assert got_rows == want_rows
+
+
+def test_checkpoint_recovery_arbitrary_state(spark, sf_dir, dirs):
+    """applyInPandasWithState across a stop/restart: per-user running
+    counts accumulate in GroupState, so a resume with fresh state (or
+    re-counted batches) yields wrong totals for every user whose events
+    span the boundary. The file sink accumulates one emission per
+    (user, batch); max(n_events) per user must equal the batch count."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from terasort_spark.streaming.replay import stage_chunks
+
+    stagers = stage_chunks(spark, sf_dir, dirs["replay"], n_chunks=4)
+
+    def count_per_user(key, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    def counted_df():
+        return (
+            read_stream(spark, dirs["replay"])
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                count_per_user,
+                outputStructType="user_id bigint, n_events bigint",
+                stateStructType="n bigint",
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+
+    q1 = _start_file_sink(counted_df(), dirs["out"], dirs["ckpt"])
+    for s in stagers[:2]:
+        s()
+        q1.processAllAvailable()
+    q1.stop()
+
+    stagers[2]()  # lands while the query is down
+
+    q2 = _start_file_sink(counted_df(), dirs["out"], dirs["ckpt"])
+    q2.processAllAvailable()
+    stagers[3]()
+    q2.processAllAvailable()
+    q2.stop()
+
+    got = (
+        spark.read.schema("user_id bigint, n_events bigint")
+        .parquet(dirs["out"])
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )
+    want = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
