@@ -143,6 +143,7 @@ MEASURED = {
     "pipeline_ivm_rewrite": ("orders",),
     "text_minhash_containment": ("documents",),
     "scan_position_delete": ("orders",),
+    "dedup_fuzzy_ingest": ("documents",),
 }
 
 OFFSETS = {  # per-copy id offsets, far above any base id

@@ -67,13 +67,12 @@ def dedup_exact(spark, sf_dir):
     )
 
 
-def lsh_candidates(spark, sf_dir, per_doc_cap: int | None = None):
-    """MinHash-LSH candidate generation — the shared front half of
-    minhash_pairs (exact-Jaccard verification) and wave8's
-    text_minhash_containment (signature-agreement estimation). Returns
-    ``(sig, pairs)``: ``sig`` carries doc_id, toks and the mh0..mh{N}
-    signature columns; ``pairs`` is the banded candidate set
-    (a_id < b_id), capped per b_id when per_doc_cap is given.
+def lsh_signatures(spark, sf_dir):
+    """MinHash signatures + banded bucket keys for every document —
+    the shared front of lsh_candidates (within-corpus pairs) and
+    wave8's dedup_fuzzy_ingest (cross-corpus candidates). Returns
+    ``(sig, buckets)``: ``sig`` carries doc_id, toks and the mh0..mh{N}
+    signature columns; ``buckets`` is (doc_id, band, bucket).
 
     signature: one xxhash64 per token, re-mixed into 32 "permutations"
     by cheap integer murmur3 (fully deterministic, no RNG state);
@@ -170,6 +169,18 @@ def lsh_candidates(spark, sf_dir, per_doc_cap: int | None = None):
     buckets = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
         "doc_id", "bb.band", "bb.bucket"
     )
+    return sig, buckets
+
+
+def lsh_candidates(spark, sf_dir, per_doc_cap: int | None = None):
+    """MinHash-LSH candidate generation — the shared front half of
+    minhash_pairs (exact-Jaccard verification) and wave8's
+    text_minhash_containment (signature-agreement estimation). Returns
+    ``(sig, pairs)``: ``sig`` carries doc_id, toks and the mh0..mh{N}
+    signature columns; ``pairs`` is the banded candidate set
+    (a_id < b_id), capped per b_id when per_doc_cap is given. See
+    lsh_signatures for the signature/banding details."""
+    sig, buckets = lsh_signatures(spark, sf_dir)
     if per_doc_cap is not None:
         # Capped candidates are generated INSIDE each bucket, never as
         # the full bucket self-join: group the bucket to a sorted id
@@ -251,15 +262,13 @@ def minhash_pairs(spark, sf_dir, tau: float = 0.8, per_doc_cap: int | None = Non
     )
 
 
-def lsh_candidates_sql(cap: int = 8) -> str:
-    """WITH-clause body replaying ``lsh_candidates(per_doc_cap=cap)``
-    in DuckDB SQL: 28-bit md5 token hashes, 32 universal-hash
-    permutations, polynomial band buckets, per-bucket nearest-smaller
-    candidate slices and the cap-smallest per-doc cap — every stage
-    exact integer. Ends with CTE ``capped(b_id, a_id)``; CTEs ``d``
-    (doc_id, toks), ``th_t`` and ``sig`` (mh0..mh31) stay visible to
-    callers. Shared by lsh_pairs_sql (exact-Jaccard verification) and
-    wave8's containment oracle (signature-agreement estimation)."""
+def lsh_buckets_sql() -> str:
+    """WITH-clause body replaying ``lsh_signatures`` in DuckDB SQL:
+    28-bit md5 token hashes, 32 universal-hash permutations and the
+    polynomial band buckets — every stage exact integer. Ends with CTE
+    ``buckets(doc_id, band, bucket)``; ``d`` (doc_id, toks), ``th_t``
+    and ``sig`` (mh0..mh31) stay visible to callers. Shared by
+    lsh_candidates_sql and wave8's cross-corpus fuzzy-ingest oracle."""
     h28 = (
         "((strpos('0123456789abcdef', substr(md5(t),1,1))-1)*16777216"
         " + (strpos('0123456789abcdef', substr(md5(t),2,1))-1)*1048576"
@@ -299,7 +308,17 @@ sig AS MATERIALIZED (
 ),
 buckets AS MATERIALIZED (
     {bands_sql}
-),
+)"""
+
+
+def lsh_candidates_sql(cap: int = 8) -> str:
+    """lsh_buckets_sql + per-bucket nearest-smaller candidate slices
+    and the cap-smallest per-doc cap — the replay of
+    ``lsh_candidates(per_doc_cap=cap)``. Ends with CTE
+    ``capped(b_id, a_id)``. Shared by lsh_pairs_sql (exact-Jaccard
+    verification) and wave8's containment oracle (signature-agreement
+    estimation)."""
+    return f"""{lsh_buckets_sql()},
 grouped AS MATERIALIZED (
     SELECT band, bucket, list_sort(list(DISTINCT doc_id)) AS ids
     FROM buckets GROUP BY band, bucket
@@ -316,17 +335,22 @@ capped AS MATERIALIZED (
 )"""
 
 
+def jaccard_sql(a: str = "ta", b: str = "tb") -> str:
+    """4dp floor-rounded exact Jaccard between two th_t aliases."""
+    inter = f"len(list_filter({a}.toks, x -> list_contains({b}.toks, x)))"
+    return (
+        f"floor(CAST({inter} AS DOUBLE)"
+        f" / (len({a}.toks) + len({b}.toks) - {inter}) * 10000 + 0.5) / 10000"
+    )
+
+
 def lsh_pairs_sql(tau: float, cap: int = 8) -> str:
     """lsh_candidates_sql + exact-Jaccard verification, ending with CTE
     ``lsh_pairs(a_id, b_id)`` (a_id < b_id, verified at Jaccard >= tau)
     — the replay of ``minhash_pairs(tau, per_doc_cap=cap)``. Shared by
     the dedup_minhash keep/drop oracle and the graph oracles
     (graph_triangles/graph_pagerank ride the same edge list)."""
-    inter = "len(list_filter(ta.toks, x -> list_contains(tb.toks, x)))"
-    jacc = (
-        f"floor(CAST({inter} AS DOUBLE)"
-        f" / (len(ta.toks) + len(tb.toks) - {inter}) * 10000 + 0.5) / 10000"
-    )
+    jacc = jaccard_sql()
     return f"""{lsh_candidates_sql(cap)},
 lsh_pairs AS MATERIALIZED (
     SELECT c.a_id, c.b_id

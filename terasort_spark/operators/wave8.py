@@ -496,3 +496,126 @@ def scan_position_delete(spark, sf_dir):
             rnd(F.col("o_totalprice"), "price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_fuzzy_ingest — cross-corpus NEAR-dup admission (the fuzzy half
+# of crawl ingest; dedup_probabilistic above is the exact half).
+
+FUZZY_TAU = 0.8  # dedup_minhash's verification threshold
+FUZZY_CAP = 8  # existing-side candidate cap per batch doc
+
+
+def _fuzzy_oracle() -> str:
+    from terasort_spark.operators.llm_dedup import (
+        jaccard_sql,
+        lsh_buckets_sql,
+    )
+
+    return f"""
+WITH {lsh_buckets_sql()},
+exb AS MATERIALIZED (
+  SELECT band, bucket, doc_id AS e_id FROM buckets WHERE doc_id % 5 = 0
+),
+btb AS MATERIALIZED (
+  SELECT band, bucket, doc_id AS b_id FROM buckets WHERE doc_id % 5 <> 0
+),
+grouped AS MATERIALIZED (
+  SELECT band, bucket, list_sort(list(DISTINCT e_id)) AS eids
+  FROM exb GROUP BY band, bucket
+),
+cand AS MATERIALIZED (
+  SELECT b.b_id, unnest(g.eids[1:{FUZZY_CAP}]) AS e_id
+  FROM btb b JOIN grouped g USING (band, bucket)
+),
+capped AS MATERIALIZED (
+  SELECT b_id, unnest(list_sort(list(DISTINCT e_id))[1:{FUZZY_CAP}]) AS e_id
+  FROM cand GROUP BY b_id
+),
+dropped AS MATERIALIZED (
+  SELECT DISTINCT c.b_id
+  FROM capped c
+  JOIN th_t ta ON ta.doc_id = c.e_id
+  JOIN th_t tb ON tb.doc_id = c.b_id
+  WHERE {jaccard_sql()} >= {FUZZY_TAU!r}
+)
+SELECT d.doc_id, (dr.b_id IS NULL) AS keep
+FROM d LEFT JOIN dropped dr ON dr.b_id = d.doc_id
+WHERE d.doc_id % 5 <> 0
+"""
+
+
+@register("dedup_fuzzy_ingest", oracle=_fuzzy_oracle())
+def dedup_fuzzy_ingest(spark, sf_dir):
+    """Cross-corpus near-duplicate admission: a new crawl batch
+    (doc_id % 5 != 0) is deduped against the EXISTING corpus
+    (doc_id % 5 == 0) by MinHash-LSH — the GPT-3/CCNet ingest shape
+    where each crawl is fuzzy-deduplicated against all previous crawls,
+    not just against itself (dedup_minhash) and not just exactly
+    (dedup_probabilistic/dedup_incremental). A batch doc is dropped
+    when a capped LSH candidate from the EXISTING side verifies at
+    exact Jaccard >= 0.8; output is one keep/drop decision per batch
+    doc.
+
+    Reuses dedup_minhash's signatures and band buckets verbatim
+    (llm_dedup.lsh_signatures / lsh_buckets_sql) — only the candidate
+    join is asymmetric: existing-side ids group per (band, bucket) into
+    a sorted list, each batch doc takes the cap smallest, and one
+    groupBy per batch doc dedups the per-band unions. Per-reducer state
+    is bounded at cap x bands ids exactly as in the self-join case.
+
+    100 TB: the existing corpus contributes signatures only (32 longs
+    per doc — in production these are PERSISTED once per crawl, not
+    recomputed); candidates are an equi-join on (band, bucket); the cap
+    bounds verification at cap x |batch| pairs however hot the buckets
+    get. No batch-batch or existing-existing pair is ever formed."""
+    from terasort_spark.operators.llm_dedup import lsh_signatures
+
+    sig, buckets = lsh_signatures(spark, sf_dir)
+    is_existing = F.col("doc_id") % 5 == 0
+    exb = buckets.filter(is_existing).select(
+        "band", "bucket", F.col("doc_id").alias("e_id")
+    )
+    btb = buckets.filter(~is_existing).select(
+        "band", "bucket", F.col("doc_id").alias("b_id")
+    )
+    grouped = exb.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_set("e_id")).alias("eids")
+    )
+    cand = btb.join(grouped, ["band", "bucket"]).select(
+        "b_id", F.explode(F.slice("eids", 1, FUZZY_CAP)).alias("e_id")
+    )
+    capped = (
+        cand.groupBy("b_id")
+        .agg(
+            F.slice(F.array_sort(F.collect_set("e_id")), 1, FUZZY_CAP).alias(
+                "eids"
+            )
+        )
+        .select("b_id", F.explode("eids").alias("e_id"))
+    )
+    toks = sig.select("doc_id", "toks")
+    verified = capped.join(
+        toks.select(F.col("doc_id").alias("e_id"), F.col("toks").alias("e_toks")),
+        "e_id",
+    ).join(
+        toks.select(F.col("doc_id").alias("b_id"), F.col("toks").alias("b_toks")),
+        "b_id",
+    )
+    jacc = F.size(F.array_intersect("e_toks", "b_toks")).cast(
+        "double"
+    ) / F.size(F.array_union("e_toks", "b_toks"))
+    dropped = (
+        verified.withColumn("jaccard", rnd(jacc))
+        .filter(F.col("jaccard") >= FUZZY_TAU)
+        .select("b_id")
+        .distinct()
+    )
+    batch = sig.filter(~is_existing).select("doc_id")
+    return batch.join(
+        dropped.withColumnRenamed("b_id", "doc_id"), "doc_id", "left_anti"
+    ).withColumn("keep", F.lit(True)).unionByName(
+        dropped.select(F.col("b_id").alias("doc_id")).withColumn(
+            "keep", F.lit(False)
+        )
+    )

@@ -209,3 +209,37 @@ def test_position_delete_exact_semantics(spark, sf_dir):
     )
     got = sorted(map(tuple, _Q["scan_position_delete"](spark, sf_dir).collect()))
     assert got == want
+
+
+def test_fuzzy_ingest_drops_are_admissible(spark, sf_dir):
+    """Cross-corpus fuzzy admission: one decision per batch doc, and
+    every DROP has a verified EXISTING-corpus partner at exact
+    Jaccard >= 0.8 (no hash/banding choice can fabricate one); kept +
+    dropped partition the batch."""
+    from terasort_spark.operators.wave8 import FUZZY_TAU
+
+    docs = {
+        r["doc_id"]: set((r["text"] or "").lower().split(" "))
+        for r in table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    dec = {
+        r["doc_id"]: r["keep"]
+        for r in _Q["dedup_fuzzy_ingest"](spark, sf_dir).collect()
+    }
+    batch = {d for d in docs if d % 5 != 0}
+    existing = [d for d in sorted(docs) if d % 5 == 0]
+    assert set(dec) == batch  # exactly one row per batch doc
+
+    for d, keep in dec.items():
+        if keep:
+            continue
+        toks = docs[d]
+        ok = any(
+            len(toks & docs[e]) / len(toks | docs[e]) >= FUZZY_TAU - 5e-5
+            for e in existing
+            if toks or docs[e]
+        )
+        assert ok, f"batch doc {d} dropped without an existing partner"
+    assert any(not k for k in dec.values())  # the corpus has cross dups
