@@ -90,6 +90,11 @@ def text_bigram_lm(spark, sf_dir):
     # 1.7x faster, and at 100 TB the shuffle payload drops by the
     # corpus's in-doc repetition factor. The exact-decimal average is
     # preserved because lp·k in DECIMAL equals adding lp k times.
+    # occ feeds BOTH the model build and the scoring join. The printed
+    # plan shows two scan→explode subtrees, but AQE reuses the
+    # identical shuffle stage at runtime — an explicit localCheckpoint
+    # pin was A/B-measured at sf0.1 (r8) and bought nothing (medians
+    # within noise both ways), so the plan is left checkpoint-free.
     occ = bigrams.groupBy("doc_id", "lang", "w1", "w2").agg(
         F.count(F.lit(1)).alias("k")
     )
