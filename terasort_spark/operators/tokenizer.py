@@ -11,10 +11,19 @@ DISTINCT word is encoded once, and documents join the word→subtoken
 table — corpus cost is one broadcast join, not a per-token Python
 loop.
 
-Both queries are rows-only by design (a merge loop is not expressible
-in one SQL statement); tests/test_tokenizer.py pins the semantics with
-an independent pure-Python BPE replay over the raw corpus and
-first-merge brute-force checks.
+Both queries carry FULL exact oracles (upgraded from rows-only in
+round 9): the merge loop is unrolled into N_MERGES rounds of
+MATERIALIZED CTEs over the word histogram — the same
+unrolled-iteration recipe as ml_logreg/emb_kmeans/graph_pagerank.
+Each SQL round replays the greedy left-to-right pair merge exactly:
+pair counts via lead() windows, best pair by (count DESC, left,
+right), and the merge application via a gaps-and-islands alternation
+(consecutive-match runs only arise when left==right; greedy merges
+the 1st, 3rd, ... positions of each run — a plain string replace is
+NOT faithful here because e.g. 'aaaaa' greedily segments [aa,aa,a]
+while replace-to-fixpoint can yield [aa,a,aa], changing later pair
+counts). tests/test_tokenizer.py additionally pins the semantics with
+an independent pure-Python BPE replay over the raw corpus.
 """
 
 from __future__ import annotations
@@ -97,7 +106,128 @@ def encode_word(word: str, merges) -> list[str]:
     return sym
 
 
-@register("text_bpe_train")
+def _bpe_base_sql() -> str:
+    """Shared CTE prefix: frequency-truncated word histogram (`vocab`,
+    the ONE corpus-sized aggregation, mirroring _word_counts) and the
+    initial character segmentation `r0` (w, pos, sym, n) with '</w>'
+    appended — tuple(w) + (END,) in the Python trainer."""
+    return f"""
+vocab AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS n
+  FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS w
+    FROM documents
+    WHERE text IS NOT NULL AND length(text) > 0
+  )
+  WHERE length(w) > 0
+  GROUP BY w
+  ORDER BY n DESC, w
+  LIMIT {VOCAB_CAP}
+),
+r0 AS MATERIALIZED (
+  SELECT w, CAST(pos AS BIGINT) AS pos,
+         CASE WHEN pos <= length(w) THEN substr(w, pos, 1) ELSE '{END}' END AS sym,
+         n
+  FROM (SELECT w, n, unnest(generate_series(1, length(w) + 1)) AS pos FROM vocab)
+)"""
+
+
+def _bpe_round_sql(k: int) -> str:
+    """One unrolled BPE merge round: r{k-1} -> r{k}.
+
+    p{k}: adjacent-pair histogram (lead window per word, weighted by n).
+    b{k}: the round's best pair — count DESC, then lexicographic (a, b),
+          bit-matching Python's min(items, key=(-count, pair)).
+    m{k}: match flags mt(i) = sym[i]=a AND sym[i+1]=b (LEFT JOIN ON TRUE
+          of the 1-row b{k}: when the vocab fully merges before round
+          N and b{k} is empty — the trainer's `break` — mt is FALSE
+          everywhere and r{k} carries r{k-1} forward unchanged, so the
+          encode oracle still sees the final segmentation).
+    g{k}: greedy alternation — runs of consecutive matches (only possible
+          when a=b) merge at their 1st, 3rd, ... positions; islands via
+          pos - row_number (pos is dense by construction).
+    r{k}: drop positions consumed by the merge starting one slot left,
+          concatenate a||b at merge starts, re-number pos densely.
+    """
+    p = k - 1
+    return f"""
+p{k} AS MATERIALIZED (
+  SELECT a, b, SUM(n) AS cnt FROM (
+    SELECT sym AS a, lead(sym) OVER (PARTITION BY w ORDER BY pos) AS b, n
+    FROM r{p}
+  ) WHERE b IS NOT NULL GROUP BY a, b
+),
+b{k} AS MATERIALIZED (
+  SELECT a, b, CAST(cnt AS BIGINT) AS cnt FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1
+),
+g{k} AS MATERIALIZED (
+  SELECT w, pos, sym, n, b, mt,
+    CASE WHEN mt
+         THEN (row_number() OVER (PARTITION BY w, mt, grp ORDER BY pos)) % 2 = 1
+         ELSE FALSE END AS st
+  FROM (
+    SELECT *, pos - row_number() OVER (PARTITION BY w, mt ORDER BY pos) AS grp
+    FROM (
+      SELECT r.w, r.pos, r.sym, r.n, bb.b,
+             (r.sym = bb.a AND coalesce(
+                lead(r.sym) OVER (PARTITION BY r.w ORDER BY r.pos) = bb.b,
+                FALSE)) AS mt
+      FROM r{p} r LEFT JOIN b{k} bb ON TRUE
+    )
+  )
+),
+r{k} AS MATERIALIZED (
+  SELECT w, CAST(row_number() OVER (PARTITION BY w ORDER BY pos) AS BIGINT) AS pos,
+         CASE WHEN st THEN sym || b ELSE sym END AS sym,
+         n
+  FROM (
+    SELECT *, coalesce(lag(st) OVER (PARTITION BY w ORDER BY pos), FALSE) AS consumed
+    FROM g{k}
+  )
+  WHERE NOT consumed
+)"""
+
+
+def _bpe_train_oracle(n_merges: int = N_MERGES) -> str:
+    parts = [_bpe_base_sql()] + [_bpe_round_sql(k) for k in range(1, n_merges + 1)]
+    union = "\nUNION ALL ".join(
+        f'SELECT {k - 1} AS rank, a AS "left", b AS "right", cnt AS pair_count FROM b{k}'
+        for k in range(1, n_merges + 1)
+    )
+    return "WITH " + ",".join(parts) + f"\nSELECT * FROM (\n{union}\n) ORDER BY rank"
+
+
+def _bpe_encode_oracle(n_merges: int = N_MERGES) -> str:
+    """Encode oracle: the word's segmentation after round N IS
+    encode_word(w, merges) (each round applies the same greedy pass the
+    encoder replays in rank order), so n_sub per vocab word = the
+    symbol count in r{N}. Out-of-vocab words fall back to the unmerged
+    character segmentation length(w)+1, exactly like the Spark side's
+    left-join coalesce."""
+    parts = [_bpe_base_sql()] + [_bpe_round_sql(k) for k in range(1, n_merges + 1)]
+    return (
+        "WITH " + ",".join(parts) + f""",
+dw AS MATERIALIZED (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+    FROM documents
+    WHERE text IS NOT NULL AND length(text) > 0 AND doc_id < 100
+  ) WHERE length(w) > 0
+),
+vn AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS INT) AS n_sub FROM r{n_merges} GROUP BY w
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(SUM(coalesce(vn.n_sub, length(dw.w) + 1)) AS BIGINT) AS n_subtokens,
+       floor(CAST(SUM(coalesce(vn.n_sub, length(dw.w) + 1)) AS BIGINT)
+             / CAST(count(*) AS BIGINT) * 10000 + 0.5) / 10000 AS ratio
+FROM dw LEFT JOIN vn ON dw.w = vn.w
+GROUP BY doc_id"""
+    )
+
+
+@register("text_bpe_train", oracle=_bpe_train_oracle())
 def text_bpe_train(spark, sf_dir):
     """BPE training: word histogram (ONE corpus shuffle, map-side
     combine; token stream stays on executors) → merge loop over the
@@ -105,8 +235,9 @@ def text_bpe_train(spark, sf_dir):
     pair, and the pair's frequency at merge time. 100 TB: the only
     data-sized step is the histogram; the loop's state is O(vocab),
     independent of corpus size — the same partial-then-model split as
-    emb_kmeans. Rows-only by design; semantics pinned by pure-Python
-    replay in tests/test_tokenizer.py."""
+    emb_kmeans. Exact oracle: the merge loop unrolled into N_MERGES
+    MATERIALIZED-CTE rounds (see _bpe_round_sql); semantics additionally
+    pinned by pure-Python replay in tests/test_tokenizer.py."""
     wc = [(r["w"], r["n"]) for r in _word_counts(spark, sf_dir).collect()]
     merges = train_bpe(wc)
     return spark.createDataFrame(
@@ -114,7 +245,7 @@ def text_bpe_train(spark, sf_dir):
     ).orderBy("rank")
 
 
-@register("text_bpe_encode")
+@register("text_bpe_encode", oracle=_bpe_encode_oracle())
 def text_bpe_encode(spark, sf_dir):
     """BPE encoding at corpus scale: train (as above), encode each
     DISTINCT word once driver-side (vocab-sized), then broadcast-join

@@ -116,3 +116,42 @@ def test_encode_compresses_and_roundtrips():
             assert "".join(toks) == w + END
             assert len(toks) <= prev
             prev = len(toks)
+
+
+def test_oracle_greedy_alternation_on_overlapping_runs(spark, tmp_path):
+    """The r9 exact oracle's hardest case: a merge pair with left==right
+    over odd-length same-char runs. Greedy left-to-right segments
+    'aaaaa' as [aa, aa, a] while a naive replace-to-fixpoint would give
+    [aa, a, aa] — a different adjacency order that changes the NEXT
+    round's pair counts. Build a corpus that forces (a,a) as the first
+    merge and long runs, then hash-compare the SQL chain against the
+    pure-Python trainer via the standard compare path."""
+    import duckdb
+
+    from terasort_spark.compare import compare_query
+    from terasort_spark.registry import oracle_sql
+
+    docs = []
+    # odd and even runs of 'a' (3..7) plus filler words so later merges
+    # have material; weights force (a,a) to win rank 0
+    for i, txt in enumerate(
+        ["aaaaa aaa aaaa", "aaaaaaa aab baa", "abab aaab bbaa", "aa aaaaa ab"]
+        * 25
+    ):
+        docs.append((i, txt))
+    spark.createDataFrame(docs, "doc_id bigint, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    os_ = oracle_sql()
+    for name in ("text_bpe_train", "text_bpe_encode"):
+        r = compare_query(name, _Q[name], os_[name], spark, str(tmp_path), con=con)
+        assert r.ok, str(r)
+    # and the run really does exercise the alternation: (a,a) is rank 0
+    top = _Q["text_bpe_train"](spark, str(tmp_path)).collect()[0]
+    assert (top["left"], top["right"]) == ("a", "a")
+    con.close()
