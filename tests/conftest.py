@@ -19,3 +19,27 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR
+
+
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+@pytest.fixture(params=["hdfs", "rocksdb"])
+def state_store(request, spark):
+    """Run a streaming test under BOTH state-store providers. The
+    default HDFSBackedStateStoreProvider keeps state as in-memory maps
+    snapshotted to the checkpoint; RocksDBStateStoreProvider (the
+    provider a production large-state job runs — rocksdbjni ships in
+    this PySpark) keeps it off-heap in RocksDB. The provider class is
+    read from the session conf when a query starts, so setting it
+    around each test is sufficient; every test uses a fresh checkpoint
+    dir so providers never mix within one checkpoint."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    if request.param == "rocksdb":
+        spark.conf.set(key, _ROCKSDB_PROVIDER)
+    else:
+        spark.conf.unset(key)
+    yield request.param
+    spark.conf.unset(key)

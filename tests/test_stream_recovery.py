@@ -76,7 +76,7 @@ def _stage_rows(spark, replay_dir, rows, tag):
     shutil.rmtree(tmp, ignore_errors=True)
 
 
-def test_checkpoint_recovery_dedup_exactly_once(spark, sf_dir, dirs):
+def test_checkpoint_recovery_dedup_exactly_once(spark, sf_dir, dirs, state_store):
     """dropDuplicatesWithinWatermark across a stop/restart: duplicates
     arrive before the stop, while stopped, and after the resume. The
     restored dedup STATE (not just source offsets) must suppress every
@@ -118,7 +118,7 @@ def test_checkpoint_recovery_dedup_exactly_once(spark, sf_dir, dirs):
     assert sorted(r["event_id"] for r in got.collect()) == want
 
 
-def test_checkpoint_recovery_tumbling_equals_batch(spark, sf_dir, dirs):
+def test_checkpoint_recovery_tumbling_equals_batch(spark, sf_dir, dirs, state_store):
     """Watermarked tumbling-window counts through a stop/restart must
     equal the batch twin (stream_tumbling) exactly. Chunks are staged in
     strict ts order (no event is ever late → append mode drops nothing),
@@ -198,7 +198,7 @@ def test_checkpoint_recovery_tumbling_equals_batch(spark, sf_dir, dirs):
     assert got_rows == want_rows
 
 
-def test_checkpoint_recovery_arbitrary_state(spark, sf_dir, dirs):
+def test_checkpoint_recovery_arbitrary_state(spark, sf_dir, dirs, state_store):
     """applyInPandasWithState across a stop/restart: per-user running
     counts accumulate in GroupState, so a resume with fresh state (or
     re-counted batches) yields wrong totals for every user whose events

@@ -32,7 +32,7 @@ def replay_dir():
     shutil.rmtree(d, ignore_errors=True)
 
 
-def test_stream_tumbling_equals_batch(spark, sf_dir, replay_dir):
+def test_stream_tumbling_equals_batch(spark, sf_dir, replay_dir, state_store):
     stagers = stage_chunks(spark, sf_dir, replay_dir, n_chunks=3)
     agg = (
         read_stream(spark, replay_dir)
@@ -50,7 +50,7 @@ def test_stream_tumbling_equals_batch(spark, sf_dir, replay_dir):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
 
-def test_stream_session_window_equals_sessionize(spark, sf_dir, replay_dir):
+def test_stream_session_window_equals_sessionize(spark, sf_dir, replay_dir, state_store):
     stagers = stage_chunks(spark, sf_dir, replay_dir, n_chunks=3)
     agg = (
         read_stream(spark, replay_dir)
@@ -64,7 +64,7 @@ def test_stream_session_window_equals_sessionize(spark, sf_dir, replay_dir):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
 
-def test_stream_dedup_within_watermark(spark, sf_dir, replay_dir):
+def test_stream_dedup_within_watermark(spark, sf_dir, replay_dir, state_store):
     # duplicate every event across two chunks: dedup must keep one each
     ev = table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
     base = ev.collect()
@@ -96,7 +96,7 @@ def test_stream_dedup_within_watermark(spark, sf_dir, replay_dir):
     assert got.count() == len(base)  # each duplicate suppressed
 
 
-def test_stream_stateful_running_count(spark, sf_dir, replay_dir):
+def test_stream_stateful_running_count(spark, sf_dir, replay_dir, state_store):
     stagers = stage_chunks(spark, sf_dir, replay_dir, n_chunks=3)
 
     def count_per_user(key, pdfs, state: GroupState):
@@ -131,7 +131,7 @@ def test_stream_stateful_running_count(spark, sf_dir, replay_dir):
     assert sorted(map(tuple, final)) == sorted(map(tuple, want))
 
 
-def test_late_data_dropped_after_watermark(spark, sf_dir, replay_dir):
+def test_late_data_dropped_after_watermark(spark, sf_dir, replay_dir, state_store):
     """Rows older than watermark - delay must be excluded once their
     window is closed (append mode emits closed windows only)."""
     os.makedirs(replay_dir, exist_ok=True)
@@ -177,7 +177,7 @@ def test_late_data_dropped_after_watermark(spark, sf_dir, replay_dir):
     # watermark; the late 10:10 row must NOT appear in it
     assert out.get("2024-01-01T10:00:00") == 1, out
 
-def test_stream_stream_join_equals_batch(spark, sf_dir, replay_dir):
+def test_stream_stream_join_equals_batch(spark, sf_dir, replay_dir, state_store):
     """Stream-stream inner join with an event-time range constraint:
     purchases joined to the same user's clicks within the preceding 30
     minutes. Both sides are watermarked so Spark can discard buffered
@@ -221,7 +221,7 @@ def test_stream_stream_join_equals_batch(spark, sf_dir, replay_dir):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
 
-def test_foreachbatch_upsert_sink_equals_batch(spark, sf_dir, replay_dir):
+def test_foreachbatch_upsert_sink_equals_batch(spark, sf_dir, replay_dir, state_store):
     """foreachBatch is the custom-sink workhorse: an update-mode
     streaming agg emits changed per-user totals each micro-batch, and
     the sink MERGEs them into a keyed parquet state (replace-by-key —
@@ -293,7 +293,7 @@ def test_foreachbatch_upsert_sink_equals_batch(spark, sf_dir, replay_dir):
     shutil.rmtree(state_dir, ignore_errors=True)
 
 
-def test_stream_static_enrichment_join_equals_batch(spark, sf_dir, replay_dir):
+def test_stream_static_enrichment_join_equals_batch(spark, sf_dir, replay_dir, state_store):
     """Stream-static join: each micro-batch joins against a static
     dimension snapshot (no watermark needed — the static side is not
     stateful). The enrichment pattern for 100 TB pipelines: the dim is
@@ -323,7 +323,7 @@ def test_stream_static_enrichment_join_equals_batch(spark, sf_dir, replay_dir):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
 
-def test_stream_sliding_window_equals_batch(spark, sf_dir, replay_dir):
+def test_stream_sliding_window_equals_batch(spark, sf_dir, replay_dir, state_store):
     """Sliding windows (1h size, 30m slide): every event lands in two
     overlapping windows; the streaming replay must produce the same
     per-(window, type) counts as the declared batch twin."""
@@ -345,7 +345,7 @@ def test_stream_sliding_window_equals_batch(spark, sf_dir, replay_dir):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
 
-def test_stream_funnel_state_equals_batch(spark, sf_dir, replay_dir):
+def test_stream_funnel_state_equals_batch(spark, sf_dir, replay_dir, state_store):
     """Streaming twin of events_funnel's per-user stage table: first-touch
     timestamps per funnel stage tracked in applyInPandasWithState must
     equal the batch conditional-min aggregation after full replay. State
@@ -403,7 +403,7 @@ def test_stream_funnel_state_equals_batch(spark, sf_dir, replay_dir):
     assert sorted(map(tuple, final.collect())) == sorted(map(tuple, want.collect()))
 
 
-def test_transform_with_state_running_sum(spark, sf_dir, replay_dir):
+def test_transform_with_state_running_sum(spark, sf_dir, replay_dir, state_store):
     """transformWithState (Spark 4 stateful API, successor to
     applyInPandasWithState): running per-user (sum, count) across
     replayed micro-batches must equal the batch aggregate. Exercises
@@ -470,7 +470,7 @@ def test_transform_with_state_running_sum(spark, sf_dir, replay_dir):
     assert sorted(map(tuple, final)) == sorted(map(tuple, want))
 
 
-def test_stream_topk_equals_batch(spark, sf_dir, replay_dir):
+def test_stream_topk_equals_batch(spark, sf_dir, replay_dir, state_store):
     """Leaderboard pattern: the STREAM maintains only per-(window, user)
     counts; the rank runs over the aggregated sink (windows x users
     rows, not events). Streamed counts + batch rank must equal the
