@@ -549,15 +549,58 @@ def ml_linreg(spark, sf_dir):
     )
 
 
-@register("source_binaryfile")  # whole-file binary source → rows-only
+@register(
+    "source_binaryfile",
+    # replays the per-region blob construction relationally: the file
+    # bytes ARE the ordered nation lines, so length and the first-KiB
+    # md5 are pure functions of the nation table
+    oracle="""
+SELECT 'region_' || r_regionkey || '.bin' AS file_name,
+       CAST(length(body) AS BIGINT) AS length,
+       md5(substr(body, 1, 1024)) AS head_md5
+FROM (
+  SELECT n.n_regionkey AS r_regionkey,
+         string_agg(n.n_nationkey || '|' || n.n_name, chr(10)
+                    ORDER BY n.n_nationkey) AS body
+  FROM nation n GROUP BY n.n_regionkey
+)
+ORDER BY file_name
+""",
+)
 def source_binaryfile(spark, sf_dir):
     """Spark's binaryFile source: each file becomes one row of (path,
     modificationTime, length, content) — the ingestion shape for opaque
-    media blobs (images/audio) before a mapInPandas decode stage. Reads
-    the corpus's own parquet files as opaque blobs; projects stable
-    columns only (path tail + length + an md5 of the first KiB — the
-    driver-visible fingerprint is content-derived, never mtime)."""
-    d = spark.read.format("binaryFile").load(f"{sf_dir}/*.parquet")
+    media blobs (images/audio) before a mapInPandas decode stage.
+
+    Upgraded rows-only → exact oracle in r9: raw corpus-file sizes are
+    environment-specific, so the operator stages its own deterministic
+    blobs (one file per region, bytes = the region's nation rows in key
+    order) and ingests them through the REAL binaryFile source, then
+    projects only content-derived columns: path tail, byte length, and
+    an md5 of the first KiB — exactly what a media-ingest manifest
+    records. The oracle rebuilds each blob relationally, so the whole
+    read path (glob → whole-file bytes → fingerprint) is hash-checked."""
+    out = _roundtrip_dir(spark, "binaryfile")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    nations = table(spark, sf_dir, "nation").select(
+        "n_regionkey", "n_nationkey", "n_name"
+    ).collect()  # 25-row dimension: bounded driver model state
+    by_region: dict[int, list] = {}
+    for r in nations:
+        by_region.setdefault(r.n_regionkey, []).append(r)
+    for rk, rows in by_region.items():
+        body = "\n".join(
+            f"{r.n_nationkey}|{r.n_name}"
+            for r in sorted(rows, key=lambda r: r.n_nationkey)
+        )
+        with open(os.path.join(out, f"region_{rk}.bin"), "wb") as f:
+            f.write(body.encode("utf-8"))
+    if not by_region:  # empty corpus: no files staged, glob would fail
+        return spark.createDataFrame(
+            [], "file_name string, length bigint, head_md5 string"
+        )
+    d = spark.read.format("binaryFile").load(f"{out}/*.bin")
     return d.select(
         F.element_at(F.split("path", "/"), -1).alias("file_name"),
         F.col("length"),

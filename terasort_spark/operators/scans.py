@@ -138,18 +138,58 @@ def sink_partitioned_pruned(spark, sf_dir):
     )
 
 
-@register("scan_provenance")  # file paths are environment-specific → rows-only
+@register(
+    "scan_provenance",
+    # positions are computed over the FULL per-lang file, then filtered —
+    # row_index is physical, so the doc_id<100 cut happens in the outer
+    # query exactly like the Spark-side post-scan filter
+    oracle="""
+SELECT doc_id, src_part, src_row FROM (
+  SELECT doc_id, lang AS src_part,
+         CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id) - 1
+              AS BIGINT) AS src_row
+  FROM documents
+)
+WHERE doc_id < 100
+""",
+)
 def scan_provenance(spark, sf_dir):
     """Row-level lineage from the hidden _metadata column of file
-    sources: which physical file (and row group position) produced each
-    row. At 100 TB this is how a pipeline traces a bad record back to
-    its source object without any bookkeeping columns in the data."""
+    sources: which physical source object (and physical row position
+    inside it) produced each row. At 100 TB this is how a pipeline
+    traces a bad record back to its source object without any
+    bookkeeping columns in the data.
+
+    Upgraded rows-only → exact oracle in r9: lineage over raw corpus
+    paths is environment-specific, so the operator writes its own
+    deterministic layout — repartition(lang) + sortWithinPartitions
+    (lang, doc_id) + partitionBy(lang) yields exactly one file per lang
+    whose physical row order is doc_id order — then reads it back and
+    relativizes _metadata.file_path to the partition directory and
+    _metadata.row_index to the in-file position. Both are then exactly
+    replayable relationally: src_part = lang, src_row = rank of doc_id
+    within lang. The same _metadata relativization trick as
+    scan_position_delete (wave8.py)."""
+    out = scratch_dir(spark, "provenance")
+    shutil.rmtree(out, ignore_errors=True)
+    src = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    (
+        src.repartition("lang")
+        .sortWithinPartitions("lang", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("lang")
+        .parquet(out)
+    )
+    back = spark.read.schema("doc_id bigint, lang string").parquet(out)
     return (
-        table(spark, sf_dir, "documents")
-        .select(
+        back.select(
             "doc_id",
-            F.col("_metadata.file_name").alias("src_file"),
-            F.col("_metadata.file_size").alias("src_bytes"),
+            # partition directory, relativized: the lineage key a 100 TB
+            # pipeline stores (object identity, never absolute paths)
+            F.regexp_extract(F.col("_metadata.file_path"), "lang=([^/]+)/", 1).alias(
+                "src_part"
+            ),
+            F.col("_metadata.row_index").alias("src_row"),
         )
         .filter(F.col("doc_id") < 100)
     )
