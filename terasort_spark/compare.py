@@ -191,6 +191,23 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 def compare_query(name, fn, oracle, spark, sf_dir, con=None) -> CompareResult:
     res = CompareResult(name=name, ok=True)
+    # Every oracle in the registry is authored against the default md5
+    # token-hash dial; under the xxhash64 production dial the
+    # fingerprint-family operators (text_fingerprint, text_winnowing's
+    # fp_min, LSH bucket margins) emit DIFFERENT values while still
+    # being correct. Guard the graded path explicitly instead of
+    # letting a dialed session surface as a cryptic hash mismatch.
+    from terasort_spark.operators._util import TOKEN_HASH_CONF
+
+    dial = spark.conf.get(TOKEN_HASH_CONF, "md5")
+    if dial != "md5":
+        res.ok = False
+        res.errors.append(
+            f"oracle grading requires {TOKEN_HASH_CONF}=md5 (session has "
+            f"{dial!r}): the production dial changes emitted values on "
+            "fingerprint-family operators — unset the dial to grade"
+        )
+        return res
     own_con = con is None
     if own_con:
         con = duck_connection(sf_dir)

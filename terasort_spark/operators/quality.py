@@ -74,6 +74,24 @@ def text_ccnet_bucket(spark, sf_dir):
     state. Bit-identical to ntile(3) ORDER BY score DESC, doc_id: with
     n docs, q = n div 3, r = n mod 3, the tercile boundaries are
     t1 = q + min(r,1) and t2 = 2q + min(r,2)."""
+    # The exchange-reuse trick below needs AQE off while the checkpoint
+    # subtree is COMPILED (a lazy checkpoint under AQE records
+    # UnknownPartitioning). Flipping the session-global conf would
+    # silently de-AQE any query compiled concurrently on the same
+    # session (streaming, parallel tests), so the whole query plans in
+    # an ISOLATED newSession() sharing the SparkContext: AQE is off
+    # only there, and the caller's session conf is never touched
+    # (r8 ADVICE item 1). Runtime confs that affect result hashes or
+    # partitioning sweeps are mirrored in — newSession() starts from
+    # builder-time confs, not the caller's runtime overrides.
+    outer = spark
+    spark = outer.newSession()
+    for k in (
+        "spark.sql.shuffle.partitions",
+        "spark.sql.session.timeZone",
+        "spark.sql.adaptive.enabled",
+    ):
+        spark.conf.set(k, outer.conf.get(k))
     scores = text_bigram_lm(spark, sf_dir).select("doc_id", "avg_logprob")
     langs = table(spark, sf_dir, "documents").select("doc_id", "lang")
     # Both the histogram branch and the final join consume `rows`;
@@ -99,10 +117,12 @@ def text_ccnet_bucket(spark, sf_dir):
     # Second pin, partitioned AND sorted on the downstream key: under
     # AQE a lazy checkpoint records UnknownPartitioning (the adaptive
     # plan has no final partitioning at planning time), so this tiny
-    # scan→shuffle→sort subtree is planned with AQE off — the
-    # LogicalRDD then carries HashPartitioning(lang, score_i) + the
-    # sort order, and BOTH downstream consumers plan with zero further
-    # exchanges or sorts over doc-level rows.
+    # scan→shuffle→sort subtree is compiled with AQE off — the flip is
+    # confined to the query's own isolated session, so nothing compiled
+    # concurrently elsewhere can observe it — and the LogicalRDD then
+    # carries HashPartitioning(lang, score_i) + the sort order: BOTH
+    # downstream consumers plan with zero further exchanges or sorts
+    # over doc-level rows.
     aqe_was = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:

@@ -38,9 +38,33 @@ from terasort_spark.registry import register
 # (suspected-duplicate) sliver. No false negatives: a Bloom miss is
 # PROOF the doc is new, so fast-path docs skip the corpus join entirely.
 
-BLOOM_M = 8192  # filter bits (demo scale; production sizes ~10 bits/key)
-BLOOM_W = 32  # bits per word -> M/W = 256 words, broadcast as a tiny map
+BLOOM_W = 32  # bits per word; the filter broadcasts as an M/W-entry map
 BLOOM_K = 2  # hash functions per key
+BLOOM_BITS_PER_KEY = 10  # M sized from the existing-hash count (r8 ADVICE
+#   item 3: a fixed M saturates once distinct hashes exceed capacity and
+#   every batch doc routes 'verified'); with K=2 at 10 bits/key the
+#   false-positive rate is (1-e^(-K/10))^K ~= 3.3%, so the fast path
+#   keeps ~96% of genuinely-new docs out of the corpus join at EVERY
+#   scale. Both engines compute the identical M from the identical
+#   count, so the bitmap stays oracle-replayed.
+BLOOM_M_MIN = 1024
+
+
+def _bloom_m(n_existing: int) -> int:
+    """Filter bits: bits-per-key * existing keys, rounded up to a whole
+    word, floored at BLOOM_M_MIN. Positive ints only, so Python's //
+    agrees with DuckDB's truncating //."""
+    return max(
+        BLOOM_M_MIN,
+        (BLOOM_BITS_PER_KEY * n_existing + BLOOM_W - 1) // BLOOM_W * BLOOM_W,
+    )
+
+
+_BLOOM_M_SQL = (
+    f"GREATEST({BLOOM_M_MIN}, "
+    f"(({BLOOM_BITS_PER_KEY} * (SELECT count(*) FROM existing) + {BLOOM_W - 1}) "
+    f"// {BLOOM_W}) * {BLOOM_W})"
+)
 
 
 def _hex_int_sql(expr: str, nibbles: int) -> str:
@@ -55,18 +79,22 @@ def _hex_int_sql(expr: str, nibbles: int) -> str:
 
 
 def _bloom_pos_sql(h_expr: str, k: int) -> str:
-    """Bit position k for key ``h_expr``: 16 bits of md5(h || '#k'),
-    mod BLOOM_M — the same expression the Spark side evaluates."""
+    """Bit position k for key ``h_expr``: 32 bits of md5(h || '#k')
+    (16 bits would alias once the data-sized M exceeds 65536), mod the
+    data-sized M (a scalar subquery over the `mm` CTE) — the same
+    expression the Spark side evaluates with its driver-side M."""
     md5_expr = f"md5({h_expr} || '#{k}')"
-    return f"({_hex_int_sql(md5_expr, 4)} % {BLOOM_M})"
+    return f"({_hex_int_sql(md5_expr, 8)} % (SELECT m FROM mm))"
 
 
-def _bloom_pos_spark(h_col, k: int):
+def _bloom_pos_spark(h_col, k: int, m_col):
+    """``m_col`` is the data-sized M as a COLUMN (1-row scalar joined
+    in), so sizing never needs a separate driver action."""
     return F.pmod(
         F.conv(
-            F.substring(F.md5(F.concat(h_col, F.lit(f"#{k}"))), 1, 4), 16, 10
+            F.substring(F.md5(F.concat(h_col, F.lit(f"#{k}"))), 1, 8), 16, 10
         ).cast("long"),
-        F.lit(BLOOM_M),
+        m_col,
     )
 
 
@@ -83,6 +111,9 @@ batch AS MATERIALIZED (
          CAST(count(*) AS BIGINT) AS n_copies
   FROM documents WHERE doc_id % 5 <> 0 AND text IS NOT NULL
   GROUP BY md5(text)
+),
+mm AS MATERIALIZED (
+  SELECT {_BLOOM_M_SQL} AS m
 ),
 epos AS MATERIALIZED (
   SELECT unnest([{e_pos}]) AS p FROM existing
@@ -136,8 +167,27 @@ def dedup_probabilistic(spark, sf_dir):
     tokenHash dial does for the other sketches."""
     d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     h = F.md5("text").alias("h")
+    # checkpoint pins ONE execution: the M-sizing aggregate, the
+    # bit-position build, and the verification anti-join all consume
+    # `existing`
     existing = (
-        d.filter(F.col("doc_id") % 5 == 0).select(h).distinct()
+        d.filter(F.col("doc_id") % 5 == 0)
+        .select(h)
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    # data-sized M as a 1-row scalar (broadcast-joined below, never a
+    # driver action): the same bits-per-key formula as _bloom_m/the
+    # oracle's mm CTE
+    mm = existing.agg(
+        F.greatest(
+            F.lit(BLOOM_M_MIN),
+            (
+                (F.count(F.lit(1)) * BLOOM_BITS_PER_KEY + (BLOOM_W - 1))
+                / BLOOM_W
+            ).cast("long")
+            * BLOOM_W,
+        ).alias("m")
     )
     batch = (
         d.filter(F.col("doc_id") % 5 != 0)
@@ -150,9 +200,14 @@ def dedup_probabilistic(spark, sf_dir):
     )
     # build: K positions per existing hash, OR'd into 32-bit words held
     # in longs — bounded state (256 rows) whatever the corpus size
-    epos = existing.select(
+    epos = existing.crossJoin(F.broadcast(mm)).select(
         F.explode(
-            F.array(*[_bloom_pos_spark(F.col("h"), k) for k in range(BLOOM_K)])
+            F.array(
+                *[
+                    _bloom_pos_spark(F.col("h"), k, F.col("m"))
+                    for k in range(BLOOM_K)
+                ]
+            )
         ).alias("p")
     )
     words = epos.groupBy(
@@ -163,10 +218,15 @@ def dedup_probabilistic(spark, sf_dir):
         ).alias("w")
     )
     # probe: K bit tests per batch hash against the broadcast words map
-    bpos = batch.select(
+    bpos = batch.crossJoin(F.broadcast(mm)).select(
         "h",
         F.explode(
-            F.array(*[_bloom_pos_spark(F.col("h"), k) for k in range(BLOOM_K)])
+            F.array(
+                *[
+                    _bloom_pos_spark(F.col("h"), k, F.col("m"))
+                    for k in range(BLOOM_K)
+                ]
+            )
         ).alias("p"),
     )
     hit = F.col("w").isNotNull() & (

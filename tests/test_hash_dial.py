@@ -51,7 +51,9 @@ def test_invalid_hash_mode_raises(spark, sf_dir):
 
 
 @pytest.mark.skipif(
-    not _os.path.isdir(SF01), reason="sf0.01 corpus not present"
+    not _os.path.isdir(SF01),
+    reason=f"expected corpus dir {SF01} not present — this check needs the "
+    "driver-generated sf0.01 testdata next to the suite's sf0.001 dir",
 )
 def test_heavyhitters_dial_identical_output_at_sf001(spark):
     """At the graded scale the count-min estimates resolve to the same
@@ -252,3 +254,33 @@ def test_winnowing_dial_identical_docs_identical_fps(spark, sf_dir):
     with hash_mode(spark, "xxhash64"):
         xx_out = check()
     assert set(md5_out) == set(xx_out)  # same docs qualify in both modes
+
+
+def test_oracle_grading_refuses_non_default_dial(spark, sf_dir):
+    """The graded path is md5-only: a session left on the xxhash64
+    production dial must be rejected with a self-explaining error, not
+    surface as a cryptic value-hash mismatch on the fingerprint-family
+    operators (r8 ADVICE item 2)."""
+    from terasort_spark.compare import compare_query
+    from terasort_spark.registry import oracle_sql
+
+    os_ = oracle_sql()
+    with hash_mode(spark, "xxhash64"):
+        r = compare_query(
+            "text_fingerprint",
+            _Q["text_fingerprint"],
+            os_["text_fingerprint"],
+            spark,
+            sf_dir,
+        )
+    assert not r.ok
+    assert any("md5" in e and "dial" in e for e in r.errors)
+    # and the default session still grades clean
+    r2 = compare_query(
+        "text_fingerprint",
+        _Q["text_fingerprint"],
+        os_["text_fingerprint"],
+        spark,
+        sf_dir,
+    )
+    assert r2.ok, str(r2)

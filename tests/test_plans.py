@@ -316,17 +316,26 @@ def test_ccnet_bucket_windows_over_histogram_not_raw_docs(spark, sf_dir):
             assert "sum(cnt#" in line, f"lang-only window over raw rows:\n{line}"
     # r8 exchange-reuse: the checkpoint is partitioned+sorted on
     # (lang, score_i) up front, so the post-checkpoint plan re-shuffles
-    # NOTHING doc-sized — the only shuffle exchange left is the
-    # histogram-sized per-lang one feeding the tercile bounds, and the
-    # doc-level tie-group window runs with no Sort of its own.
+    # NOTHING doc-sized. Asserted by PROPERTY, not node count (r8 ADVICE
+    # item 4 — exact counts break on Spark-minor plan-string changes
+    # without a real regression): every shuffle exchange left must be
+    # keyed by lang alone (histogram-sized), never by a doc-level key,
+    # and no Sort may order doc-level rows (the tie-group window
+    # inherits the checkpoint's (lang, score_i, doc_id) order).
     shuffles = [
         l for l in plan.splitlines() if "Exchange hashpartitioning" in l
     ]
-    assert len(shuffles) == 1, plan
-    assert re.search(r"hashpartitioning\(lang#\d+, \d+\)", shuffles[0]), shuffles[0]
-    # exactly one Sort too — the histogram-side per-lang cumulative
-    # window; the doc-level window inherits the checkpoint's sort order
-    assert plan.count("Sort [") == 1, plan
+    assert shuffles, plan  # the histogram-side per-lang exchange exists
+    for s in shuffles:
+        assert re.search(r"hashpartitioning\(lang#\d+, \d+\)", s), (
+            f"doc-sized re-shuffle survived the checkpoint:\n{s}"
+        )
+        assert "doc_id#" not in s and "score_i#" not in s, s
+    for line in plan.splitlines():
+        if "Sort [" in line:
+            assert "doc_id#" not in line, (
+                f"Sort over doc-level rows above the checkpoint:\n{line}"
+            )
 
 
 def test_weighted_percentile_window_over_histogram_not_raw_docs(spark, sf_dir):

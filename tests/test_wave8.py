@@ -14,16 +14,17 @@ from pyspark.sql import functions as F
 from terasort_spark.catalog import table
 from terasort_spark.operators.wave8 import (
     BLOOM_K,
-    BLOOM_M,
     CONTAIN_EST_TAU,
+    _bloom_m,
 )
 from terasort_spark.registry import queries
 
 _Q = queries()
 
 
-def _py_bloom_pos(h: str, k: int) -> int:
-    return int(hashlib.md5(f"{h}#{k}".encode()).hexdigest()[:4], 16) % BLOOM_M
+def _py_bloom_pos(h: str, k: int, m: int) -> int:
+    # 32-bit slice: 16 bits would alias once the data-sized M > 65536
+    return int(hashlib.md5(f"{h}#{k}".encode()).hexdigest()[:8], 16) % m
 
 
 def test_bloom_admitted_equals_exact_antijoin(spark, sf_dir):
@@ -63,23 +64,24 @@ def test_bloom_no_false_negatives(spark, sf_dir):
         .collect()
     )
     existing = {r["h"] for r in texts if r["doc_id"] % 5 == 0}
+    m = _bloom_m(len(existing))  # same data-sized M as the operator
     words = {}
     for h in existing:
         for k in range(BLOOM_K):
-            p = _py_bloom_pos(h, k)
+            p = _py_bloom_pos(h, k, m)
             words[p // 32] = words.get(p // 32, 0) | (1 << (p % 32))
     for h in existing:
         assert all(
-            (words.get(_py_bloom_pos(h, k) // 32, 0)
-             >> (_py_bloom_pos(h, k) % 32)) & 1
+            (words.get(_py_bloom_pos(h, k, m) // 32, 0)
+             >> (_py_bloom_pos(h, k, m) % 32)) & 1
             for k in range(BLOOM_K)
         )
     # and the operator's fast/verified routing agrees with this filter:
     # fast-path docs must be Bloom-MISSES, verified ones Bloom-hits
     for r in _Q["dedup_probabilistic"](spark, sf_dir).collect():
         might = all(
-            (words.get(_py_bloom_pos(r["h"], k) // 32, 0)
-             >> (_py_bloom_pos(r["h"], k) % 32)) & 1
+            (words.get(_py_bloom_pos(r["h"], k, m) // 32, 0)
+             >> (_py_bloom_pos(r["h"], k, m) % 32)) & 1
             for k in range(BLOOM_K)
         )
         assert r["path"] == ("verified" if might else "fast")
