@@ -115,3 +115,267 @@ def sink_ann_index(spark, sf_dir):
         .filter(F.col("rn") <= 3)
         .select("q_id", "c_id", "cosine", "rn")
     )
+
+
+def _ivfpq_oracle() -> str:
+    from terasort_spark.operators.llm_similarity import PQ_CODE_CTES
+
+    bucket_case = (
+        f"(CASE WHEN {_ivf_proj_sql(0)} > 0 THEN 1 ELSE 0 END)\n"
+        f"       + (CASE WHEN {_ivf_proj_sql(1)} > 0 THEN 2 ELSE 0 END)\n"
+        f"       + (CASE WHEN {_ivf_proj_sql(2)} > 0 THEN 4 ELSE 0 END)\n"
+        f"       + (CASE WHEN {_ivf_proj_sql(3)} > 0 THEN 8 ELSE 0 END)"
+    )
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+),
+{PQ_CODE_CTES},
+xb AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS v
+  FROM e
+),
+ib AS MATERIALIZED (
+  SELECT vec_id, {bucket_case} AS bucket
+  FROM xb
+),
+adots AS MATERIALIZED (
+  SELECT l.q_id, c.c_id, sum(l.pdot) AS adot
+  FROM codes c
+  JOIN lut l ON l.sub_id = c.sub_id AND l.cid = c.cid
+  JOIN ib qb ON qb.vec_id = l.q_id
+  JOIN ib cb ON cb.vec_id = c.c_id AND cb.bucket = qb.bucket
+  WHERE c.c_id != l.q_id
+  GROUP BY l.q_id, c.c_id
+),
+approx AS MATERIALIZED (
+  SELECT a.q_id, a.c_id,
+         (CAST(a.adot AS DOUBLE) / 1000000000000.0) / (qn.nrm * cn.nrm) AS acos
+  FROM adots a
+  JOIN norms qn ON qn.vec_id = a.q_id
+  JOIN norms cn ON cn.vec_id = a.c_id
+),
+shortlist AS MATERIALIZED (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY acos DESC, c_id) AS arn
+    FROM approx) WHERE arn <= 32
+)
+SELECT q_id, c_id, cosine, rn FROM (
+  SELECT s.q_id, s.c_id,
+         {o_rnd(_COSINE_SQL, "cosine")},
+         CAST(row_number() OVER (PARTITION BY s.q_id
+              ORDER BY {o_rnd(_COSINE_SQL)} DESC, s.c_id) AS INTEGER) AS rn
+  FROM shortlist s
+  JOIN e q ON q.vec_id = s.q_id
+  JOIN e c ON c.vec_id = s.c_id
+) WHERE rn <= 3
+"""
+
+
+@register("sim_cosine_ivfpq", oracle=_ivfpq_oracle())
+def sim_cosine_ivfpq(spark, sf_dir):
+    """FAISS-style IVF-PQ: the coarse 16-list IVF quantizer routes every
+    vector to a hive partition (sink_ann_index's disk layout) and each
+    vector is stored as PQ_SUB byte-sized PQ codes + its norm + the full
+    vector for the refine step. A probe (nprobe=1, the query's own
+    list) reads ONLY the matching partition directory — dynamic
+    partition pruning on the bucket join key — ADC-scores the codes in
+    that list against the query's lookup table, shortlists top-32 by
+    approximate cosine, and exact-re-ranks cosine top-3 from the stored
+    full vectors.
+
+    Composes the two proven pieces verbatim: the coarse quantizer is
+    sim_cosine_ivf's integer-hyperplane ivf_bucket and the codebooks/
+    codes/LUT come from _pq_train_encode (sim_cosine_pq's machinery —
+    shared function AND shared oracle CTE chain, so the three operators
+    can never drift). 100 TB: the scan cost per probe is
+    |probed lists|/16 of the corpus read as 8-byte codes (not
+    256-byte vectors); codebook training touches a PQ_K-seeded sample;
+    the refine step reads 32 full vectors per query. The quantized scan
+    and the directory pruning COMPOUND — this is the layout
+    billion-vector services actually deploy."""
+    from terasort_spark.operators.llm_similarity import (
+        _pq_train_encode,
+        dot_fold,
+    )
+
+    out = scratch_dir(spark, "ivfpq")
+    shutil.rmtree(out, ignore_errors=True)
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+        .withColumn(
+            "vu",
+            F.transform(
+                F.col("v"), lambda x: F.floor(x * 1000000 + F.lit(0.5)).cast("long")
+            ),
+        )
+    )
+    pq = _pq_train_encode(spark, e, q_cut=10)
+    if pq is None:  # empty corpus
+        return spark.createDataFrame(
+            [], "q_id bigint, c_id bigint, cosine double, rn int"
+        )
+    _sub, codes, lut = pq
+    dot = dot_fold
+    # pack per-vector codes into the compact array layout a real PQ
+    # index stores (array position == sub_id), norm alongside
+    code_arr = (
+        codes.groupBy("c_id")
+        .agg(F.array_sort(F.collect_list(F.struct("sub_id", "cid"))).alias("pm"))
+        .select(F.col("c_id").alias("vec_id"), F.col("pm.cid").alias("code"))
+    )
+    eb = e.withColumn("bucket", ivf_bucket(F.col("vu"))).withColumn(
+        "nrm", F.sqrt(dot(F.col("v"), F.col("v")))
+    )
+    idx_rows = eb.join(code_arr, "vec_id").select(
+        "vec_id", "v", "nrm", "code", "bucket"
+    )
+    idx_rows.write.mode("overwrite").partitionBy("bucket").parquet(out)
+    idx = spark.read.schema(idx_rows.schema).parquet(out)
+
+    # probe: broadcast query routing; the bucket join key IS the
+    # partition directory key -> DPP restricts the scan to probed lists
+    q = F.broadcast(
+        eb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+            "bucket",
+        )
+    )
+    cand = idx.join(q.select("q_id", "bucket"), "bucket").filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    adc = (
+        cand.select(
+            "q_id",
+            F.col("vec_id").alias("c_id"),
+            F.col("nrm").alias("cnrm"),
+            F.posexplode("code").alias("sub_id", "cid"),
+        )
+        .join(lut, ["q_id", "sub_id", "cid"])
+        .groupBy("q_id", "c_id", "cnrm")
+        .agg(F.sum("pdot").alias("adot"))
+    )
+    approx = adc.join(
+        F.broadcast(q.select("q_id", "qnrm")), "q_id"
+    ).withColumn(
+        "acos",
+        (F.col("adot").cast("double") / F.lit(1000000000000.0))
+        / (F.col("qnrm") * F.col("cnrm")),
+    )
+    wa = Window.partitionBy("q_id").orderBy(F.desc("acos"), F.asc("c_id"))
+    shortlist = (
+        approx.withColumn("arn", F.row_number().over(wa))
+        .filter(F.col("arn") <= 32)
+        .select("q_id", "c_id")
+    )
+    # refine: exact cosine over the 32 stored full vectors per query
+    cv = idx.select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
+    exact = (
+        shortlist.join(F.broadcast(q.select("q_id", "qv")), "q_id")
+        .join(cv, "c_id")
+        .withColumn(
+            "cosine",
+            rnd(
+                dot(F.col("qv"), F.col("cv"))
+                / (
+                    F.sqrt(dot(F.col("qv"), F.col("qv")))
+                    * F.sqrt(dot(F.col("cv"), F.col("cv")))
+                )
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        exact.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("q_id", "c_id", "cosine", "rn")
+    )
+
+
+_ANN_INC_SCHEMA = "vec_id bigint, emb array<double>, src string, bucket int"
+
+
+def _ann_inc_bucketed(spark, sf_dir, src_filter, src_tag):
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull() & src_filter)
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+        )
+    )
+    xu = F.transform(
+        F.col("emb"), lambda x: F.floor(x * 1000000 + F.lit(0.5)).cast("long")
+    )
+    return e.withColumn("src", F.lit(src_tag)).withColumn(
+        "bucket", ivf_bucket(xu)
+    )
+
+
+def _ann_inc_build(spark, sf_dir, out):
+    """Phase 1: full build of the base IVF layout (vec_id % 10 != 0)."""
+    shutil.rmtree(out, ignore_errors=True)
+    base = _ann_inc_bucketed(spark, sf_dir, F.col("vec_id") % 10 != 0, "base")
+    base.write.mode("overwrite").partitionBy("bucket").parquet(out)
+
+
+def _ann_inc_ingest(spark, sf_dir, out):
+    """Phase 2: APPEND the new batch (vec_id % 10 == 0) into the same
+    layout. mode('append') + partitionBy only ADDS files under the
+    buckets the batch routes to; every existing base file is untouched
+    (asserted file-level in tests/test_wave9.py)."""
+    batch = _ann_inc_bucketed(spark, sf_dir, F.col("vec_id") % 10 == 0, "batch")
+    batch.write.mode("append").partitionBy("bucket").parquet(out)
+
+
+@register(
+    "sink_ann_incremental",
+    oracle=f"""
+WITH xu AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS v
+  FROM embeddings WHERE embedding IS NOT NULL
+)
+SELECT vec_id,
+       (CASE WHEN {_ivf_proj_sql(0)} > 0 THEN 1 ELSE 0 END)
+     + (CASE WHEN {_ivf_proj_sql(1)} > 0 THEN 2 ELSE 0 END)
+     + (CASE WHEN {_ivf_proj_sql(2)} > 0 THEN 4 ELSE 0 END)
+     + (CASE WHEN {_ivf_proj_sql(3)} > 0 THEN 8 ELSE 0 END) AS bucket,
+       CASE WHEN vec_id % 10 = 0 THEN 'batch' ELSE 'base' END AS src
+FROM xu
+""",
+)
+def sink_ann_incremental(spark, sf_dir):
+    """Incremental ANN index maintenance — the ingest twin of
+    dedup_fuzzy_ingest: a new embedding batch (vec_id % 10 == 0) is
+    appended into the existing hive-partitioned IVF layout WITHOUT
+    rebuilding untouched lists. The coarse quantizer routes each new
+    vector to its bucket directory and mode('append') adds files only
+    there — base files are never rewritten (file-level mtime/size
+    assertion in tests/test_wave9.py), which is what makes a 100 TB
+    index maintainable: ingest cost is O(batch), not O(index), and
+    readers keep dynamic partition pruning over the same directory
+    keys (sink_ann_index / sim_cosine_ivfpq share this layout).
+
+    The returned frame is the full index read back — every vector with
+    its list assignment and provenance — which must equal the from-
+    scratch relational assignment (the oracle): append-maintenance is
+    an execution strategy, never a semantics change."""
+    out = scratch_dir(spark, "ann_inc")
+    _ann_inc_build(spark, sf_dir, out)
+    _ann_inc_ingest(spark, sf_dir, out)
+    return (
+        spark.read.schema(_ANN_INC_SCHEMA).parquet(out)
+        .select("vec_id", "bucket", "src")
+    )

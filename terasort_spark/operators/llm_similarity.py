@@ -970,13 +970,131 @@ PQ_K = 16  # codewords per subspace
 PQ_TRAIN_ITER = 1  # Lloyd rounds per subspace codebook (1 beats 2 on recall here)
 
 
-@register(
-    "sim_cosine_pq",
-    oracle=f"""
-WITH e AS MATERIALIZED (
-  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
-),
-subcells AS MATERIALIZED (
+def _pq_idot(x, y):
+    return F.aggregate(
+        F.zip_with(x, y, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+
+
+def _pq_id2(x, y):
+    return F.aggregate(
+        F.zip_with(x, y, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+
+
+def _pq_train_encode(spark, e, q_cut: int = 10):
+    """Shared PQ machinery for sim_cosine_pq and sim_cosine_ivfpq
+    (extracted verbatim in r9 so the two operators can never train
+    divergent codebooks): seed codebooks from the PQ_K smallest-id
+    vectors, run PQ_TRAIN_ITER integer Lloyd rounds per subspace,
+    encode every vector, and build the per-query ADC lookup table for
+    vec_id < q_cut. ``e`` must carry (vec_id, v double[], vu long[]).
+
+    Returns None on an empty corpus, else (sub, codes, lut) where
+    sub = (vec_id, sub_id, sv long[]) subvector rows,
+    codes = (c_id, sub_id, cid) assignments,
+    lut = broadcast (q_id, sub_id, cid, pdot) integer partial dots."""
+    seed = e.filter(F.col("vec_id") < PQ_K).collect()
+    if not seed:  # empty corpus → no codebooks, not a crash
+        return None
+    dim = len(seed[0]["v"])
+    assert dim % PQ_SUB == 0, (
+        f"embedding dim {dim} not divisible by PQ_SUB={PQ_SUB}: the "
+        "trailing dim % PQ_SUB dimensions would silently drop out of "
+        "codebooks and the ADC scan, degrading shortlist recall"
+    )
+    subdim = dim // PQ_SUB
+    subvecs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sub_id"),
+                F.slice("vu", s * subdim + 1, subdim).alias("sv"),
+            )
+            for s in range(PQ_SUB)
+        ]
+    )
+    sub = e.select("vec_id", F.explode(subvecs).alias("p")).select(
+        "vec_id", "p.sub_id", "p.sv"
+    )
+
+    train = sub  # codebook training set; at 100 TB swap in a %-sample —
+    # recall then depends on sample size per codeword, not corpus size
+    cb_rows = [
+        (
+            s,
+            int(r["vec_id"]),
+            [int(x) for x in list(r["vu"])[s * subdim : (s + 1) * subdim]],
+        )
+        for r in seed
+        for s in range(PQ_SUB)
+    ]
+    for _ in range(PQ_TRAIN_ITER):
+        cb = F.broadcast(
+            spark.createDataFrame(
+                cb_rows, "sub_id int, cid int, cvec array<long>"
+            )
+        )
+        best = (
+            train.join(cb, "sub_id")
+            .withColumn("d2", _pq_id2(F.col("sv"), F.col("cvec")))
+            .groupBy("vec_id", "sub_id")
+            .agg(F.min(F.struct("d2", "cid")).alias("m"))
+            .select("vec_id", "sub_id", F.col("m.cid").alias("cid"))
+        )
+        updated = (
+            train.join(best, ["vec_id", "sub_id"])
+            .select("sub_id", "cid", F.posexplode("sv").alias("pos", "val"))
+            .groupBy("sub_id", "cid", "pos")
+            # integer re-quantized mean — one deterministic double
+            # division, the emb_kmeans centroid contract
+            .agg(
+                F.floor(
+                    F.sum("val").cast("double") / F.count(F.lit(1)) + F.lit(0.5)
+                )
+                .cast("long")
+                .alias("m")
+            )
+            .groupBy("sub_id", "cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("sub_id", "cid", F.col("pm.m").alias("cvec"))
+            .collect()
+        )
+        got = {(r["sub_id"], r["cid"]): [int(x) for x in r["cvec"]] for r in updated}
+        cb_rows = [
+            (s, c, got.get((s, c), old)) for s, c, old in cb_rows
+        ]
+    cb = F.broadcast(
+        spark.createDataFrame(cb_rows, "sub_id int, cid int, cvec array<long>")
+    )
+    codes = (
+        sub.join(cb, "sub_id")
+        .withColumn("d2", _pq_id2(F.col("sv"), F.col("cvec")))
+        .groupBy("vec_id", "sub_id")
+        .agg(F.min(F.struct("d2", "cid")).alias("m"))
+        .select(
+            F.col("vec_id").alias("c_id"), "sub_id", F.col("m.cid").alias("cid")
+        )
+    )
+    lut = F.broadcast(
+        sub.filter(F.col("vec_id") < q_cut)
+        .select(F.col("vec_id").alias("q_id"), "sub_id", F.col("sv").alias("qsv"))
+        .join(cb, "sub_id")
+        .select(
+            "q_id", "sub_id", "cid", _pq_idot(F.col("qsv"), F.col("cvec")).alias("pdot")
+        )
+    )
+    return sub, codes, lut
+
+
+# Shared PQ-codebook oracle chain (train -> encode -> LUT -> norms),
+# consumed by sim_cosine_pq AND sim_cosine_ivfpq (ann_index.py) so the
+# two operators can never grade against divergent codebooks. Depends
+# only on a preceding CTE `e(vec_id, embedding)`.
+PQ_CODE_CTES = f"""subcells AS MATERIALIZED (
   SELECT vec_id,
          CAST((i - 1) // (len(embedding) // {PQ_SUB}) AS INTEGER) AS sub_id,
          CAST((i - 1) % (len(embedding) // {PQ_SUB}) AS INTEGER) AS pos,
@@ -1026,7 +1144,16 @@ lut AS MATERIALIZED (
 ),
 norms AS MATERIALIZED (
   SELECT vec_id, sqrt({_dot_sql('embedding', 'embedding')}) AS nrm FROM e
+)"""
+
+
+@register(
+    "sim_cosine_pq",
+    oracle=f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
 ),
+{PQ_CODE_CTES},
 adots AS MATERIALIZED (
   SELECT l.q_id, c.c_id, sum(l.pdot) AS adot
   FROM codes c JOIN lut l ON l.sub_id = c.sub_id AND l.cid = c.cid
@@ -1084,8 +1211,6 @@ def sim_cosine_pq(spark, sf_dir):
     only (q_id, c_id, partial) triples with map-side combine. No
     all-pairs step anywhere. Candidate norms ride alongside the codes
     (exact), as real PQ indexes store them."""
-    import math
-
     e = (
         table(spark, sf_dir, "embeddings")
         .filter(F.col("embedding").isNotNull())  # null vectors are unscoreable
@@ -1103,115 +1228,14 @@ def sim_cosine_pq(spark, sf_dir):
             F.col("v"), lambda x: F.floor(x * 1000000 + F.lit(0.5)).cast("long")
         ),
     )
-    # one driver job seeds everything: the PQ_K smallest-id vectors give
-    # both the dimensionality and the initial codebooks (sliced locally)
-    seed = e.filter(F.col("vec_id") < PQ_K).collect()
-    if not seed:  # empty corpus → no codebooks, not a crash
+    pq = _pq_train_encode(spark, e, q_cut=10)
+    if pq is None:  # empty corpus → no codebooks, not a crash
         return spark.createDataFrame(
             [], "q_id bigint, c_id bigint, cosine double, rn int"
         )
-    dim = len(seed[0]["v"])
-    assert dim % PQ_SUB == 0, (
-        f"embedding dim {dim} not divisible by PQ_SUB={PQ_SUB}: the "
-        "trailing dim % PQ_SUB dimensions would silently drop out of "
-        "codebooks and the ADC scan, degrading shortlist recall"
-    )
-    subdim = dim // PQ_SUB
-    subvecs = F.array(
-        *[
-            F.struct(
-                F.lit(s).alias("sub_id"),
-                F.slice("vu", s * subdim + 1, subdim).alias("sv"),
-            )
-            for s in range(PQ_SUB)
-        ]
-    )
-    sub = e.select("vec_id", F.explode(subvecs).alias("p")).select(
-        "vec_id", "p.sub_id", "p.sv"
-    )
+    _sub, codes, lut = pq
 
     dot = dot_fold
-
-    def idot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda a, b: a * b),
-            F.lit(0).cast("long"),
-            lambda acc, t: acc + t,
-        )
-
-    def id2(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, t: acc + t,
-        )
-
-    train = sub  # codebook training set; at 100 TB swap in a %-sample —
-    # recall then depends on sample size per codeword, not corpus size
-    cb_rows = [
-        (
-            s,
-            int(r["vec_id"]),
-            [int(x) for x in list(r["vu"])[s * subdim : (s + 1) * subdim]],
-        )
-        for r in seed
-        for s in range(PQ_SUB)
-    ]
-    for _ in range(PQ_TRAIN_ITER):
-        cb = F.broadcast(
-            spark.createDataFrame(
-                cb_rows, "sub_id int, cid int, cvec array<long>"
-            )
-        )
-        best = (
-            train.join(cb, "sub_id")
-            .withColumn("d2", id2(F.col("sv"), F.col("cvec")))
-            .groupBy("vec_id", "sub_id")
-            .agg(F.min(F.struct("d2", "cid")).alias("m"))
-            .select("vec_id", "sub_id", F.col("m.cid").alias("cid"))
-        )
-        updated = (
-            train.join(best, ["vec_id", "sub_id"])
-            .select("sub_id", "cid", F.posexplode("sv").alias("pos", "val"))
-            .groupBy("sub_id", "cid", "pos")
-            # integer re-quantized mean — one deterministic double
-            # division, the emb_kmeans centroid contract
-            .agg(
-                F.floor(
-                    F.sum("val").cast("double") / F.count(F.lit(1)) + F.lit(0.5)
-                )
-                .cast("long")
-                .alias("m")
-            )
-            .groupBy("sub_id", "cid")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select("sub_id", "cid", F.col("pm.m").alias("cvec"))
-            .collect()
-        )
-        got = {(r["sub_id"], r["cid"]): [int(x) for x in r["cvec"]] for r in updated}
-        cb_rows = [
-            (s, c, got.get((s, c), old)) for s, c, old in cb_rows
-        ]
-    cb = F.broadcast(
-        spark.createDataFrame(cb_rows, "sub_id int, cid int, cvec array<long>")
-    )
-    codes = (
-        sub.join(cb, "sub_id")
-        .withColumn("d2", id2(F.col("sv"), F.col("cvec")))
-        .groupBy("vec_id", "sub_id")
-        .agg(F.min(F.struct("d2", "cid")).alias("m"))
-        .select(
-            F.col("vec_id").alias("c_id"), "sub_id", F.col("m.cid").alias("cid")
-        )
-    )
-    lut = F.broadcast(
-        sub.filter(F.col("vec_id") < 10)
-        .select(F.col("vec_id").alias("q_id"), "sub_id", F.col("sv").alias("qsv"))
-        .join(cb, "sub_id")
-        .select(
-            "q_id", "sub_id", "cid", idot(F.col("qsv"), F.col("cvec")).alias("pdot")
-        )
-    )
     norms = e.select("vec_id", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"))
     approx = (
         codes.join(lut, ["sub_id", "cid"])

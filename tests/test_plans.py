@@ -570,3 +570,18 @@ def test_token_budget_windows_over_histogram_and_tie_slice_only(spark, sf_dir):
             continue
         if re.search(r"\], \[lang#\d+\](?:, \[|\s*$)", line):
             assert "btok#" in line, f"lang-only window over raw rows:\n{line}"
+
+
+def test_ivfpq_probe_is_dynamically_partition_pruned(spark, sf_dir):
+    """sim_cosine_ivfpq: both index consumers — the ADC code scan and
+    the refine-step full-vector read — must carry a dynamic-partition-
+    pruning expression on the bucket directory key, so a probe touches
+    only the probed lists' directories at any index size."""
+    plan = executed_plan(_Q["sim_cosine_ivfpq"](spark, sf_dir))
+    scan = [
+        l
+        for l in plan.splitlines()
+        if "FileScan" in l and "terasort_spark_ivfpq" in l
+    ]
+    assert scan, plan
+    assert any("dynamicpruning" in l for l in scan), scan
