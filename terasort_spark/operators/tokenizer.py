@@ -290,3 +290,184 @@ def text_bpe_encode(spark, sf_dir):
             / 10000,
         )
     )
+
+
+# --- unigram-LM tokenizer (SentencePiece-style) --------------------------
+
+UNI_MAXLEN = 15  # words longer than this are out of segmentation scope
+UNI_PIECE_LEN = 4  # max candidate piece length
+UNI_MULTI_KEEP = 400  # multi-char pieces kept (all single chars always kept)
+UNI_TOP_WORDS = 200  # output rows: most frequent words
+
+
+def _unigram_pieces(word_counts):
+    """Candidate piece inventory over the word histogram: every
+    substring of length 1..UNI_PIECE_LEN weighted by word frequency;
+    keep ALL single chars (coverage guarantee) plus the UNI_MULTI_KEEP
+    most frequent multi-char pieces. Returns {piece: logp_i} with
+    logp_i = floor(ln(count/total) * 1e6 + 0.5) int64 micro-units."""
+    import math
+
+    counts: dict[str, int] = {}
+    for w, n in word_counts:
+        for s in range(len(w)):
+            for ln in range(1, UNI_PIECE_LEN + 1):
+                if s + ln <= len(w):
+                    p = w[s : s + ln]
+                    counts[p] = counts.get(p, 0) + n
+    singles = {p: c for p, c in counts.items() if len(p) == 1}
+    multis = sorted(
+        ((p, c) for p, c in counts.items() if len(p) > 1),
+        key=lambda pc: (-pc[1], pc[0]),
+    )[:UNI_MULTI_KEEP]
+    kept = dict(singles)
+    kept.update(dict(multis))
+    total = sum(kept.values())
+    return {
+        p: math.floor(math.log(c / total) * 1000000 + 0.5)
+        for p, c in kept.items()
+    }
+
+
+def _unigram_viterbi(word, logp):
+    """Viterbi segmentation under the unigram model: maximize total
+    piece log-prob, ties broken by FEWER pieces — encoded as one int64
+    comb = score_i * 64 - n_pieces so the DP max is a plain integer
+    max (n_pieces < 64 by UNI_MAXLEN). Returns (score_i, n_pieces)."""
+    NEG = None
+    best: list[int | None] = [0] + [NEG] * len(word)
+    for j in range(1, len(word) + 1):
+        cands = []
+        for ln in range(1, min(UNI_PIECE_LEN, j) + 1):
+            piece = word[j - ln : j]
+            prev = best[j - ln]
+            if prev is not None and piece in logp:
+                cands.append(prev + logp[piece] * 64 - 1)
+        best[j] = max(cands) if cands else NEG
+    comb = best[len(word)]
+    assert comb is not None  # single chars are always pieces
+    n_pieces = (-comb) % 64
+    score_i = (comb + n_pieces) // 64
+    return score_i, n_pieces
+
+
+def _unigram_oracle() -> str:
+    """The whole pipeline as unrolled SQL: histogram -> piece inventory
+    -> integer log-probs -> UNI_MAXLEN Viterbi layers (one CTE per
+    position j; each unions the <=UNI_PIECE_LEN back-transitions as
+    substr-keyed joins against the piece table) -> top-UNI_TOP_WORDS
+    report. The comb = score*64 - n_pieces encoding makes max() the
+    full lexicographic (score, fewer-pieces) objective."""
+    lens = ",".join(str(i) for i in range(1, UNI_PIECE_LEN + 1))
+    parts = [
+        f"""
+vocab AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS n
+  FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS w
+    FROM documents
+    WHERE text IS NOT NULL AND length(text) > 0
+  )
+  WHERE length(w) > 0
+  GROUP BY w
+  ORDER BY n DESC, w
+  LIMIT {VOCAB_CAP}
+),
+v15 AS MATERIALIZED (
+  SELECT w, n FROM vocab WHERE length(w) <= {UNI_MAXLEN}
+),
+cand AS MATERIALIZED (
+  SELECT substr(w, s, l) AS piece, SUM(n) AS cnt
+  FROM (SELECT w, n, unnest(generate_series(1, length(w))) AS s FROM v15)
+  CROSS JOIN (SELECT unnest([{lens}]) AS l)
+  WHERE s + l - 1 <= length(w)
+  GROUP BY substr(w, s, l)
+),
+kept AS MATERIALIZED (
+  SELECT piece, cnt FROM cand WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt,
+           row_number() OVER (ORDER BY cnt DESC, piece) AS rk
+    FROM cand WHERE length(piece) > 1
+  ) WHERE rk <= {UNI_MULTI_KEEP}
+),
+pieces AS MATERIALIZED (
+  SELECT piece,
+         CAST(floor(ln(CAST(cnt AS DOUBLE) / (SELECT sum(cnt) FROM kept))
+                    * 1000000 + 0.5) AS BIGINT) * 64 - 1 AS lp64
+  FROM kept
+),
+d0 AS MATERIALIZED (
+  SELECT w, CAST(0 AS BIGINT) AS comb FROM v15
+)"""
+    ]
+    for j in range(1, UNI_MAXLEN + 1):
+        branches = []
+        for ln in range(1, min(UNI_PIECE_LEN, j) + 1):
+            branches.append(
+                f"""SELECT d.w, d.comb + p.lp64 AS c
+      FROM d{j - ln} d JOIN pieces p
+        ON p.piece = substr(d.w, {j - ln + 1}, {ln})
+      WHERE length(d.w) >= {j}"""
+            )
+        u = "\n      UNION ALL ".join(branches)
+        parts.append(
+            f"""
+d{j} AS MATERIALIZED (
+  SELECT t.w, max(t.c) AS comb FROM (
+      {u}
+  ) t GROUP BY t.w
+)"""
+        )
+    finals = "\n  UNION ALL ".join(
+        f"SELECT w, comb FROM d{j} WHERE length(w) = {j}"
+        for j in range(1, UNI_MAXLEN + 1)
+    )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f""",
+fin AS MATERIALIZED (
+  {finals}
+)
+SELECT v.w, v.n,
+       CAST((-f.comb) % 64 AS INTEGER) AS n_pieces,
+       CAST((f.comb + (-f.comb) % 64) // 64 AS DOUBLE) / 1000000 AS logprob
+FROM (SELECT w, n FROM v15 ORDER BY n DESC, w LIMIT {UNI_TOP_WORDS}) v
+JOIN fin f USING (w)
+"""
+    )
+
+
+@register("text_unigram_lm", oracle=_unigram_oracle())
+def text_unigram_lm(spark, sf_dir):
+    """SentencePiece-style unigram-LM tokenizer: build a candidate
+    piece inventory (all substrings up to UNI_PIECE_LEN, weighted by
+    the word histogram; all single chars kept for coverage plus the
+    UNI_MULTI_KEEP most frequent multi-char pieces), assign each piece
+    ln(count/total) in integer micro-units, and Viterbi-segment every
+    vocab word — maximize total piece log-prob, ties to fewer pieces.
+    Emits the UNI_TOP_WORDS most frequent words with their optimal
+    segmentation size and log-prob, the statistic unigram vocab
+    pruning ranks pieces by.
+
+    Architecture mirrors text_bpe_train (the r9 VERDICT's pairing):
+    the ONE corpus-sized step is the word histogram shuffle; piece
+    inventory and Viterbi run over vocab-sized driver model state.
+    Exact oracle: the DP is unrolled into UNI_MAXLEN positional CTEs —
+    layer j maxes over <=UNI_PIECE_LEN substr-keyed joins against the
+    piece table — with the (score, fewer-pieces) objective packed into
+    one int64 (score_i * 64 - n_pieces) so max() is exact; integer
+    log-prob sums make the comparison engine-portable."""
+    wc = [(r["w"], int(r["n"])) for r in _word_counts(spark, sf_dir).collect()]
+    wc15 = [(w, n) for w, n in wc if len(w) <= UNI_MAXLEN]
+    logp = _unigram_pieces(wc15)
+    top = sorted(wc15, key=lambda t: (-t[1], t[0]))[:UNI_TOP_WORDS]
+    rows = []
+    for w, n in top:
+        score_i, n_pieces = _unigram_viterbi(w, logp)
+        rows.append((w, n, n_pieces, score_i / 1000000.0))
+    return spark.createDataFrame(
+        rows, "w string, n bigint, n_pieces int, logprob double"
+    )

@@ -155,3 +155,64 @@ def test_oracle_greedy_alternation_on_overlapping_runs(spark, tmp_path):
     top = _Q["text_bpe_train"](spark, str(tmp_path)).collect()[0]
     assert (top["left"], top["right"]) == ("a", "a")
     con.close()
+
+
+def test_unigram_viterbi_matches_bruteforce_enumeration(spark, sf_dir):
+    """The DP (and therefore the unrolled SQL oracle graded against it)
+    must pick the TRUE optimum: enumerate every segmentation of every
+    output word by brute force and compare (score, n_pieces) under the
+    same (max score, then fewest pieces) objective."""
+    from itertools import product as _product
+
+    from terasort_spark.operators.tokenizer import (
+        UNI_PIECE_LEN,
+        _unigram_pieces,
+        _word_counts,
+    )
+
+    wc = [(r["w"], int(r["n"])) for r in _word_counts(spark, sf_dir).collect()]
+    logp = _unigram_pieces(wc)
+
+    def brute(word):
+        best = None
+        # compositions of len(word) into parts of size 1..UNI_PIECE_LEN
+        def rec(i, score, k):
+            nonlocal best
+            if i == len(word):
+                cand = (score, -k)
+                if best is None or cand > best:
+                    best = cand
+                return
+            for ln in range(1, UNI_PIECE_LEN + 1):
+                if i + ln <= len(word) and word[i : i + ln] in logp:
+                    rec(i + ln, score + logp[word[i : i + ln]], k + 1)
+
+        rec(0, 0, 0)
+        return best
+
+    rows = _Q["text_unigram_lm"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        want = brute(r["w"])
+        assert want is not None
+        score_i, neg_k = want
+        assert r["n_pieces"] == -neg_k, (r, want)
+        assert abs(r["logprob"] - score_i / 1e6) < 1e-12, (r, want)
+
+
+def test_unigram_prefers_frequent_multichar_pieces():
+    """Unit semantics: a corpus dominated by one word must segment that
+    word into few pieces (its substrings dominate the inventory), and
+    every score is a valid log-prob sum (negative)."""
+    from terasort_spark.operators.tokenizer import (
+        _unigram_pieces,
+        _unigram_viterbi,
+    )
+
+    wc = [("banana", 1000), ("x", 1)]
+    logp = _unigram_pieces(wc)
+    score, k = _unigram_viterbi("banana", logp)
+    assert k <= 2  # 'bana'+'na' or better — never 6 single chars
+    assert score < 0
+    s1, k1 = _unigram_viterbi("x", logp)
+    assert k1 == 1 and s1 == logp["x"]
