@@ -73,6 +73,24 @@ def main() -> None:
         spark.catalog.clearCache()
     total = round(sum(medians.values()), 3)
     sf = _sf_from_dir(SF_DIR)
+    # Machine-detectable ambient drift (r8 VERDICT task 7): the median
+    # per-query ratio vs the previously committed snapshot. Host load
+    # shows up as a UNIFORM ~1.1-1.25x ratio across all queries; a real
+    # regression moves individual queries. >1.15 here means "re-run
+    # solo before trusting absolute numbers", documented in BASELINE.md.
+    ambient = None
+    try:
+        with open(os.path.join(REPO, "BENCH_QUERIES.json")) as f:
+            prev = json.load(f).get("queries", {})
+        ratios = sorted(
+            medians[n] / prev[n]
+            for n in medians
+            if n in prev and prev[n] > 0
+        )
+        if ratios:
+            ambient = round(ratios[len(ratios) // 2], 3)
+    except (OSError, ValueError):
+        pass
     # Full per-query map: separate stdout line + file. The FINAL stdout
     # line must stay compact (a few hundred bytes) — the driver keeps
     # only a short tail of output, and r1's single 186-entry line was
@@ -84,6 +102,7 @@ def main() -> None:
         "queries": medians,
         "sf": sf,
         "n_queries": len(medians),
+        "ambient_vs_prev_snapshot": ambient,
     }
     print(json.dumps(full))
     # A BENCH_ONLY-filtered run is a local iteration aid; only a full
@@ -106,6 +125,7 @@ def main() -> None:
                 "queries": slowest,
                 "sf": sf,
                 "n_queries": len(medians),
+                "ambient_vs_prev_snapshot": ambient,
             }
         )
     )
