@@ -356,15 +356,32 @@ def agg_heavyhitters(spark, sf_dir):
     that makes CM work as a streaming/distributed sketch). The estimate
     join broadcasts those 4096 cells back against the distinct tokens.
     Output: top 20 tokens by estimated count, rank materialized
-    (SURVEY.md §2b rule D3), ties broken on token text."""
-    d = table(spark, sf_dir, "documents").select(
-        F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    (SURVEY.md §2b rule D3), ties broken on token text.
+
+    r10 perf rewrite (identical hashes — a CM cell's count is the SUM
+    of the term frequencies of the tokens hashing into it): aggregate
+    the corpus to an exact per-token frequency table FIRST (one scan,
+    one map-side-combined shuffle — the same shuffle the old
+    d.distinct() already paid), then hash each DISTINCT token once and
+    weight its cells by tf. The old form md5-hashed every token
+    OCCURRENCE and scanned/exploded the corpus twice (sketch branch +
+    distinct branch); this form does the expensive string hashing
+    |vocab| times instead of |corpus| times and scans documents once
+    (the tf table is checkpoint-pinned for both consumers). Addresses
+    the r9 VERDICT 2.17x-vs-baseline flag at the root instead of
+    re-freezing the baseline."""
+    tf = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
     )
-    # Hash dial (r6 VERDICT task 4): md5 once per row + CM_DEPTH cheap
-    # slice/mod projections (default, DuckDB-replayable) — or, for the
-    # 100 TB scan-bound path, CM_DEPTH seeded xxhash64 calls (JVM
-    # intrinsic, no hex digest materialized; measured 2.4x cheaper at
-    # sf0.1). Sketch structure (depth x width, min-estimate) identical.
+    # Hash dial (r6 VERDICT task 4): md5 once per distinct token +
+    # CM_DEPTH cheap slice/mod projections (default, DuckDB-replayable)
+    # — or, for the 100 TB scan-bound path, CM_DEPTH seeded xxhash64
+    # calls (JVM intrinsic, no hex digest materialized). Sketch
+    # structure (depth x width, min-estimate) identical.
     if token_hash_mode(spark) == "xxhash64":
         def bucket(i):
             return F.pmod(F.xxhash64(F.lit(i), F.col("tok")), F.lit(CM_WIDTH))
@@ -383,16 +400,13 @@ def agg_heavyhitters(spark, sf_dir):
             for i in range(CM_DEPTH)
         ]
     )
-    sketch = (
-        d.select(F.explode(cells).alias("c"))
-        .groupBy("c.depth", "c.bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    placed = tf.select("tok", "tf", F.explode(cells).alias("c")).select(
+        "tok", "tf", "c.depth", "c.bucket"
     )
-    tokens = d.distinct().select("tok", F.explode(cells).alias("c")).select(
-        "tok", "c.depth", "c.bucket"
-    )
+    sketch = placed.groupBy("depth", "bucket").agg(F.sum("tf").alias("cnt"))
     est = (
-        tokens.join(F.broadcast(sketch), ["depth", "bucket"])
+        placed.select("tok", "depth", "bucket")
+        .join(F.broadcast(sketch), ["depth", "bucket"])
         .groupBy("tok")
         .agg(F.min("cnt").alias("est"))
     )

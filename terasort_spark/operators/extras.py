@@ -552,14 +552,22 @@ def ml_linreg(spark, sf_dir):
 @register(
     "source_binaryfile",
     # replays the per-region blob construction relationally: the file
-    # bytes ARE the ordered nation lines, so length and the first-KiB
-    # md5 are pure functions of the nation table
+    # bytes ARE a non-ASCII '§<region>' marker line + the ordered
+    # nation lines. BYTE-exact replay (r9 ADVICE): this DuckDB's md5()
+    # only takes VARCHAR and substring() only slices characters, so the
+    # oracle goes through encode() (VARCHAR -> UTF-8 BLOB) for
+    # octet_length and fingerprints the HEX of the first 1024 bytes
+    # (2048 hex chars — always ASCII, so md5-of-hex is byte-exact on
+    # both engines no matter what bytes the blob holds; the old
+    # md5(substr(body,...)) was character semantics and held only
+    # because the content happened to be ASCII).
     oracle="""
 SELECT 'region_' || r_regionkey || '.bin' AS file_name,
-       CAST(length(body) AS BIGINT) AS length,
-       md5(substr(body, 1, 1024)) AS head_md5
+       CAST(octet_length(encode(body)) AS BIGINT) AS length,
+       md5(substr(hex(encode(body)), 1, 2048)) AS head_md5
 FROM (
   SELECT n.n_regionkey AS r_regionkey,
+         '§' || n.n_regionkey || chr(10) ||
          string_agg(n.n_nationkey || '|' || n.n_name, chr(10)
                     ORDER BY n.n_nationkey) AS body
   FROM nation n GROUP BY n.n_regionkey
@@ -574,12 +582,18 @@ def source_binaryfile(spark, sf_dir):
 
     Upgraded rows-only → exact oracle in r9: raw corpus-file sizes are
     environment-specific, so the operator stages its own deterministic
-    blobs (one file per region, bytes = the region's nation rows in key
-    order) and ingests them through the REAL binaryFile source, then
-    projects only content-derived columns: path tail, byte length, and
-    an md5 of the first KiB — exactly what a media-ingest manifest
-    records. The oracle rebuilds each blob relationally, so the whole
-    read path (glob → whole-file bytes → fingerprint) is hash-checked."""
+    blobs (one file per region, a non-ASCII '§<region>' marker line +
+    the region's nation rows in key order) and ingests them through the
+    REAL binaryFile source, then projects only content-derived columns:
+    path tail, BYTE length, and a fingerprint of the first KiB of BYTES
+    — exactly what a media-ingest manifest records. The fingerprint is
+    md5 over the uppercase HEX of those bytes (not the bytes
+    themselves): hex is ASCII, so the same md5 computes byte-exactly in
+    DuckDB (whose md5 is VARCHAR-only) for ANY blob content — the '§'
+    marker (2 UTF-8 bytes, 1 char) exists precisely to catch a
+    char-semantics regression in either engine (r9 ADVICE). The oracle
+    rebuilds each blob relationally, so the whole read path (glob →
+    whole-file bytes → fingerprint) is hash-checked."""
     out = _roundtrip_dir(spark, "binaryfile")
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
@@ -590,7 +604,7 @@ def source_binaryfile(spark, sf_dir):
     for r in nations:
         by_region.setdefault(r.n_regionkey, []).append(r)
     for rk, rows in by_region.items():
-        body = "\n".join(
+        body = f"§{rk}\n" + "\n".join(
             f"{r.n_nationkey}|{r.n_name}"
             for r in sorted(rows, key=lambda r: r.n_nationkey)
         )
@@ -604,7 +618,7 @@ def source_binaryfile(spark, sf_dir):
     return d.select(
         F.element_at(F.split("path", "/"), -1).alias("file_name"),
         F.col("length"),
-        F.md5(F.expr("substring(content, 1, 1024)")).alias("head_md5"),
+        F.md5(F.hex(F.expr("substring(content, 1, 1024)"))).alias("head_md5"),
     ).orderBy("file_name")
 
 

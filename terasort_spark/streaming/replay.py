@@ -13,6 +13,7 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from terasort_spark.catalog import table
 
@@ -28,36 +29,73 @@ def stage_chunks(
     out_dir: str,
     n_chunks: int = 4,
     order_by: tuple = ("event_id",),
+    src: DataFrame | None = None,
+    schema: str = EVENTS_SCHEMA,
 ):
-    """Split events into n_chunks files by ``order_by`` range (the
+    """Split a table into n_chunks files by ``order_by`` range (the
     default event_id order is roughly time-ordered, like a real stream).
     Pass ``order_by=("ts", "event_id")`` for strictly nondecreasing
     event time — then no event is ever late relative to the watermark,
     which makes append-mode window aggregation drop-free and therefore
     equal to the batch twin. Returns the list of chunk-staging callables
-    so tests control arrival order."""
-    ev = table(spark, sf_dir, "events").orderBy(*order_by).collect()
+    so tests control arrival order. ``src`` overrides the default
+    events table (any DataFrame with ``schema``), so document streams
+    replay through the same harness.
+
+    DISTRIBUTED since r10 (r9 VERDICT task 8): the old form collected
+    the whole table to the driver and re-created per-chunk DataFrames —
+    fine at sf0.01, corpus-sized driver state in package source. Now the
+    chunking IS a range exchange: ``repartitionByRange(n_chunks,
+    *order_by)`` gives contiguous ordered ranges (partition i's rows all
+    precede partition i+1's — the terasort contract, so chunk-by-chunk
+    arrival keeps event time nondecreasing for sorted ``order_by``),
+    ``sortWithinPartitions`` orders inside each chunk, and every
+    executor writes its own chunk file under a hidden ``_staged``
+    directory (underscore-prefixed: Spark's file listing skips it, so
+    the stream source never sees unstaged chunks). Each stager is then
+    a pure metadata move of one already-written file into the watched
+    directory — no row ever passes through the driver."""
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
-    per = (len(ev) + n_chunks - 1) // n_chunks
+    staged = os.path.join(out_dir, "_staged")
+    ev = src if src is not None else table(spark, sf_dir, "events")
+    (
+        ev.repartitionByRange(n_chunks, *order_by)
+        .sortWithinPartitions(*order_by)
+        .withColumn("_chunk", F.spark_partition_id())
+        .write.mode("overwrite")
+        .partitionBy("_chunk")
+        .parquet(staged)
+    )
     stagers = []
     for i in range(n_chunks):
-        chunk = ev[i * per : (i + 1) * per]
-
-        def stage(i=i, chunk=chunk):
-            df = spark.createDataFrame(chunk, schema=EVENTS_SCHEMA)
-            df.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(out_dir, f"chunk{i}")
+        def stage(i=i):
+            cdir = os.path.join(staged, f"_chunk={i}")
+            parts = (
+                sorted(f for f in os.listdir(cdir) if f.endswith(".parquet"))
+                if os.path.isdir(cdir)
+                else []
             )
-            # move part file up so the stream source (flat dir glob) sees it
-            cdir = os.path.join(out_dir, f"chunk{i}")
-            for f in os.listdir(cdir):
-                if f.endswith(".parquet"):
-                    os.rename(
-                        os.path.join(cdir, f),
-                        os.path.join(out_dir, f"data-{i}.parquet"),
-                    )
-            shutil.rmtree(cdir, ignore_errors=True)
+            if not parts:
+                # a sparse range produced no rows: still land a zero-row
+                # file so the trigger fires (previous behavior)
+                empty = spark.createDataFrame([], schema)
+                tmp = os.path.join(out_dir, f"_empty{i}")
+                empty.coalesce(1).write.mode("overwrite").parquet(tmp)
+                for f in os.listdir(tmp):
+                    if f.endswith(".parquet"):
+                        os.rename(
+                            os.path.join(tmp, f),
+                            os.path.join(out_dir, f"data-{i}.parquet"),
+                        )
+                shutil.rmtree(tmp, ignore_errors=True)
+                return
+            for j, f in enumerate(parts):
+                suffix = f"-{j}" if j else ""
+                os.rename(
+                    os.path.join(cdir, f),
+                    os.path.join(out_dir, f"data-{i}{suffix}.parquet"),
+                )
 
         stagers.append(stage)
     return stagers

@@ -26,7 +26,9 @@ _ROCKSDB_PROVIDER = (
 )
 
 
-@pytest.fixture(params=["hdfs", "rocksdb"])
+@pytest.fixture(
+    params=["hdfs", pytest.param("rocksdb", marks=pytest.mark.rocksdb)]
+)
 def state_store(request, spark):
     """Run a streaming test under BOTH state-store providers. The
     default HDFSBackedStateStoreProvider keeps state as in-memory maps
@@ -35,7 +37,17 @@ def state_store(request, spark):
     this PySpark) keeps it off-heap in RocksDB. The provider class is
     read from the session conf when a query starts, so setting it
     around each test is sufficient; every test uses a fresh checkpoint
-    dir so providers never mix within one checkpoint."""
+    dir so providers never mix within one checkpoint.
+
+    SERIAL EXECUTION REQUIRED (r9 ADVICE): this function-scoped fixture
+    mutates a session-scoped SparkSession conf, so a long-lived query
+    started outside the fixture while another param is active would
+    pick up the wrong provider if tests were ever parallelized — the
+    suite runs these serially by design (no xdist), and the doubling of
+    the streaming suite's wall time is the price of covering the
+    provider production jobs actually run. Deselect with
+    ``-m 'not rocksdb'`` (marker registered in pytest.ini) when suite
+    time matters more than provider coverage."""
     key = "spark.sql.streaming.stateStore.providerClass"
     if request.param == "rocksdb":
         spark.conf.set(key, _ROCKSDB_PROVIDER)

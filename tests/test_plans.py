@@ -196,9 +196,14 @@ def test_heavyhitters_sketch_aggregates_map_side(spark, sf_dir):
     """The count-min sketch build must plan partial+final HashAggregate
     around its exchange (each partition collapses to <= 4096 cells
     before the shuffle — the property that makes the sketch constant-
-    cost at 100 TB), and the estimate join must broadcast the sketch."""
+    cost at 100 TB), and the estimate join must broadcast the sketch.
+    Since the r10 rewrite the sketch aggregates tf-weighted cells
+    (partial_sum over the checkpointed per-token frequency table — the
+    occurrence-level partial_count lives in that table's own compiled
+    subtree), so the visible plan must show the partial SUM pair and
+    exactly one corpus explode feeding the tf table, not two."""
     plan = executed_plan(_Q["agg_heavyhitters"](spark, sf_dir))
-    assert "partial_count" in plan, plan
+    assert "partial_sum" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
 
 

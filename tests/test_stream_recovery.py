@@ -63,6 +63,37 @@ def _start_file_sink(stream_df, out, ckpt):
     )
 
 
+def _run_life(df_fn, out, ckpt, actions, attempts=2):
+    """One 'life' of a recovering query: start from the checkpoint, run
+    ``actions(q)`` (stagers + processAllAvailable calls), stop.
+
+    Retries ONCE on a streaming failure (r9 VERDICT task 6): under host
+    contention a just-stopped life can still hold provider resources —
+    observed as the rocksdb recovery test failing in a contended run and
+    passing solo — so the restart waits and tries again. The retry is
+    exactly-once-SAFE by construction: restarting from the same
+    checkpoint is precisely the recovery property these tests assert,
+    so a retried life must converge to the identical sink contents, and
+    a deterministic failure still fails (the second raise propagates).
+    Assertion errors from the actions themselves are never retried."""
+    import time
+
+    for attempt in range(attempts):
+        q = _start_file_sink(df_fn(), out, ckpt)
+        try:
+            actions(q)
+            q.stop()
+            return
+        except AssertionError:
+            q.stop()
+            raise
+        except Exception:
+            q.stop()
+            if attempt == attempts - 1:
+                raise
+            time.sleep(10)
+
+
 def _stage_rows(spark, replay_dir, rows, tag):
     """Write one flat parquet file of events into the replay dir."""
     df = spark.createDataFrame(rows, schema=EVENTS_SCHEMA)
@@ -94,10 +125,11 @@ def test_checkpoint_recovery_dedup_exactly_once(spark, sf_dir, dirs, state_store
         )
 
     # --- first life: one full copy, processed and committed
-    q1 = _start_file_sink(dedup_df(), dirs["out"], dirs["ckpt"])
-    _stage_rows(spark, dirs["replay"], base, "a")
-    q1.processAllAvailable()
-    q1.stop()
+    def life1(q):
+        _stage_rows(spark, dirs["replay"], base, "a")
+        q.processAllAvailable()
+
+    _run_life(dedup_df, dirs["out"], dirs["ckpt"], life1)
 
     mid = spark.read.schema("event_id bigint").parquet(dirs["out"]).count()
     assert mid == 500  # first life committed all ids once
@@ -106,11 +138,12 @@ def test_checkpoint_recovery_dedup_exactly_once(spark, sf_dir, dirs, state_store
     _stage_rows(spark, dirs["replay"], base, "b")
 
     # --- second life: SAME checkpoint, SAME sink; then a third copy
-    q2 = _start_file_sink(dedup_df(), dirs["out"], dirs["ckpt"])
-    q2.processAllAvailable()
-    _stage_rows(spark, dirs["replay"], base, "c")
-    q2.processAllAvailable()
-    q2.stop()
+    def life2(q):
+        q.processAllAvailable()
+        _stage_rows(spark, dirs["replay"], base, "c")
+        q.processAllAvailable()
+
+    _run_life(dedup_df, dirs["out"], dirs["ckpt"], life2)
 
     got = spark.read.schema("event_id bigint").parquet(dirs["out"])
     assert got.count() == 500  # no duplicate escaped, no id lost
@@ -149,11 +182,12 @@ def test_checkpoint_recovery_tumbling_equals_batch(spark, sf_dir, dirs, state_st
     )
 
     # --- first life: half the corpus
-    q1 = _start_file_sink(agg_df(), dirs["out"], dirs["ckpt"])
-    for s in stagers[:2]:
-        s()
-        q1.processAllAvailable()
-    q1.stop()
+    def life1(q):
+        for s in stagers[:2]:
+            s()
+            q.processAllAvailable()
+
+    _run_life(agg_df, dirs["out"], dirs["ckpt"], life1)
 
     # --- one chunk lands while the query is down
     stagers[2]()
@@ -175,14 +209,16 @@ def test_checkpoint_recovery_tumbling_equals_batch(spark, sf_dir, dirs, state_st
         )
         for i in range(2)
     ]
-    q2 = _start_file_sink(agg_df(), dirs["out"], dirs["ckpt"])
-    q2.processAllAvailable()
-    stagers[3]()
-    q2.processAllAvailable()
-    for i, row in enumerate(flush):
-        _stage_rows(spark, dirs["replay"], [row], f"flush{i}")
-        q2.processAllAvailable()
-    q2.stop()
+
+    def life2(q):
+        q.processAllAvailable()
+        stagers[3]()
+        q.processAllAvailable()
+        for i, row in enumerate(flush):
+            _stage_rows(spark, dirs["replay"], [row], f"flush{i}")
+            q.processAllAvailable()
+
+    _run_life(agg_df, dirs["out"], dirs["ckpt"], life2)
 
     got = (
         spark.read.schema(out_schema)
@@ -231,19 +267,21 @@ def test_checkpoint_recovery_arbitrary_state(spark, sf_dir, dirs, state_store):
             )
         )
 
-    q1 = _start_file_sink(counted_df(), dirs["out"], dirs["ckpt"])
-    for s in stagers[:2]:
-        s()
-        q1.processAllAvailable()
-    q1.stop()
+    def life1(q):
+        for s in stagers[:2]:
+            s()
+            q.processAllAvailable()
+
+    _run_life(counted_df, dirs["out"], dirs["ckpt"], life1)
 
     stagers[2]()  # lands while the query is down
 
-    q2 = _start_file_sink(counted_df(), dirs["out"], dirs["ckpt"])
-    q2.processAllAvailable()
-    stagers[3]()
-    q2.processAllAvailable()
-    q2.stop()
+    def life2(q):
+        q.processAllAvailable()
+        stagers[3]()
+        q.processAllAvailable()
+
+    _run_life(counted_df, dirs["out"], dirs["ckpt"], life2)
 
     got = (
         spark.read.schema("user_id bigint, n_events bigint")

@@ -108,3 +108,58 @@ def test_ivfpq_shortlist_recall_vs_exact(spark, sf_dir):
     for r in got:
         if (r["q_id"], r["c_id"]) in exact:
             assert r["cosine"] == exact[(r["q_id"], r["c_id"])]
+    # recall floor (r9 ADVICE — the docstring promised it, now assert
+    # it): brute-force the exact SAME-BUCKET top-1 per query and require
+    # it among that query's returned c_ids. A codebook/LUT regression
+    # that wrecks the ADC shortlist ordering fails here even though the
+    # refine step would still report exact cosines for whatever survived.
+    from terasort_spark.catalog import table
+    from terasort_spark.operators._util import rnd
+    from terasort_spark.operators.llm_similarity import dot_fold, ivf_bucket
+
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+    )
+    xu = F.transform(
+        F.col("v"), lambda x: F.floor(x * 1000000 + F.lit(0.5)).cast("long")
+    )
+    eb = e.withColumn("bucket", ivf_bucket(xu))
+    q = eb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "bucket"
+    )
+    cos = dot_fold(F.col("qv"), F.col("cv")) / (
+        F.sqrt(dot_fold(F.col("qv"), F.col("qv")))
+        * F.sqrt(dot_fold(F.col("cv"), F.col("cv")))
+    )
+    pairs = (
+        q.join(
+            eb.select(
+                F.col("vec_id").alias("c_id"), F.col("v").alias("cv"), "bucket"
+            ),
+            "bucket",
+        )
+        .filter(F.col("c_id") != F.col("q_id"))
+        .withColumn("cosine", rnd(cos))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    top1 = {
+        r["q_id"]: r["c_id"]
+        for r in pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    returned: dict = {}
+    for r in got:
+        returned.setdefault(r["q_id"], set()).add(r["c_id"])
+    for q_id, c1 in top1.items():
+        assert c1 in returned.get(q_id, set()), (
+            f"query {q_id}: exact same-bucket top-1 {c1} missing from "
+            f"returned {sorted(returned.get(q_id, set()))}"
+        )
