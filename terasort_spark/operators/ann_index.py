@@ -302,6 +302,152 @@ def sim_cosine_ivfpq(spark, sf_dir):
     )
 
 
+def _nprobe_oracle(nprobe: int, q_cut: int) -> str:
+    """Margin-ranked multi-probe replay: per query, sort the 4
+    hyperplanes by |projection| ascending and probe the own bucket plus
+    the buckets reached by flipping the (nprobe-1) narrowest-margin
+    signs — exact int64 end to end."""
+    pj = ",\n         ".join(f"{_ivf_proj_sql(j)} AS p{j}" for j in range(4))
+    bucket = " + ".join(
+        f"(CASE WHEN p{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(4)
+    )
+    ms = ", ".join(f"{{'m': abs(p{j}), 'j': {j}}}" for j in range(4))
+    flips = ", ".join(
+        f"xor(bucket, ([1,2,4,8])[(ms[{k + 1}]).j + 1])"
+        for k in range(nprobe - 1)
+    )
+    probes = f"bucket{', ' + flips if flips else ''}"
+    return f"""
+WITH xu AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS v
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+pj AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         {pj}
+  FROM xu
+),
+b AS MATERIALIZED (
+  SELECT vec_id, embedding, {bucket} AS bucket,
+         list_sort([{ms}]) AS ms
+  FROM pj
+),
+probes AS MATERIALIZED (
+  SELECT vec_id, embedding, unnest([{probes}]) AS bucket
+  FROM b WHERE vec_id < {q_cut}
+)
+SELECT q_id, c_id, cosine, rn
+FROM (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         {o_rnd(_COSINE_SQL, "cosine")},
+         CAST(row_number() OVER (
+              PARTITION BY q.vec_id
+              ORDER BY {o_rnd(_COSINE_SQL)} DESC, c.vec_id) AS INTEGER) AS rn
+  FROM probes q
+  JOIN b c ON c.bucket = q.bucket AND c.vec_id != q.vec_id
+)
+WHERE rn <= 5
+"""
+
+
+_NPROBE = 3  # own list + the 2 narrowest-margin sign flips
+_NPROBE_QCUT = 30
+
+
+def _ivf_nprobe_df(spark, sf_dir, nprobe: int, q_cut: int = _NPROBE_QCUT):
+    """Shared builder for sim_cosine_ivf_nprobe and its recall test
+    (which runs it at nprobe=1 to measure the lift)."""
+    from terasort_spark.operators.llm_similarity import (
+        dot_fold,
+        ivf_projection,
+    )
+
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+        )
+    )
+    xu = F.transform(
+        F.col("emb"), lambda x: F.floor(x * 1000000 + F.lit(0.5)).cast("long")
+    )
+    eb = e.withColumn("pj", F.array(*[ivf_projection(xu, j) for j in range(4)]))
+    bucket = None
+    for j in range(4):
+        bit = F.when(F.col("pj")[j] > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    eb = eb.withColumn("bucket", bucket)
+    c = eb.select(
+        F.col("vec_id").alias("c_id"), F.col("emb").alias("c_emb"), "bucket"
+    )
+    ms = F.sort_array(
+        F.array(
+            *[
+                F.struct(
+                    F.abs(F.col("pj")[j]).alias("m"), F.lit(j).alias("j")
+                )
+                for j in range(4)
+            ]
+        )
+    )
+    flips = F.array(*[F.lit(1 << k) for k in range(4)])
+    qm = eb.filter(F.col("vec_id") < q_cut).withColumn("ms", ms)
+    probe_cols = [F.col("bucket")] + [
+        F.col("bucket").bitwiseXOR(
+            F.element_at(flips, F.col("ms").getItem(k).getField("j") + 1)
+        )
+        for k in range(nprobe - 1)
+    ]
+    q = qm.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.explode(F.array(*probe_cols)).alias("bucket"),
+    )
+    cosine = dot_fold(F.col("q_emb"), F.col("c_emb")) / (
+        F.sqrt(dot_fold(F.col("q_emb"), F.col("q_emb")))
+        * F.sqrt(dot_fold(F.col("c_emb"), F.col("c_emb")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        q.join(c, "bucket")
+        .filter(F.col("c_id") != F.col("q_id"))
+        .withColumn("cosine", rnd(cosine))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "c_id", "cosine", "rn")
+    )
+
+
+@register("sim_cosine_ivf_nprobe", oracle=_nprobe_oracle(_NPROBE, _NPROBE_QCUT))
+def sim_cosine_ivf_nprobe(spark, sf_dir):
+    """FAISS-style MARGIN-RANKED multi-probe IVF (r9 VERDICT task 3 —
+    the nprobe dial sink_ann_index/sim_cosine_ivfpq lacked): each query
+    probes its own coarse list plus the lists reached by flipping the
+    signs of its (nprobe-1) NARROWEST-margin hyperplanes — the
+    projections whose sign decision was least confident, exactly where
+    near neighbors land on the far side of a cutting plane. nprobe=3
+    scans a bounded 3/16 of the corpus per probe (vs 1/16 at nprobe=1
+    and 5/16 for sim_cosine_ivf's blanket Hamming-1 fan); the recall
+    lift over nprobe=1 at that bounded extra scan is asserted
+    strictly in tests/test_wave10.py (hit@5 vs exact brute force).
+
+    Exact oracle end to end: margins |p_j| are the SAME int64
+    hyperplane projections whose signs form the bucket
+    (llm_similarity.ivf_projection — one definition for bucket and
+    margin, so the probe order can never drift from the quantizer),
+    ranked via sorted (m, j) structs in both engines; probe-list
+    construction, in-list cosine and top-5 all reuse the proven
+    sim_cosine_ivf contract. 100 TB: probes stay an equi-join against
+    the bucket-partitioned layout (DPP-prunable exactly like
+    sink_ann_index's directory read); the margin sort is over 4
+    numbers per query row."""
+    return _ivf_nprobe_df(spark, sf_dir, _NPROBE)
+
+
 _ANN_INC_SCHEMA = "vec_id bigint, emb array<double>, src string, bucket int"
 
 

@@ -253,25 +253,35 @@ def knn_label(spark, sf_dir):
     )
 
 
+def ivf_projection(xu_col, j: int):
+    """Signed int64 projection of 6dp-quantized coordinates onto IVF
+    hyperplane ``j`` (mix32-derived weights) — the quantity whose SIGN
+    is bucket bit j and whose MAGNITUDE is the margin multi-probe ranks
+    flip candidates by (ann_index.sim_cosine_ivf_nprobe). Twin of
+    _ivf_proj_sql; factored so the bucket and the margins can never use
+    different hyperplanes."""
+    from terasort_spark.sources.tera_queries import mix32
+
+    return F.aggregate(
+        F.transform(
+            xu_col,
+            lambda x, i: x * (mix32(F.lit(j * 1000) + i) - F.lit(2147483648)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
 def ivf_bucket(xu_col):
     """16-way IVF coarse quantizer: sign pattern of 4 integer mix32
     hyperplanes dotted against 6dp-quantized coordinates (``xu_col`` is
     an array<long>). Exact int64 in both engines — shared by
     sim_cosine_ivf and sink_ann_index (ann_index.py), twin of
     _ivf_proj_sql."""
-    from terasort_spark.sources.tera_queries import mix32
-
-    bits = []
-    for j in range(4):
-        proj = F.aggregate(
-            F.transform(
-                xu_col,
-                lambda x, i: x * (mix32(F.lit(j * 1000) + i) - F.lit(2147483648)),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-        bits.append(F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    bits = [
+        F.when(ivf_projection(xu_col, j) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        for j in range(4)
+    ]
     out = bits[0]
     for b in bits[1:]:
         out = out + b
