@@ -19,7 +19,19 @@ partition-local sort, and the complete validation contract —
 The checksum ride-along is JVM-side (whole-stage codegen md5/conv) in
 the SAME pass as the order check, so the sort executes exactly once.
 
-Run:  python scripts/tera_scale_probe.py [n_rows] [n_partitions]
+Key-mode dial (r9 VERDICT task 1 — skew robustness): ``uniform`` is the
+GraySort distribution; ``zipf`` keeps the plain key-ranged sort but
+feeds it teragen_skewed's adversary (~25% of all rows on ONE key, so
+one partition holds a quarter of the dataset — the straggler a real
+skewed corpus produces); ``zipf_salted`` runs the salted
+(key, salt)-ranged sort over the same data, spreading the hot key over
+up to 4096 range slices while preserving the full permutation contract
+(equal keys need no relative order). The JSON line reports the
+straggler factor (max partition rows / mean) so the skew and its fix
+are both measured, not asserted.
+
+Run:  python scripts/tera_scale_probe.py [n_rows] [n_partitions] [mode]
+      mode in {uniform (default), zipf, zipf_salted}
 """
 
 from __future__ import annotations
@@ -36,10 +48,19 @@ import pandas as pd  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 from terasort_spark.session import get_spark  # noqa: E402
-from terasort_spark.sources.teragen import teragen, terasort  # noqa: E402
+from terasort_spark.sources.teragen import (  # noqa: E402
+    teragen,
+    teragen_skewed,
+    terasort,
+    terasort_salted,
+)
 
 N_ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000_000
 N_PARTS = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+MODE = sys.argv[3] if len(sys.argv) > 3 else "uniform"
+assert MODE in ("uniform", "zipf", "zipf_salted"), MODE
+_GEN = teragen if MODE == "uniform" else teragen_skewed
+_SORT = terasort_salted if MODE == "zipf_salted" else terasort
 
 
 def _cs_col():
@@ -87,7 +108,7 @@ def main() -> None:
 
     # pass 1: checksum of the generated stream (no shuffle, pure codegen)
     t0 = time.time()
-    gen = teragen(spark, N_ROWS, n_partitions=N_PARTS)
+    gen = _GEN(spark, N_ROWS, n_partitions=N_PARTS)
     cs_gen = gen.select(
         F.sum(_cs_col().cast("decimal(38,0)")).alias("s")
     ).collect()[0]["s"]
@@ -95,8 +116,8 @@ def main() -> None:
 
     # pass 2: the sort itself + one-pass validate/checksum, never sunk
     t1 = time.time()
-    sorted_df = terasort(
-        teragen(spark, N_ROWS, n_partitions=N_PARTS), n_partitions=N_PARTS
+    sorted_df = _SORT(
+        _GEN(spark, N_ROWS, n_partitions=N_PARTS), n_partitions=N_PARTS
     ).select("key", "value", _cs_col())
     schema = "n long, first_key string, last_key string, sorted_ok boolean, cs string"
     rows = [
@@ -115,12 +136,16 @@ def main() -> None:
     n_rows = sum(r["n"] for r in rows)
     cs_sorted = sum(int(r["cs"]) for r in rows)
     ok = within and between and n_rows == N_ROWS and cs_sorted == int(cs_gen)
+    sizes = [r["n"] for r in rows]
+    straggler = round(max(sizes) / (sum(sizes) / len(sizes)), 2) if sizes else 0
     print(
         json.dumps(
             {
+                "mode": MODE,
                 "n_rows": N_ROWS,
                 "bytes": N_ROWS * 100,
                 "n_partitions": N_PARTS,
+                "straggler_factor": straggler,
                 "sorted_within": within,
                 "sorted_between": between,
                 "rows_preserved": n_rows == N_ROWS,

@@ -92,7 +92,18 @@ def lsh_signatures(spark, sf_dir):
     and one that doesn't. None = verify every candidate (pair-list
     semantics).
     """
-    d = table(spark, sf_dir, "documents").select(
+    return lsh_signatures_df(
+        table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+def lsh_signatures_df(docs):
+    """lsh_signatures over an arbitrary (doc_id, text) DataFrame — the
+    factor that lets STREAMING micro-batches compute the exact same
+    signatures/band buckets as the batch corpus pass
+    (wave10.dedup_stream_lsh signs each arriving batch with this)."""
+    spark = docs.sparkSession
+    d = docs.select(
         "doc_id", F.array_distinct(F.split(F.lower("text"), " ")).alias("toks")
     )
     # Hash each token ONCE (the expensive string hash — 28 bits of md5,

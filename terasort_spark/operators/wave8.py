@@ -605,6 +605,47 @@ WHERE d.doc_id % 5 <> 0
 """
 
 
+def fuzzy_dropped(btb, exb, b_toks, e_toks, cap=FUZZY_CAP, tau=FUZZY_TAU):
+    """THE cross-corpus capped LSH admission rule, factored (r10) so
+    the batch ingest below and the streaming ingest
+    (wave10.dedup_stream_lsh's per-micro-batch twin) are one code path.
+    ``btb``/(band,bucket,b_id) is the arriving side, ``exb``/(band,
+    bucket,e_id) the standing side; ``b_toks``/(b_id,toks) and
+    ``e_toks``/(e_id,toks) feed exact-Jaccard verification. Existing-
+    side ids group per (band,bucket) into a sorted list, each arriving
+    doc takes the cap smallest, one groupBy per b_id dedups the
+    per-band unions — per-reducer state bounded at cap x bands ids, no
+    arriving-arriving or standing-standing pair ever formed. Returns
+    the DISTINCT dropped b_ids (a verified >= tau partner exists)."""
+    grouped = exb.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_set("e_id")).alias("eids")
+    )
+    cand = btb.join(grouped, ["band", "bucket"]).select(
+        "b_id", F.explode(F.slice("eids", 1, cap)).alias("e_id")
+    )
+    capped = (
+        cand.groupBy("b_id")
+        .agg(
+            F.slice(F.array_sort(F.collect_set("e_id")), 1, cap).alias("eids")
+        )
+        .select("b_id", F.explode("eids").alias("e_id"))
+    )
+    verified = capped.join(
+        e_toks.select(F.col("e_id"), F.col("toks").alias("e_toks")), "e_id"
+    ).join(
+        b_toks.select(F.col("b_id"), F.col("toks").alias("b_toks")), "b_id"
+    )
+    jacc = F.size(F.array_intersect("e_toks", "b_toks")).cast(
+        "double"
+    ) / F.size(F.array_union("e_toks", "b_toks"))
+    return (
+        verified.withColumn("jaccard", rnd(jacc))
+        .filter(F.col("jaccard") >= tau)
+        .select("b_id")
+        .distinct()
+    )
+
+
 @register("dedup_fuzzy_ingest", oracle=_fuzzy_oracle())
 def dedup_fuzzy_ingest(spark, sf_dir):
     """Cross-corpus near-duplicate admission: a new crawl batch
@@ -639,37 +680,12 @@ def dedup_fuzzy_ingest(spark, sf_dir):
     btb = buckets.filter(~is_existing).select(
         "band", "bucket", F.col("doc_id").alias("b_id")
     )
-    grouped = exb.groupBy("band", "bucket").agg(
-        F.sort_array(F.collect_set("e_id")).alias("eids")
-    )
-    cand = btb.join(grouped, ["band", "bucket"]).select(
-        "b_id", F.explode(F.slice("eids", 1, FUZZY_CAP)).alias("e_id")
-    )
-    capped = (
-        cand.groupBy("b_id")
-        .agg(
-            F.slice(F.array_sort(F.collect_set("e_id")), 1, FUZZY_CAP).alias(
-                "eids"
-            )
-        )
-        .select("b_id", F.explode("eids").alias("e_id"))
-    )
     toks = sig.select("doc_id", "toks")
-    verified = capped.join(
-        toks.select(F.col("doc_id").alias("e_id"), F.col("toks").alias("e_toks")),
-        "e_id",
-    ).join(
-        toks.select(F.col("doc_id").alias("b_id"), F.col("toks").alias("b_toks")),
-        "b_id",
-    )
-    jacc = F.size(F.array_intersect("e_toks", "b_toks")).cast(
-        "double"
-    ) / F.size(F.array_union("e_toks", "b_toks"))
-    dropped = (
-        verified.withColumn("jaccard", rnd(jacc))
-        .filter(F.col("jaccard") >= FUZZY_TAU)
-        .select("b_id")
-        .distinct()
+    dropped = fuzzy_dropped(
+        btb,
+        exb,
+        toks.select(F.col("doc_id").alias("b_id"), "toks"),
+        toks.select(F.col("doc_id").alias("e_id"), "toks"),
     )
     batch = sig.filter(~is_existing).select("doc_id")
     return batch.join(

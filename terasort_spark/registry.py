@@ -81,6 +81,7 @@ _OPERATOR_MODULES = (
     "terasort_spark.operators.wave7",
     "terasort_spark.plans.mv_rewrite",
     "terasort_spark.operators.wave8",
+    "terasort_spark.operators.wave10",
 )
 
 _loaded = False

@@ -115,9 +115,17 @@ def terasort_query(spark, sf_dir):
         _gen_df(spark, N_ROWS, N_PARTS)
         .repartitionByRange(N_PARTS, "key", "id")
         .sortWithinPartitions("key", "id")
-        .withColumn("pid", F.spark_partition_id())
-        .select("pid", "key", "id")
     )
+    return _physical_index(srt, ("key", "id"))
+
+
+def _physical_index(srt, carry: tuple[str, ...]):
+    """Materialize each row's PHYSICAL global position in an already
+    range-partitioned + locally-sorted frame: an order-preserving
+    mapInPandas tags encounter order inside every partition, partition
+    offsets come from a partition-count-row aggregate broadcast back.
+    Shared by terasort and terasort_skewed so both grade identically."""
+    srt = srt.withColumn("pid", F.spark_partition_id()).select("pid", *carry)
 
     def tag(batches):
         # Encounter order inside the partition — mapInPandas receives
@@ -129,13 +137,16 @@ def terasort_query(spark, sf_dir):
             yield b.assign(local_idx=range(nxt, nxt + n))
             nxt += n
 
+    carry_schema = ", ".join(
+        {"key": "key string", "id": "id bigint"}[c] for c in carry
+    )
     # localCheckpoint pins ONE physical execution of the range exchange:
     # the offsets branch below derives from the SAME materialized rows
     # as the output branch, so the two can never see different sampled
     # range boundaries (they previously re-executed srt twice and were
     # aligned only by exchange reuse — r5 ADVICE).
     tagged = srt.mapInPandas(
-        tag, schema="pid int, key string, id bigint, local_idx bigint"
+        tag, schema=f"pid int, {carry_schema}, local_idx bigint"
     ).localCheckpoint(eager=False)
     w = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
@@ -146,5 +157,66 @@ def terasort_query(spark, sf_dir):
         )
     )
     return tagged.join(F.broadcast(offsets), "pid").select(
-        (F.col("offset") + F.col("local_idx")).alias("idx"), "key", "id"
+        (F.col("offset") + F.col("local_idx")).alias("idx"), *carry
     )
+
+
+# Skewed generator: 100 distinct keys with a cubic density ramp —
+# P(key = '0'*10) = P(a <= 21) = 22% of ALL rows, the duplicate-heavy
+# regime GraySort's uniform keyspace never exercises. Integer-exact in
+# both engines (a^3 < 2^20 is exact in a double, truncating division on
+# non-negatives == floor).
+_SKEW_A = f"(({mix32_sql('id')}) % 100)"
+_SKEW_KEY_SQL = (
+    f"lpad(CAST((({_SKEW_A} * {_SKEW_A} * {_SKEW_A}) // 10000) AS VARCHAR),"
+    " 10, '0')"
+)
+
+
+def _skew_df(spark, n_rows: int, n_partitions: int):
+    ids = spark.range(0, n_rows, numPartitions=n_partitions)
+    a = mix32(F.col("id")) % F.lit(100)
+    k = F.floor((a * a * a) / F.lit(10000)).cast("long")
+    return ids.select(
+        "id",
+        F.lpad(k.cast("string"), 10, "0").alias("key"),
+        (mix32(F.col("id") + F.lit(31337)) % F.lit(64)).alias("salt"),
+    )
+
+
+@register(
+    "terasort_skewed",
+    oracle=f"""
+WITH g AS (SELECT id, {_SKEW_KEY_SQL} AS key
+           FROM range(0, {N_ROWS}) t(id))
+SELECT CAST(row_number() OVER (ORDER BY key) - 1 AS BIGINT) AS idx, key
+FROM g
+""",
+)
+def terasort_skewed(spark, sf_dir):
+    """Terasort under DUPLICATE-HEAVY skewed keys (r9 VERDICT task 1's
+    graded twin of the 20 GB probe): 100k rows over 100 distinct keys
+    with 22% of all rows on the hottest key. A plain range exchange
+    puts every copy of a key into ONE partition (boundaries are key
+    values), so the hot key alone dictates a straggler ~3.5x the
+    average — the failure mode uniform GraySort never shows. The fix is
+    the classic SALTED range sort: exchange + local sort on
+    (key, salt) with a deterministic per-row salt; key stays the major
+    sort term, so the output is still globally key-sorted while the hot
+    key spreads over up to 64 salt slices (spanning-partition spread
+    asserted in tests/test_wave10.py; the straggler wall-clock cost and
+    the salted fix are measured at 20 GB in
+    scripts/tera_scale_probe.py's key-mode dial, BASELINE.md).
+
+    The exact oracle is the (position -> key) map itself: with
+    duplicate keys ANY valid key-sorted permutation yields the same
+    (idx, key) set, so materializing the engine's physical global
+    positions (the proven terasort tag/offset machinery) and hashing
+    against row_number() OVER (ORDER BY key) proves range partitioning
+    AND local sort survived one key spanning many partitions."""
+    srt = (
+        _skew_df(spark, N_ROWS, N_PARTS)
+        .repartitionByRange(N_PARTS, "key", "salt")
+        .sortWithinPartitions("key", "salt")
+    )
+    return _physical_index(srt, ("key",))

@@ -62,6 +62,52 @@ def teragen(
     return ids.select(key, value)
 
 
+def teragen_skewed(
+    spark: SparkSession,
+    n_rows: int,
+    n_partitions: int = 32,
+    seed: int = DEFAULT_SEED,
+) -> DataFrame:
+    """Duplicate-heavy adversary for the range sort (r9 VERDICT task 1):
+    ~25% of ALL rows share ONE key (ten 0x20 bytes — the minimal
+    printable key, so it also lands on the first partition) and the
+    rest stay uniform. A plain range partitioner must put every copy of
+    a key on one partition, so this forces a straggler holding a
+    quarter of the dataset — the regime teragen's uniform keys never
+    exercise. Deterministic from row ids like teragen itself."""
+    base = teragen(spark, n_rows, n_partitions, seed)
+    is_hot = F.pmod(F.xxhash64(F.col("value"), F.lit(seed + 1)), F.lit(4)) == 0
+    return base.withColumn(
+        "key",
+        F.when(is_hot, F.encode(F.lit(" " * KEY_LEN), "utf-8")).otherwise(
+            F.col("key")
+        ),
+    )
+
+
+def terasort_salted(
+    df: DataFrame, n_partitions: int = 32, n_salts: int = 4096
+) -> DataFrame:
+    """Skew-robust total-order sort: range-exchange and locally sort on
+    (key, salt) with a deterministic per-row salt, then drop the salt.
+    Key stays the major term, so partition i's keys still all precede
+    (or equal, at a spanning duplicate's boundary) partition i+1's and
+    within-partition keys stay nondecreasing — the full TeraValidate
+    contract — while a hot key spreads over up to n_salts range slices
+    instead of pinning one reducer. Equal keys need no relative order
+    (GraySort validates a sorted PERMUTATION), which is exactly the
+    freedom the salt spends. The graded exact-oracle twin is
+    tera_queries.terasort_skewed."""
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("value"), F.lit(2)), F.lit(n_salts))
+    )
+    return (
+        salted.repartitionByRange(n_partitions, "key", "_salt")
+        .sortWithinPartitions("key", "_salt")
+        .drop("_salt")
+    )
+
+
 def terasort(df: DataFrame, n_partitions: int = 32) -> DataFrame:
     """Total-order sort: range-exchange on sampled boundaries, then
     partition-local sort — partition i's keys all precede partition

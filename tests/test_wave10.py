@@ -71,6 +71,183 @@ def test_nprobe_recall_strictly_above_nprobe1(spark, sf_dir):
     assert h3 > h1, f"nprobe=3 hit@5 {h3} not above nprobe=1 {h1}"
 
 
+def test_skewed_terasort_contract_with_spanning_key(spark, sf_dir):
+    """The r9 VERDICT pinned test: the terasort permutation contract
+    must hold when one massively duplicated key SPANS partitions. The
+    salted range sort spreads the hot key (22% of rows) over several
+    partitions — assert it actually spans (>1, else salting is dead
+    code and the straggler returns), that a plain key-ranged exchange
+    keeps it on exactly one (the baseline being fixed), and that the
+    TeraValidate triple still holds: keys nondecreasing inside every
+    partition, last(i) <= first(i+1) ACROSS the spanning boundary
+    (equality allowed — that is the duplicated-key case), count
+    preserved, and the key multiset a true permutation of the input."""
+    from terasort_spark.sources.tera_queries import N_PARTS, N_ROWS, _skew_df
+
+    hot = "0" * 10
+    salted = (
+        _skew_df(spark, N_ROWS, N_PARTS)
+        .repartitionByRange(N_PARTS, "key", "salt")
+        .sortWithinPartitions("key", "salt")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    spread = (
+        salted.filter(F.col("key") == hot).select("pid").distinct().count()
+    )
+    assert spread > 1, "salted hot key stayed on one partition"
+    unsalted = (
+        _skew_df(spark, N_ROWS, N_PARTS)
+        .repartitionByRange(N_PARTS, "key")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    assert (
+        unsalted.filter(F.col("key") == hot).select("pid").distinct().count()
+        == 1
+    ), "plain range exchange split equal keys (boundary semantics changed)"
+    # TeraValidate, strongest form: the engine's PHYSICAL (idx -> key)
+    # map (partition offsets + encounter order — the graded machinery)
+    # must be globally nondecreasing ACROSS the spanning boundaries and
+    # a true permutation of the generated key multiset.
+    rows = sorted(
+        (r["idx"], r["key"])
+        for r in _Q["terasort_skewed"](spark, sf_dir).collect()
+    )
+    assert len(rows) == N_ROWS and rows[0][0] == 0 and rows[-1][0] == N_ROWS - 1
+    assert all(a[1] <= b[1] for a, b in zip(rows, rows[1:]))
+    gen_hist = sorted(
+        map(
+            tuple,
+            _skew_df(spark, N_ROWS, N_PARTS).groupBy("key").count().collect(),
+        )
+    )
+    from collections import Counter
+
+    out_hist = sorted(Counter(k for _, k in rows).items())
+    assert gen_hist == out_hist
+
+
+def test_avro_split_geometry_invariance(tmp_path):
+    """The Avro reader's split planning contract (r9 VERDICT task 2
+    'done' criterion): ANY record-UNALIGNED byte carving of the file —
+    splits landing mid-block, mid-varint, inside the deflate payload —
+    must yield exactly the same row multiset, because a split owns
+    precisely the blocks whose preceding sync marker begins inside it.
+    Pure-Python (driver-side twin of what each executor runs), both
+    spec codecs, nulls through the union branch, non-ASCII strings."""
+    from terasort_spark.sources.avro_ds import AvroReader, write_avro
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "s", "type": ["null", "string"]},
+            {"name": "x", "type": "double"},
+            {"name": "raw", "type": "bytes"},
+        ],
+    }
+    rows = [
+        (
+            (-1) ** i * i * 12345,
+            None if i % 7 == 0 else f"véal-{i}",
+            i / 3.0,
+            bytes([i % 256, 255 - i % 256]),
+        )
+        for i in range(5003)
+    ]
+    for codec in ("deflate", "null"):
+        p = str(tmp_path / f"{codec}.avro")
+        assert write_avro(p, rows, schema, codec=codec, block_rows=251) == len(rows)
+        base = sorted(rows)
+        n_splits_tiny = None
+        for sb in (64, 997, 8192, 1 << 30):
+            r = AvroReader({"path": p, "split_bytes": str(sb)})
+            parts = r.partitions()
+            if sb == 64:
+                n_splits_tiny = len(parts)
+            got = sorted(t for sp in parts for t in r.read(sp))
+            assert got == base, (codec, sb, len(got))
+        assert n_splits_tiny > 1  # tiny splits really fanned out
+
+
+def test_source_avro_reads_through_real_datasource(spark, sf_dir):
+    """source_avro must come back through spark.read.format('pyavro')
+    with >1 input partitions (the distributed write produced several
+    container files and the planner carved them) and equal the source
+    table exactly — the oracle proves values, this pins the fan-out."""
+    df = _Q["source_avro"](spark, sf_dir)
+    n_parts = df.rdd.getNumPartitions()
+    assert n_parts > 1, f"avro scan did not fan out: {n_parts} partition(s)"
+    got = sorted(map(tuple, df.collect()))
+    want = sorted(
+        map(
+            tuple,
+            table(spark, sf_dir, "orders")
+            .select(
+                "o_orderkey",
+                "o_custkey",
+                "o_orderstatus",
+                "o_totalprice",
+                F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias(
+                    "o_orderdate"
+                ),
+            )
+            .collect(),
+        )
+    )
+    assert got == want
+
+
+def test_stream_lsh_equals_sequential_batch_twin(spark, sf_dir):
+    """The r9 VERDICT 'done' criterion for streaming near-dup ingest:
+    after the replay closes, the stream's admission decisions must
+    equal a SEQUENTIAL BATCH fold computed with no streaming machinery
+    at all — per round, the same fuzzy_dropped rule against the
+    admitted-so-far set, keeps folded forward. Any divergence (state
+    read after append, a round seeing its own admissions, checkpoint
+    replay double-admitting) shows up as a row mismatch."""
+    from terasort_spark.operators.llm_dedup import lsh_signatures_df
+    from terasort_spark.operators.wave8 import fuzzy_dropped
+
+    docs = table(spark, sf_dir, "documents")
+    sig, buckets = lsh_signatures_df(docs.select("doc_id", "text"))
+    toks = sig.select("doc_id", "toks").localCheckpoint(eager=True)
+    buckets = buckets.localCheckpoint(eager=True)
+    adm = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+    want = []
+    for k in range(3):
+        bk = docs.filter(
+            (F.col("doc_id") % 5 != 0) & (F.col("doc_id") % 3 == k)
+        ).select("doc_id")
+        exb = buckets.join(adm, "doc_id").select(
+            "band", "bucket", F.col("doc_id").alias("e_id")
+        )
+        btb = buckets.join(bk, "doc_id").select(
+            "band", "bucket", F.col("doc_id").alias("b_id")
+        )
+        dropped = {
+            r["b_id"]
+            for r in fuzzy_dropped(
+                btb,
+                exb,
+                toks.select(F.col("doc_id").alias("b_id"), "toks"),
+                toks.select(F.col("doc_id").alias("e_id"), "toks"),
+            ).collect()
+        }
+        bk_ids = [r["doc_id"] for r in bk.collect()]
+        want += [(i, k, i not in dropped) for i in bk_ids]
+        kept_ids = [i for i in bk_ids if i not in dropped]
+        adm = adm.unionByName(
+            spark.createDataFrame(
+                [(i,) for i in kept_ids], "doc_id bigint"
+            )
+        )
+    got = sorted(map(tuple, _Q["dedup_stream_lsh"](spark, sf_dir).collect()))
+    assert got == sorted(want)
+    # the stream must have dropped something (else the twin is vacuous)
+    assert any(not keep for _, _, keep in want)
+
+
 def test_nprobe_monotone_and_bounded_probes(spark, sf_dir):
     """More probes never lose neighbors (each nprobe's candidate set is
     a superset), and the per-query probe fan is exactly nprobe distinct
