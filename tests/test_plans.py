@@ -590,3 +590,16 @@ def test_ivfpq_probe_is_dynamically_partition_pruned(spark, sf_dir):
     ]
     assert scan, plan
     assert any("dynamicpruning" in l for l in scan), scan
+
+
+def test_nprobe_is_bucket_equijoin_no_cartesian(spark, sf_dir):
+    """sim_cosine_ivf_nprobe: the margin-ranked multi-probe must stay a
+    single equi-JOIN on the bucket key (the DPP-prunable shape the
+    partitioned index serves) — a planner regression to a broadcast
+    nested loop over candidates would 'work' at sf0.001 and die at a
+    billion vectors. The top-5 must also plan a WindowGroupLimit so
+    per-partition state is k-bounded."""
+    df = _Q["sim_cosine_ivf_nprobe"](spark, sf_dir)
+    assert_no_cartesian(df)
+    plan = executed_plan(df)
+    assert "WindowGroupLimit" in plan, plan
