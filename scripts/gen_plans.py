@@ -68,6 +68,9 @@ HEADLINERS = [
     ("pipeline_ivm_rewrite", "composed MV lifecycle: the month answer's only FileScan is the refreshed view directory"),
     ("text_minhash_containment", "banded-LSH candidates (shared with dedup_minhash); estimation join moves 32 signature longs per pair, never token arrays"),
     ("scan_position_delete", "merge-on-read positional deletes: broadcast LEFT ANTI on (file_path, row_index); no SortMergeJoin, data files immutable"),
+    ("sim_cosine_ivf_nprobe", "margin-ranked multi-probe stays ONE bucket equi-join (DPP-prunable shape); top-5 bounded by WindowGroupLimit"),
+    ("terasort_skewed", "salted (key, salt) RangePartitioning exchange + in-partition sort: hot key spreads, output still key-ordered"),
+    ("source_avro", "pyavro DataSource scan: sync-marker byte-range splits feed a pure projection (multi-split fan-out per container file)"),
 ]
 
 

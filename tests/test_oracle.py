@@ -83,7 +83,10 @@ def test_grading_rotation_fronts_ungraded_queries():
 
     order = list(registry.queries())
     pos = {n: i for i, n in enumerate(order)}
-    graded = registry._graded_names()
+    # _REGRADE pins queries whose OUTPUT changed this round: they hold a
+    # (now-stale) green row yet must re-front, so the rotation treats
+    # them as ungraded — mirror that here (r10).
+    graded = registry._graded_names() - set(registry._REGRADE)
     ungraded = [n for n in order if n not in graded]
     graded_in_order = [n for n in order if n in graded]
     # Self-check: both sides of the partition are non-trivial.
