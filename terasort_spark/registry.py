@@ -82,6 +82,7 @@ _OPERATOR_MODULES = (
     "terasort_spark.plans.mv_rewrite",
     "terasort_spark.operators.wave8",
     "terasort_spark.operators.wave10",
+    "terasort_spark.operators.wave11",
 )
 
 _loaded = False
