@@ -460,3 +460,101 @@ def pipeline_hybrid_rrf(spark, sf_dir):
         .filter(F.col("fr") <= _RRF_TOPK)
         .select("doc_id", "lex_rank", "vec_rank", rnd(F.col("rrf"), "rrf", nd=6))
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_quantile_hist — deterministic mergeable histogram quantiles: the
+# exact-replayable counterpart to the by-design rows-only
+# agg_percentile_approx (whose KLL-style sketch has engine-private
+# state). Same accuracy CONTRACT as a production sketch (error bounded
+# by bin width), but the state is a plain (group, bin) count map, so
+# the estimate is bit-identical on any engine and any partitioning.
+
+_QH_WIDTH = 1000.0  # bin width over l_extendedprice (~[900, 105k])
+
+
+def _qh_rank_sql(pct: int) -> str:
+    # ceil(pct% of total) in exact integer arithmetic
+    return f"floor((total * {pct} + 99) / 100)"
+
+
+@register(
+    "agg_quantile_hist",
+    oracle=f"""
+WITH b AS (
+  SELECT l_returnflag AS flag,
+         CAST(floor(l_extendedprice / {_QH_WIDTH}) AS BIGINT) AS bin,
+         count(*) AS c
+  FROM lineitem GROUP BY 1, 2
+),
+t AS (SELECT flag, sum(c) AS total FROM b GROUP BY flag),
+cum AS (
+  SELECT flag, bin,
+         sum(c) OVER (PARTITION BY flag ORDER BY bin) AS cum
+  FROM b
+),
+pick AS (
+  SELECT cum.flag,
+         min(CASE WHEN cum >= {_qh_rank_sql(50)} THEN bin END) AS b50,
+         min(CASE WHEN cum >= {_qh_rank_sql(95)} THEN bin END) AS b95,
+         min(CASE WHEN cum >= {_qh_rank_sql(99)} THEN bin END) AS b99
+  FROM cum JOIN t USING (flag) GROUP BY cum.flag
+)
+SELECT flag, CAST(total AS BIGINT) AS total,
+       CAST(b50 * {_QH_WIDTH} AS DOUBLE) AS p50_est,
+       CAST(b95 * {_QH_WIDTH} AS DOUBLE) AS p95_est,
+       CAST(b99 * {_QH_WIDTH} AS DOUBLE) AS p99_est
+FROM pick JOIN t USING (flag)
+""",
+)
+def agg_quantile_hist(spark, sf_dir):
+    """Per-group p50/p95/p99 from an equi-width histogram sketch.
+
+    The sketch state per group is a bin→count map (bins =
+    value_range / {_QH_WIDTH}, NOT rows), built by one groupBy with
+    map-side partial aggregation — the same mergeable-summary shape as
+    approx_percentile/t-digest, which is why it scales: partials
+    combine associatively, shuffle volume is O(groups × bins), and the
+    quantile extraction is a bins-sized cumulative window per group.
+    Unlike those sketches the state is deterministic integers, so the
+    estimate (lower edge of the first bin whose cumulative count
+    reaches ceil(q·N), rank in exact integer arithmetic) is
+    bit-identical across engines and partitionings — the exact-oracle
+    counterpart the rows-only agg_percentile_approx can't be. Error is
+    bounded by one bin width; halving the width doubles state, the
+    standard sketch trade dialed by `_QH_WIDTH`."""
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") / _QH_WIDTH)
+        .cast("bigint")
+        .alias("bin"),
+    )
+    b = li.groupBy("flag", "bin").agg(F.count(F.lit(1)).alias("c"))
+    t = b.groupBy("flag").agg(F.sum("c").alias("total"))
+    cum = b.withColumn(
+        "cum",
+        F.sum("c").over(Window.partitionBy("flag").orderBy("bin")),
+    )
+
+    def rank(pct: int):
+        return F.floor((F.col("total") * pct + 99) / 100)
+
+    pick = (
+        cum.join(t, "flag")
+        .groupBy("flag")
+        .agg(
+            *[
+                F.min(
+                    F.when(F.col("cum") >= rank(p), F.col("bin"))
+                ).alias(f"b{p}")
+                for p in (50, 95, 99)
+            ]
+        )
+    )
+    return pick.join(t, "flag").select(
+        "flag",
+        F.col("total").cast("bigint").alias("total"),
+        (F.col("b50") * _QH_WIDTH).alias("p50_est"),
+        (F.col("b95") * _QH_WIDTH).alias("p95_est"),
+        (F.col("b99") * _QH_WIDTH).alias("p99_est"),
+    )

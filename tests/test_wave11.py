@@ -207,6 +207,30 @@ def test_rrf_scores_recompute_from_ranks(spark, sf_dir):
         assert math.isclose(r["rrf"], expect, abs_tol=1e-6), r
 
 
+def test_quantile_hist_bins_contain_exact_order_statistics(spark, sf_dir):
+    """The estimated quantile bin must be exactly the bin of the
+    ceil(q*N)-th order statistic — the histogram sketch's defining
+    invariant, checked against a brute-force sort."""
+    import math
+
+    from terasort_spark.catalog import table
+
+    rows = {r["flag"]: r for r in _Q["agg_quantile_hist"](spark, sf_dir).collect()}
+    vals: dict = {}
+    for r in table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    ).collect():
+        vals.setdefault(r["l_returnflag"], []).append(r["l_extendedprice"])
+    assert set(rows) == set(vals)
+    for flag, xs in vals.items():
+        xs.sort()
+        assert rows[flag]["total"] == len(xs)
+        for pct in (50, 95, 99):
+            v = xs[math.ceil(pct * len(xs) / 100) - 1]
+            want = math.floor(v / 1000.0) * 1000.0
+            assert rows[flag][f"p{pct}_est"] == want, (flag, pct)
+
+
 def test_rrf_output_is_sorted_by_fused_score(spark, sf_dir):
     rows = _Q["pipeline_hybrid_rrf"](spark, sf_dir).collect()
     scores = [
