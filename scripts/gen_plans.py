@@ -71,6 +71,11 @@ HEADLINERS = [
     ("sim_cosine_ivf_nprobe", "margin-ranked multi-probe stays ONE bucket equi-join (DPP-prunable shape); top-5 bounded by WindowGroupLimit"),
     ("terasort_skewed", "salted (key, salt) RangePartitioning exchange + in-partition sort: hot key spreads, output still key-ordered"),
     ("source_avro", "pyavro DataSource scan: sync-marker byte-range splits feed a pure projection (multi-split fan-out per container file)"),
+    ("sim_cosine_sq8", "broadcast int8 query side; integer-dot shortlist bounded by WindowGroupLimit before the fp re-rank"),
+    ("pipeline_hybrid_rrf", "both rank lists end in TakeOrderedAndProject (never a global row_number); depth-bounded full-outer fusion"),
+    ("agg_quantile_hist", "partial+final bin-count aggregation; quantile extraction windows run over bins, not rows"),
+    ("scan_bloom_skip", "pruned probe scans: PartitionFilters on the bucket directory key; bitmap built by bit_or aggregation, never collected"),
+    ("pipeline_tokenize_pack", "broadcast vocab encode join onto the exploded token stream; one packing cumsum per source"),
 ]
 
 

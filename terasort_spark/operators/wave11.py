@@ -58,28 +58,34 @@ def _pb_write_partition(out_dir: str):
         from pyspark import TaskContext
 
         from terasort_spark.sources.protobuf_ds import (
-            encode_message,
+            compile_row_encoder,
             uvarint_encode,
         )
 
         pid = TaskContext.get().partitionId()
         path = os.path.join(out_dir, f"part-{pid:05d}.pb")
+        encode_row = compile_row_encoder(_PB_FIELDS)
+        unk_tag = uvarint_encode((99 << 3) | 0)
         n = 0
+        out = bytearray()
         with open(path, "wb") as f:
             for pdf in batches:
                 for t in pdf.itertuples(index=False):
-                    vals = {
-                        fld["name"]: (None if pd.isna(v) else c(v))
-                        for fld, c, v in zip(_PB_FIELDS, _PB_COERCE, t)
-                    }
-                    msg = encode_message(vals, _PB_FIELDS)
-                    # forward-compat payload the reader must skip
-                    msg += uvarint_encode((99 << 3) | 0) + uvarint_encode(
-                        len(msg)
+                    msg = encode_row(
+                        tuple(
+                            None if pd.isna(v) else c(v)
+                            for c, v in zip(_PB_COERCE, t)
+                        )
                     )
-                    f.write(uvarint_encode(len(msg)))
-                    f.write(msg)
+                    # forward-compat payload the reader must skip
+                    msg += unk_tag + uvarint_encode(len(msg))
+                    out += uvarint_encode(len(msg))
+                    out += msg
                     n += 1
+                if len(out) >= 1 << 20:
+                    f.write(out)
+                    out = bytearray()
+            f.write(out)
         yield pd.DataFrame({"path": [path], "n": [n]})
 
     return fn
@@ -122,8 +128,10 @@ def source_protobuf(spark, sf_dir):
             "o_orderdate"
         ),
     )
+    # 16 shards: the file IS the split unit for this format, so the
+    # file count sets BOTH write and read parallelism
     manifest = (
-        src.repartition(4)
+        src.repartition(16)
         .mapInPandas(_pb_write_partition(out), schema="path string, n long")
         .collect()
     )
@@ -164,10 +172,10 @@ sq AS (
 )"""
 
 
-@register(
-    "sim_cosine_sq8",
-    oracle=f"""
-WITH {_SQ8_BASE_SQL},
+# Shared by sim_cosine_sq8 and its evaluator ml_ndcg, so the index and
+# its metric cannot drift apart silently (the ml_mrr <-> sim_cosine_ivf
+# pattern).
+_SQ8_CTES = f"""{_SQ8_BASE_SQL},
 pairs AS (
   SELECT a.vec_id AS q_id, b.vec_id AS c_id,
          {_dot_sql("a.q8", "b.q8")} AS dot8,
@@ -187,12 +195,22 @@ rer AS (
   SELECT q_id, c_id,
          {o_rnd(f"{_dot_sql('qv', 'cv')} / (nq * nc)", "cosine")}
   FROM short WHERE rn8 <= {_SQ8_SHORTLIST}
-)
-SELECT q_id, c_id, cosine,
-       CAST(row_number() OVER (PARTITION BY q_id
-                               ORDER BY cosine DESC, c_id) AS INTEGER) AS rn
-FROM rer
-QUALIFY rn <= {_SQ8_TOPK}
+),
+sq8_topk AS (
+  SELECT q_id, c_id, cosine, rn FROM (
+    SELECT q_id, c_id, cosine,
+           CAST(row_number() OVER (PARTITION BY q_id
+                ORDER BY cosine DESC, c_id) AS INTEGER) AS rn
+    FROM rer
+  ) WHERE rn <= {_SQ8_TOPK}
+)"""
+
+
+@register(
+    "sim_cosine_sq8",
+    oracle=f"""
+WITH {_SQ8_CTES}
+SELECT q_id, c_id, cosine, rn FROM sq8_topk
 """,
 )
 def sim_cosine_sq8(spark, sf_dir):
@@ -557,4 +575,457 @@ def agg_quantile_hist(spark, sf_dir):
         (F.col("b50") * _QH_WIDTH).alias("p50_est"),
         (F.col("b95") * _QH_WIDTH).alias("p95_est"),
         (F.col("b99") * _QH_WIDTH).alias("p99_est"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_tokenize_pack — the single-pass "tokenize and pack" pretrain
+# preprocessing job: BPE-encode every document (tokenizer.py's trained
+# merges) and assign it a slot in the stream of fixed-size context
+# windows (pretrain.py's packing), in BPE-token units instead of
+# whitespace units.
+
+
+def _tokenize_pack_oracle() -> str:
+    from terasort_spark.operators.pretrain import CONTEXT
+    from terasort_spark.operators.tokenizer import (
+        N_MERGES,
+        _bpe_base_sql,
+        _bpe_round_sql,
+    )
+
+    parts = [_bpe_base_sql()] + [
+        _bpe_round_sql(k) for k in range(1, N_MERGES + 1)
+    ]
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f""",
+vn AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS INT) AS n_sub FROM r{N_MERGES} GROUP BY w
+),
+dw AS MATERIALIZED (
+  SELECT doc_id, source, w FROM (
+    SELECT doc_id, source, unnest(string_split(lower(text), ' ')) AS w
+    FROM documents
+    WHERE text IS NOT NULL AND length(text) > 0
+  ) WHERE length(w) > 0
+),
+dt AS (
+  SELECT doc_id, source,
+         CAST(SUM(coalesce(vn.n_sub, length(dw.w) + 1)) AS BIGINT) AS n_bpe
+  FROM dw LEFT JOIN vn ON dw.w = vn.w
+  GROUP BY doc_id, source
+)
+SELECT doc_id, source, n_bpe,
+       CAST(floor((run - n_bpe) / {CONTEXT}) AS BIGINT) AS bin_id,
+       CAST(run - n_bpe - floor((run - n_bpe) / {CONTEXT}) * {CONTEXT}
+            AS BIGINT) AS bin_offset
+FROM (
+  SELECT doc_id, source, n_bpe,
+         sum(n_bpe) OVER (PARTITION BY source ORDER BY doc_id) AS run
+  FROM dt
+)"""
+    )
+
+
+@register("pipeline_tokenize_pack", oracle=_tokenize_pack_oracle())
+def pipeline_tokenize_pack(spark, sf_dir):
+    """Tokenize-and-pack in one pass: BPE-encode the corpus with the
+    trained merge table (text_bpe_train's model), then pack documents
+    into fixed-CONTEXT training windows by BPE-TOKEN length — the job
+    every pretrain data pipeline runs between curation and batching
+    (pack_sequences is its whitespace-unit twin). Emits each doc's
+    (source, bin_id, bin_offset) slot plus its BPE token count; a doc
+    may straddle two bins, bin_id is where it starts.
+
+    Scale: the ONLY corpus-sized steps are the word histogram (one
+    map-side-combined shuffle), the broadcast encode join (vocab-sized
+    word→n_sub table onto the exploded token stream — never a per-token
+    Python loop), and ONE cumsum per source for the packing. The merge
+    loop itself is O(vocab) driver model state, like emb_kmeans
+    centroids. Assignment depends only on (source, doc_id order), so
+    the physical layout decision is cluster-size-invariant. Oracle:
+    the BPE rounds unrolled as in text_bpe_encode, then the packing
+    window replayed over BPE counts."""
+    from terasort_spark.operators.pretrain import CONTEXT
+    from terasort_spark.operators.tokenizer import (
+        _word_counts,
+        encode_word,
+        train_bpe,
+    )
+
+    wc = [(r["w"], r["n"]) for r in _word_counts(spark, sf_dir).collect()]
+    merges = train_bpe(wc)
+    enc_df = spark.createDataFrame(
+        [(w, len(encode_word(w, merges))) for w, _n in wc],
+        "w string, n_sub int",
+    )
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    words = d.select(
+        "doc_id", "source", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    dt = (
+        words.join(F.broadcast(enc_df), "w", "left")
+        .withColumn("n_sub", F.coalesce(F.col("n_sub"), F.length("w") + 1))
+        .groupBy("doc_id", "source")
+        .agg(F.sum("n_sub").cast("bigint").alias("n_bpe"))
+    )
+    win = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = F.sum("n_bpe").over(win)
+    start = run - F.col("n_bpe")
+    return dt.select(
+        "doc_id",
+        "source",
+        "n_bpe",
+        F.floor(start / CONTEXT).alias("bin_id"),
+        (start - F.floor(start / CONTEXT) * CONTEXT)
+        .cast("bigint")
+        .alias("bin_offset"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ml_ndcg — graded retrieval evaluation of the SQ8 index: NDCG@5 with
+# graded relevance from the exact-cosine ranking (rel = 6 - exact_rn
+# for the true top-5, else 0). Companion to ml_mrr (which evaluates the
+# IVF index with binary relevance).
+
+import math as _math
+
+# IDCG@5 for the full relevance ladder 5..1, quantized exactly like the
+# per-term DCG contributions; a Python-side constant inlined into BOTH
+# engines so no cross-engine log/rounding divergence is possible.
+_IDCG6 = sum(
+    _math.floor((6 - i) / _math.log2(i + 1) * 1000000 + 0.5)
+    for i in range(1, _SQ8_TOPK + 1)
+)
+
+
+def _ndcg_oracle() -> str:
+    exact_cos = o_rnd(f"{_dot_sql('a.v', 'b.v')} / (a.nrm * b.nrm)")
+    return f"""
+WITH {_SQ8_CTES},
+exact AS (
+  SELECT q_id, c_id, 6 - rn AS rel FROM (
+    SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+           row_number() OVER (PARTITION BY a.vec_id
+               ORDER BY {exact_cos} DESC, b.vec_id) AS rn
+    FROM sq a JOIN sq b ON b.vec_id != a.vec_id
+    WHERE a.vec_id < {_SQ8_QCUT}
+  ) WHERE rn <= {_SQ8_TOPK}
+),
+terms AS (
+  SELECT s.q_id,
+         CAST(floor(coalesce(e.rel, 0) / log2(s.rn + 1) * 1000000 + 0.5)
+              AS BIGINT) AS t6,
+         CASE WHEN e.rel IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM sq8_topk s
+  LEFT JOIN exact e ON e.q_id = s.q_id AND e.c_id = s.c_id
+)
+SELECT q_id,
+       CAST(sum(hit) AS BIGINT) AS hits,
+       floor(sum(t6) / 100.0 + 0.5) / 10000 AS dcg,
+       floor(sum(t6) / {_IDCG6} * 10000 + 0.5) / 10000 AS ndcg
+FROM terms GROUP BY q_id
+"""
+
+
+@register("ml_ndcg", oracle=_ndcg_oracle())
+def ml_ndcg(spark, sf_dir):
+    """NDCG@5 of the deployed SQ8 index against graded exact-cosine
+    relevance — the second standard retrieval metric next to ml_mrr's
+    MRR/hit@5 (binary relevance): graded NDCG distinguishes "found the
+    3rd-best at rank 1" from "found the best at rank 1", which is what
+    a ranking regression actually looks like in production.
+
+    Ground truth: exact top-{_SQ8_TOPK} per query, rel = 6 - rank. Per
+    system position i: DCG term rel_i / log2(i+1), quantized to 6dp
+    int64 BEFORE the per-query sum so the aggregate is exact integer
+    addition (engine- and partition-invariant); NDCG divides by the
+    IDCG constant of the full 5..1 ladder, inlined identically into
+    both engines. Scale: the evaluation joins are |Q|-bounded (the
+    query sample is broadcast, candidates stream — same discipline as
+    ml_mrr); the system side reuses sim_cosine_sq8's plan unchanged
+    via the shared CTE/function, so index and metric cannot drift."""
+    sys_topk = sim_cosine_sq8(spark, sf_dir).select("q_id", "c_id", "rn")
+
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+        .withColumn("amax", F.array_max(F.transform("v", F.abs)))
+        .filter(F.col("amax") > 0)
+        .withColumn("nrm", F.sqrt(dot_fold(F.col("v"), F.col("v"))))
+    )
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < _SQ8_QCUT).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("nq"),
+        )
+    )
+    c = e.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("nc"),
+    )
+    cosine = dot_fold(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    exact = (
+        q.join(c, F.col("c_id") != F.col("q_id"))
+        .withColumn("cosine", rnd(cosine))
+        .withColumn("rn_x", F.row_number().over(w))
+        .filter(F.col("rn_x") <= _SQ8_TOPK)
+        .select("q_id", "c_id", (F.lit(6) - F.col("rn_x")).alias("rel"))
+    )
+    t6 = F.floor(
+        F.coalesce(F.col("rel"), F.lit(0)) / F.log2(F.col("rn") + 1) * 1000000
+        + 0.5
+    ).cast("bigint")
+    return (
+        sys_topk.join(exact, ["q_id", "c_id"], "left")
+        .select(
+            "q_id",
+            t6.alias("t6"),
+            F.when(F.col("rel").isNotNull(), 1).otherwise(0).alias("hit"),
+        )
+        .groupBy("q_id")
+        .agg(F.sum("t6").alias("dcg6"), F.sum("hit").cast("bigint").alias("hits"))
+        .select(
+            "q_id",
+            "hits",
+            (F.floor(F.col("dcg6") / 100.0 + 0.5) / 10000).alias("dcg"),
+            (
+                F.floor(F.col("dcg6") / F.lit(_IDCG6) * 10000 + 0.5) / 10000
+            ).alias("ndcg"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# scan_bloom_skip — per-file Bloom file-skipping index: the point-lookup
+# complement to scan_rowgroup_stats' min/max zone maps. Data is bucketed
+# by a key UNCORRELATED with the lookup key (the case where zone maps
+# prune nothing), a per-bucket Bloom bitmap over the lookup key is built
+# relationally, and each probe scans ONLY the buckets whose bitmap
+# matches — Iceberg/Delta/Parquet bloom-filter semantics, replayed
+# exactly in SQL.
+
+_BLOOM_BUCKETS = 16
+_BLOOM_K = 4
+# ~10 bits/key like any production bloom (and the r8 dedup admission
+# gate): mbits = 32 * max(128, ceil(10n / (buckets*32))) — data-sized,
+# so the false-positive prune holds at EVERY scale instead of
+# saturating when the corpus outgrows a fixed bitmap.
+_BLOOM_MBITS_SQL = (
+    f"32 * greatest(128, CAST(floor((n * 10.0 + {_BLOOM_BUCKETS * 32 - 1})"
+    f" / {_BLOOM_BUCKETS * 32}) AS BIGINT))"
+)
+# 3 present keys (orders keys are dense from 0) + 3 absent: absent keys
+# measure the false-positive prune, present keys the no-false-negative
+# guarantee.
+_BLOOM_PROBES = (1, 2, 3, 900000007, 900000008, 900000009)
+
+
+def _bloom_pos_sql(key: str, j: str) -> str:
+    from terasort_spark.sources.tera_queries import mix32_sql
+
+    return (
+        f"CAST({mix32_sql(f'((({key}) % 134217728) * {_BLOOM_K} + ({j}))')} "
+        f"% mbits AS BIGINT)"
+    )
+
+
+def _bloom_oracle() -> str:
+    from terasort_spark.sources.tera_queries import mix32_sql
+
+    probes = ", ".join(f"({p})" for p in _BLOOM_PROBES)
+    in_list = ", ".join(str(p) for p in _BLOOM_PROBES)
+    return f"""
+WITH staged AS (
+  SELECT o_orderkey AS k,
+         CAST({mix32_sql("o_custkey % 2147483648")} % {_BLOOM_BUCKETS}
+              AS BIGINT) AS bucket
+  FROM orders
+),
+params AS (SELECT {_BLOOM_MBITS_SQL} AS mbits
+           FROM (SELECT count(*) AS n FROM staged)),
+js AS (SELECT unnest(range({_BLOOM_K})) AS j),
+pos AS (
+  SELECT bucket, {_bloom_pos_sql("k", "j")} AS pos FROM staged, js, params
+),
+words AS (
+  SELECT bucket, pos // 32 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS bits
+  FROM pos GROUP BY 1, 2
+),
+probes(p) AS (VALUES {probes}),
+ppos AS (
+  SELECT p, {_bloom_pos_sql("p", "j")} AS pos FROM probes, js, params
+),
+cand AS (
+  SELECT q.p, w.bucket
+  FROM ppos q
+  JOIN words w
+    ON w.word = q.pos // 32
+   AND (w.bits & (CAST(1 AS BIGINT) << CAST(q.pos % 32 AS INTEGER))) != 0
+  GROUP BY q.p, w.bucket
+  HAVING count(*) = {_BLOOM_K}
+)
+SELECT CAST(pr.p AS BIGINT) AS probe_key,
+       CAST(coalesce(c.n_cand, 0) AS BIGINT) AS n_candidates,
+       CAST(coalesce(f.n, 0) AS BIGINT) AS n_found
+FROM probes pr
+LEFT JOIN (SELECT p, count(*) AS n_cand FROM cand GROUP BY p) c
+       ON c.p = pr.p
+LEFT JOIN (SELECT k, count(*) AS n FROM staged
+           WHERE k IN ({in_list}) GROUP BY k) f
+       ON f.k = pr.p
+"""
+
+
+@register("scan_bloom_skip", oracle=_bloom_oracle())
+def scan_bloom_skip(spark, sf_dir):
+    """Bloom file-skip index, end to end: stage orders hive-partitioned
+    into {_BLOOM_BUCKETS} buckets by mix32(o_custkey) — deliberately
+    UNCORRELATED with o_orderkey, so every bucket spans the full key
+    range and min/max zone maps (scan_rowgroup_stats) cannot prune a
+    key lookup at all. Build a data-sized per-bucket Bloom bitmap over
+    o_orderkey (~10 bits/key, {_BLOOM_K} mix32 hashes, bitmap = groupBy
+    bit_or of 32-bit words — pure relational, map-side combined), probe
+    {len(_BLOOM_PROBES)} keys, and scan ONLY the bloom-qualified
+    buckets per probe (partition filter on the bucket directory; an
+    absent key touches the few false-positive buckets or no files).
+
+    Emits per probe the candidate-bucket count (the prune, bit-exactly
+    replayed by the oracle) and the rows found by the pruned scan
+    (== the true count — Bloom's no-false-negative guarantee, enforced
+    by the hash grade). Scale honesty: the bitmap NEVER rides through
+    the driver — candidate qualification is a relational join of the
+    {len(_BLOOM_PROBES)}x{_BLOOM_K} probe-position table against the
+    words relation, and only the per-probe candidate lists (bounded by
+    probes x buckets) are collected to parameterize the pruned scans,
+    exactly how a planner consumes file-skip metadata. The bitmap
+    scales at ~10 bits/key like Parquet/Iceberg bloom footers and
+    lives with the data, so the false-positive rate (~1%) holds at
+    100 TB instead of saturating a fixed-size filter."""
+    from terasort_spark.sources.tera_queries import mix32
+
+    out = scratch_dir(spark, "bloom_skip")
+    shutil.rmtree(out, ignore_errors=True)
+    staged = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        (mix32(F.col("o_custkey") % F.lit(2147483648)) % _BLOOM_BUCKETS)
+        .cast("bigint")
+        .alias("bucket"),
+    )
+    staged.write.mode("overwrite").partitionBy("bucket").parquet(out)
+
+    c = _BLOOM_BUCKETS * 32
+    params = staged.agg(F.count(F.lit(1)).alias("n")).select(
+        (
+            32
+            * F.greatest(
+                F.lit(128),
+                F.floor((F.col("n") * 10.0 + (c - 1)) / c).cast("bigint"),
+            )
+        ).alias("mbits")
+    )
+
+    def pos_col(key_col, j: int):
+        return (
+            mix32((key_col % 134217728) * _BLOOM_K + F.lit(j))
+            % F.col("mbits")
+        ).cast("bigint")
+
+    expl = staged.crossJoin(F.broadcast(params)).select(
+        "bucket",
+        F.explode(
+            F.array(*[pos_col(F.col("k"), j) for j in range(_BLOOM_K)])
+        ).alias("pos"),
+    )
+    words = (
+        expl.select(
+            "bucket",
+            F.expr("pos DIV 32").alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("bucket", "word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+    probes_df = spark.createDataFrame(
+        [(p,) for p in _BLOOM_PROBES], "p bigint"
+    )
+    ppos = probes_df.crossJoin(F.broadcast(params)).select(
+        "p",
+        F.explode(
+            F.array(*[pos_col(F.col("p"), j) for j in range(_BLOOM_K)])
+        ).alias("pos"),
+    )
+    # bounded collect: per-probe candidate lists (<= probes x buckets
+    # rows) — the bitmap itself stays distributed
+    cand_rows = (
+        F.broadcast(ppos)
+        .join(
+            words,
+            (F.col("word") == F.expr("pos DIV 32"))
+            & (
+                F.expr(
+                    "bits & shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"
+                )
+                != 0
+            ),
+        )
+        .groupBy("p", "bucket")
+        .agg(F.count(F.lit(1)).alias("nbits"))
+        .filter(F.col("nbits") == _BLOOM_K)
+        .select("p", "bucket")
+        .collect()
+    )
+    cand: dict = {p: [] for p in _BLOOM_PROBES}
+    for r in cand_rows:
+        cand[r["p"]].append(r["bucket"])
+
+    reread = spark.read.schema("k bigint, bucket bigint").parquet(out)
+    branches = [
+        reread.filter(
+            F.col("bucket").isin(cand[p]) & (F.col("k") == p)
+        ).select(F.lit(p).cast("bigint").alias("probe_key"))
+        for p in _BLOOM_PROBES
+        if cand[p]
+    ]
+    if branches:
+        found = branches[0]
+        for b in branches[1:]:
+            found = found.unionAll(b)
+        found = found.groupBy("probe_key").agg(
+            F.count(F.lit(1)).alias("n_found")
+        )
+    else:
+        found = spark.createDataFrame([], "probe_key bigint, n_found bigint")
+    base = spark.createDataFrame(
+        [(p, len(cand[p])) for p in _BLOOM_PROBES],
+        "probe_key bigint, n_candidates bigint",
+    )
+    return (
+        base.join(found, "probe_key", "left")
+        .select(
+            "probe_key",
+            "n_candidates",
+            F.coalesce(F.col("n_found"), F.lit(0)).cast("bigint").alias(
+                "n_found"
+            ),
+        )
     )

@@ -49,6 +49,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
 _MASK64 = (1 << 64) - 1
+_IO_CHUNK = 1 << 20
 
 _TYPES = ("int64", "sint64", "bool", "double", "float", "string", "bytes")
 _WIRE = {
@@ -222,6 +223,92 @@ def decode_message(buf: bytes, fields: list[dict]) -> tuple:
 
 
 # ---------------------------------------------------------------------------
+# compiled per-row codecs — encode_message/decode_message above are the
+# spec-reference implementations (and what the tests pin); these
+# precompile the per-field dispatch once so the hot loop does no string
+# type-compares or dict building per row. Semantics are identical.
+
+
+def compile_row_encoder(fields: list[dict]):
+    """fields -> fn(tuple_in_descriptor_order) -> message bytes."""
+    _check_fields(fields)
+    enc = []
+    for f in fields:
+        tag = uvarint_encode((int(f["num"]) << 3) | _WIRE[f["type"]])
+        ft = f["type"]
+        if ft == "int64":
+            enc.append(lambda v, t=tag: t + uvarint_encode(int(v) & _MASK64))
+        elif ft == "sint64":
+            enc.append(lambda v, t=tag: t + sint64_encode(int(v)))
+        elif ft == "bool":
+            enc.append(lambda v, t=tag: t + (b"\x01" if v else b"\x00"))
+        elif ft == "double":
+            enc.append(lambda v, t=tag: t + struct.pack("<d", float(v)))
+        elif ft == "float":
+            enc.append(lambda v, t=tag: t + struct.pack("<f", float(v)))
+        elif ft == "string":
+            def _s(v, t=tag):
+                b = str(v).encode("utf-8")
+                return t + uvarint_encode(len(b)) + b
+            enc.append(_s)
+        else:  # bytes
+            def _b(v, t=tag):
+                b = bytes(v)
+                return t + uvarint_encode(len(b)) + b
+            enc.append(_b)
+
+    def encode_row(row: tuple) -> bytes:
+        return b"".join(e(v) for e, v in zip(enc, row) if v is not None)
+
+    return encode_row
+
+
+def _compile_tag_table(fields: list[dict]):
+    """tag -> (column_index, type) for the fast decode loop."""
+    return {
+        (int(f["num"]) << 3) | _WIRE[f["type"]]: (i, f["type"])
+        for i, f in enumerate(fields)
+    }
+
+
+def decode_message_fast(buf: bytes, by_tag: dict, n_cols: int) -> list:
+    """Same semantics as decode_message (unknown/wrong-wire skip,
+    last-wins, absent->None) against a precompiled tag table."""
+    row = [None] * n_cols
+    pos = 0
+    blen = len(buf)
+    while pos < blen:
+        tag, pos = uvarint_decode(buf, pos)
+        hit = by_tag.get(tag)
+        if hit is None:
+            pos = _skip(buf, pos, tag & 7)
+            continue
+        i, ft = hit
+        if ft == "double":
+            row[i] = struct.unpack_from("<d", buf, pos)[0]
+            pos += 8
+        elif ft == "float":
+            row[i] = struct.unpack_from("<f", buf, pos)[0]
+            pos += 4
+        elif ft in ("string", "bytes"):
+            ln, pos = uvarint_decode(buf, pos)
+            raw = bytes(buf[pos : pos + ln])
+            if len(raw) != ln:
+                raise IndexError("truncated length-delimited field")
+            pos += ln
+            row[i] = raw.decode("utf-8") if ft == "string" else raw
+        else:
+            u, pos = uvarint_decode(buf, pos)
+            if ft == "int64":
+                row[i] = u - (1 << 64) if u >> 63 else u
+            elif ft == "sint64":
+                row[i] = (u >> 1) ^ -(u & 1)
+            else:
+                row[i] = bool(u)
+    return row
+
+
+# ---------------------------------------------------------------------------
 # file writer (length-delimited stream; one file per executor partition)
 
 
@@ -230,15 +317,21 @@ def write_pb(path: str, rows, fields: list[dict]) -> int:
     length-delimited protobuf stream; returns the record count."""
     _check_fields(fields)
     names = [f["name"] for f in fields]
+    encode_row = compile_row_encoder(fields)
     n = 0
+    out = bytearray()
     with open(path, "wb") as f:
         for r in rows:
-            if not isinstance(r, dict):
-                r = dict(zip(names, r))
-            msg = encode_message(r, fields)
-            f.write(uvarint_encode(len(msg)))
-            f.write(msg)
+            if isinstance(r, dict):
+                r = tuple(r.get(nm) for nm in names)
+            msg = encode_row(r)
+            out += uvarint_encode(len(msg))
+            out += msg
             n += 1
+            if len(out) >= _IO_CHUNK:
+                f.write(out)
+                out = bytearray()
+        f.write(out)
     return n
 
 
@@ -277,6 +370,8 @@ class ProtobufReader(DataSourceReader):
         if not split.path:
             return
         fields = json.loads(split.fields_json)
+        by_tag = _compile_tag_table(fields)
+        n_cols = len(fields)
         with open(split.path, "rb") as f:
             buf = f.read()
         pos = 0
@@ -286,7 +381,7 @@ class ProtobufReader(DataSourceReader):
             if len(msg) != ln:
                 raise IOError(f"{split.path}: truncated record at {pos}")
             pos += ln
-            yield decode_message(msg, fields)
+            yield tuple(decode_message_fast(msg, by_tag, n_cols))
 
 
 class ProtobufDataSource(DataSource):

@@ -250,3 +250,131 @@ def test_rrf_output_is_sorted_by_fused_score(spark, sf_dir):
     # has no duplicate docs.
     assert len({r["doc_id"] for r in rows}) == len(rows)
     assert max(scores)[0] > 0
+
+
+# ---------------------------------------------------------------------------
+# pipeline_tokenize_pack — packing invariants over BPE-token lengths
+
+
+def test_tokenize_pack_cumsum_invariant(spark, sf_dir):
+    """Replaying the per-source cumsum over the emitted n_bpe values
+    must reproduce every (bin_id, bin_offset); offsets stay inside the
+    context window and bins advance monotonically in doc_id order."""
+    from terasort_spark.operators.pretrain import CONTEXT
+
+    rows = _Q["pipeline_tokenize_pack"](spark, sf_dir).collect()
+    assert rows
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        run = 0
+        prev_bin = 0
+        for r in rs:
+            assert r["bin_id"] == run // CONTEXT, r
+            assert r["bin_offset"] == run % CONTEXT, r
+            assert 0 <= r["bin_offset"] < CONTEXT
+            assert r["bin_id"] >= prev_bin
+            prev_bin = r["bin_id"]
+            run += r["n_bpe"]
+
+
+def test_tokenize_pack_counts_match_bpe_encode(spark, sf_dir):
+    """For the doc_id < 100 cut that text_bpe_encode grades, the packed
+    n_bpe must equal that operator's n_subtokens — one tokenizer, one
+    count, two declared surfaces."""
+    packed = {
+        r["doc_id"]: r["n_bpe"]
+        for r in _Q["pipeline_tokenize_pack"](spark, sf_dir).collect()
+        if r["doc_id"] < 100
+    }
+    enc = {
+        r["doc_id"]: r["n_subtokens"]
+        for r in _Q["text_bpe_encode"](spark, sf_dir).collect()
+    }
+    assert packed == enc
+
+
+def test_ndcg_recomputes_from_system_and_exact_rankings(spark, sf_dir):
+    """NDCG must equal a from-scratch Python recomputation over the
+    emitted system ranking and the exact top-5 ground truth."""
+    import math
+
+    from terasort_spark.operators.wave11 import _IDCG6
+
+    sys_rows = _Q["sim_cosine_sq8"](spark, sf_dir).collect()
+    exact = _Q["sim_cosine_topk"](spark, sf_dir).collect()
+    rel = {(r["q_id"], r["c_id"]): 6 - r["rn"] for r in exact}
+    want: dict = {}
+    for r in sys_rows:
+        g = rel.get((r["q_id"], r["c_id"]), 0)
+        t6 = math.floor(g / math.log2(r["rn"] + 1) * 1000000 + 0.5)
+        d = want.setdefault(r["q_id"], [0, 0])
+        d[0] += t6
+        d[1] += 1 if g else 0
+    got = {r["q_id"]: r for r in _Q["ml_ndcg"](spark, sf_dir).collect()}
+    assert set(got) == set(want)
+    for qid, (dcg6, hits) in want.items():
+        r = got[qid]
+        assert r["hits"] == hits
+        assert r["dcg"] == math.floor(dcg6 / 100.0 + 0.5) / 10000
+        assert r["ndcg"] == math.floor(dcg6 / _IDCG6 * 10000 + 0.5) / 10000
+        assert 0.0 <= r["ndcg"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# scan_bloom_skip — pruning and no-false-negative invariants
+
+
+def test_bloom_skip_prunes_and_never_misses(spark, sf_dir):
+    from terasort_spark.operators.wave11 import _BLOOM_BUCKETS, _BLOOM_PROBES
+
+    rows = {r["probe_key"]: r for r in _Q["scan_bloom_skip"](spark, sf_dir).collect()}
+    assert set(rows) == set(_BLOOM_PROBES)
+    for p in (1, 2, 3):  # orders keys are dense-unique from 0 at every SF
+        assert rows[p]["n_found"] == 1, rows[p]
+        assert 1 <= rows[p]["n_candidates"] < _BLOOM_BUCKETS
+    for p in (900000007, 900000008, 900000009):
+        assert rows[p]["n_found"] == 0
+        # ~10 bits/key, k=4 -> per-bucket FP ~1%; allow generous slack
+        assert rows[p]["n_candidates"] <= 3, rows[p]
+
+
+def test_fast_codec_matches_reference_decoder():
+    """decode_message_fast (the hot loop) must agree with the
+    spec-reference decode_message on edge rows, unknown fields, and
+    wrong-wire-type skips."""
+    import struct
+
+    from terasort_spark.sources.protobuf_ds import (
+        _compile_tag_table,
+        compile_row_encoder,
+        decode_message_fast,
+    )
+
+    by_tag = _compile_tag_table(_FIELDS)
+    enc = compile_row_encoder(_FIELDS)
+    rows = [
+        (0, 0, "", 0.0, 0.0, False, b""),
+        (-1, -(2**63), "héllo", -2.5, 1.5, True, b"\x00\xff"),
+        (2**63 - 1, 2**63 - 1, "x" * 1000, 1e308, -0.0, False, None),
+        (None, None, None, None, None, None, None),
+    ]
+    for row in rows:
+        msg = enc(row)
+        assert decode_message_fast(msg, by_tag, len(_FIELDS)) == list(
+            decode_message(msg, _FIELDS)
+        )
+        # reference encoder must produce identical bytes
+        assert msg == encode_message(dict(zip([f["name"] for f in _FIELDS], row)), _FIELDS)
+    # unknown + wrong-wire fields skipped identically
+    extra = (
+        uvarint_encode((90 << 3) | 0) + uvarint_encode(7)
+        + uvarint_encode((1 << 3) | 2) + uvarint_encode(2) + b"zz"
+        + uvarint_encode((91 << 3) | 1) + struct.pack("<d", 9.9)
+    )
+    msg = extra + enc((5, -5, "a", 1.0, 2.0, True, b"b"))
+    assert decode_message_fast(msg, by_tag, len(_FIELDS)) == list(
+        decode_message(msg, _FIELDS)
+    )
