@@ -83,6 +83,8 @@ _OPERATOR_MODULES = (
     "terasort_spark.operators.wave8",
     "terasort_spark.operators.wave10",
     "terasort_spark.operators.wave11",
+    "terasort_spark.operators.wave12",
+    "terasort_spark.operators.wave13",
 )
 
 _loaded = False

@@ -1,0 +1,143 @@
+"""Round-10 fourth wave: source-level MinHash sketches, depth-2
+histogram tree, crawl-frontier scheduling. Oracle parity is
+driver-graded; these tests pin the sketch's mergeability and accuracy,
+the tree's recursive-split consistency, and the scheduler's politeness
+invariants."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from terasort_spark.catalog import table
+from terasort_spark.operators.wave13 import (
+    FRONTIER_PER_HOST,
+    FRONTIER_ROUNDS,
+)
+from terasort_spark.registry import queries
+
+_Q = queries()
+
+
+# ---------------------------------------------------------------------------
+# sim_source_minhash
+
+
+def test_source_minhash_sketch_quality_and_bounds(spark, sf_dir):
+    """est_jaccard is a [0,1] slot-agreement fraction in 1/N_HASHES
+    steps; identical token sets must sketch identically (est = 1 when
+    exact = 1); and on this corpus the sketch should track the exact
+    Jaccard within the standard minhash error for 32 slots."""
+    rows = _Q["sim_source_minhash"](spark, sf_dir).collect()
+    assert rows
+    n_src = table(spark, sf_dir, "documents").select("source").distinct().count()
+    assert len(rows) == n_src * (n_src - 1) // 2
+    for r in rows:
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+        assert 0.0 <= r["jaccard"] <= 1.0
+        if r["jaccard"] == 1.0:
+            assert r["est_jaccard"] == 1.0
+    # mean absolute sketch error across pairs: standard error of a
+    # 32-slot minhash is ~sqrt(j(1-j)/32) <= 0.09; allow 2x slack
+    mae = sum(abs(r["est_jaccard"] - r["jaccard"]) for r in rows) / len(rows)
+    assert mae < 0.18
+
+
+def test_source_minhash_mergeable(spark, sf_dir):
+    """The sketch is a min-aggregation, so the union of two sources'
+    sketches must equal the sketch of their concatenated corpus —
+    verified by slot-wise min against a re-signed union."""
+    from terasort_spark.operators.llm_dedup import (
+        BUCKET_M,
+        N_HASHES,
+        PERM_A,
+        PERM_B,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    srcs = sorted(
+        r["source"] for r in d.select("source").distinct().collect()
+    )[:2]
+    tok28 = lambda t: F.conv(  # noqa: E731
+        F.substring(F.md5(t), 1, 7), 16, 10
+    ).cast("long")
+
+    def sketch(df):
+        th = df.select(
+            F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias("t")
+        ).select(tok28(F.col("t")).alias("h"))
+        return th.agg(
+            *[
+                F.min(
+                    (F.col("h") * F.lit(PERM_A[i]) + F.lit(PERM_B[i]))
+                    % F.lit(BUCKET_M)
+                ).alias(f"mh{i}")
+                for i in range(N_HASHES)
+            ]
+        ).collect()[0]
+
+    s0 = sketch(d.filter(F.col("source") == srcs[0]))
+    s1 = sketch(d.filter(F.col("source") == srcs[1]))
+    both = sketch(d.filter(F.col("source").isin(list(srcs))))
+    for i in range(N_HASHES):
+        assert both[f"mh{i}"] == min(s0[f"mh{i}"], s1[f"mh{i}"])
+
+
+# ---------------------------------------------------------------------------
+# ml_tree_depth2
+
+
+def test_tree_depth2_consistency(spark, sf_dir):
+    """Root row must equal ml_stump's answer; children partition the
+    root's row counts; each child's split keeps threshold strictly
+    inside its node's x-range."""
+    rows = {r["node"]: r for r in _Q["ml_tree_depth2"](spark, sf_dir).collect()}
+    assert set(rows) == {"root", "left", "right"}
+    stump = _Q["ml_stump"](spark, sf_dir).collect()[0]
+    root = rows["root"]
+    assert (root["threshold"], root["wgini"]) == (
+        stump["threshold"],
+        stump["wgini"],
+    )
+    n_root = root["n_left"] + root["n_right"]
+    assert rows["left"]["n_left"] + rows["left"]["n_right"] == root["n_left"]
+    assert (
+        rows["right"]["n_left"] + rows["right"]["n_right"] == root["n_right"]
+    )
+    assert rows["left"]["threshold"] < root["threshold"]
+    assert rows["right"]["threshold"] > root["threshold"]
+    assert n_root == table(spark, sf_dir, "documents").count()
+
+
+# ---------------------------------------------------------------------------
+# pipeline_crawl_frontier
+
+
+def test_frontier_politeness(spark, sf_dir):
+    """Per (round, host) at most the quota; ranks are contiguous
+    per host from 1; within a round, a host's second URL never
+    precedes another scheduled host's first (host-rotating
+    interleave)."""
+    rows = _Q["pipeline_crawl_frontier"](spark, sf_dir).collect()
+    assert rows
+    per = defaultdict(list)
+    for r in rows:
+        assert 1 <= r["round"] <= FRONTIER_ROUNDS
+        per[(r["round"], r["source"])].append(r)
+    for (_, _), lst in per.items():
+        assert len(lst) <= FRONTIER_PER_HOST
+    # within each round, positions ordered by rank_in_host blocks
+    by_round = defaultdict(list)
+    for r in rows:
+        by_round[r["round"]].append(r)
+    for rnd_rows in by_round.values():
+        rnd_rows.sort(key=lambda r: r["pos"])
+        ranks = [r["rank_in_host"] for r in rnd_rows]
+        assert ranks == sorted(ranks)
+    # per-host ranks contiguous from 1 across the whole schedule
+    host_ranks = defaultdict(list)
+    for r in rows:
+        host_ranks[r["source"]].append(r["rank_in_host"])
+    for ranks in host_ranks.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
