@@ -33,11 +33,19 @@ asserted.
 
 Run:  python scripts/agg_scale_probe.py [n_rows] [mode]
       mode in {uniform (default), hot}
+      AGG_PROBE_ONLY=plain|bucketed|groupby runs ONE workload in its
+      own JVM (shuffle dirs are freed on exit — required above ~10 GB
+      where two workloads' live shuffle files exceed the sandbox disk;
+      the emitted per-workload checksums are deterministic, so
+      plain-vs-bucketed equality is still checkable ACROSS runs).
+      AGG_PROBE_HOT_FRAC=K routes 1/K of all events to the hot user
+      (default 10; 2 = a 50%-hot adversary).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -58,7 +66,7 @@ GAP = 1800  # session gap, seconds
 SPAN = 30 * 86400  # event timestamps span 30 days
 BUCKET = 3600  # two-phase rewrite bucket: one hour
 ROW_BYTES = 24  # 3 int64 logical columns
-HOT_FRAC = 10  # hot mode: 1/10 of events on one user
+HOT_FRAC = int(os.environ.get("AGG_PROBE_HOT_FRAC", "10"))  # hot mode: 1/HOT_FRAC of events on one user
 
 
 def events(spark, n: int):
@@ -140,57 +148,64 @@ def sessionize_bucketed(ev):
 def main() -> None:
     spark = get_spark(app_name="agg-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
+    only = os.environ.get("AGG_PROBE_ONLY")  # plain | bucketed | groupby
+    gb = N_ROWS * ROW_BYTES / 1e9
+    out = {"mode": MODE, "n_rows": N_ROWS, "bytes": N_ROWS * ROW_BYTES}
+    preserved, cs1, cs2 = True, None, None
 
     # workload A1: plain sessionize (the straggler-prone baseline)
-    t0 = time.time()
-    a1 = sessionize_plain(events(spark, N_ROWS))
-    cs1, ev1, mx1 = _cs_and_events(a1, "user", "n_sessions", "n_events")
-    t_plain = time.time() - t0
+    if only in (None, "plain"):
+        t0 = time.time()
+        a1 = sessionize_plain(events(spark, N_ROWS))
+        cs1, ev1, mx1 = _cs_and_events(a1, "user", "n_sessions", "n_events")
+        t_plain = time.time() - t0
+        preserved = preserved and ev1 == N_ROWS
+        out["sessionize_plain_sec"] = round(t_plain, 1)
+        out["mb_per_sec_plain"] = round(gb * 1000 / t_plain, 1)
+        out["plain_checksum"] = str(cs1)
+        if MODE == "hot":
+            # the hot user is the max-events user — no extra pass
+            out["hot_user_share"] = round(mx1 / N_ROWS, 4)
 
     # workload A2: two-phase bucketed rewrite (the scale fix)
-    t1 = time.time()
-    a2 = sessionize_bucketed(events(spark, N_ROWS))
-    cs2, ev2, _ = _cs_and_events(a2, "user", "n_sessions", "n_events")
-    t_bucketed = time.time() - t1
+    if only in (None, "bucketed"):
+        t1 = time.time()
+        a2 = sessionize_bucketed(events(spark, N_ROWS))
+        cs2, ev2, _ = _cs_and_events(a2, "user", "n_sessions", "n_events")
+        t_bucketed = time.time() - t1
+        preserved = preserved and ev2 == N_ROWS
+        out["sessionize_bucketed_sec"] = round(t_bucketed, 1)
+        out["mb_per_sec_bucketed"] = round(gb * 1000 / t_bucketed, 1)
+        out["bucketed_checksum"] = str(cs2)
 
     # workload B: high-cardinality groupBy (partial-agg evidence) —
     # ~n/10 groups, count+sum, re-aggregated into one checksum
-    t2 = time.time()
-    g = (
-        events(spark, N_ROWS)
-        .groupBy(
-            F.pmod(F.xxhash64("user", "val"), F.lit(max(N_ROWS // 10, 1))).alias("k")
+    if only in (None, "groupby"):
+        t2 = time.time()
+        g = (
+            events(spark, N_ROWS)
+            .groupBy(
+                F.pmod(
+                    F.xxhash64("user", "val"), F.lit(max(N_ROWS // 10, 1))
+                ).alias("k")
+            )
+            .agg(F.count(F.lit(1)).alias("c"), F.sum("val").alias("sv"))
         )
-        .agg(F.count(F.lit(1)).alias("c"), F.sum("val").alias("sv"))
-    )
-    cs_g = int(
-        g.select(
-            F.sum(F.xxhash64("k", "c", "sv").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
-    )
-    t_group = time.time() - t2
+        row = g.select(
+            F.sum(F.xxhash64("k", "c", "sv").cast("decimal(38,0)")).alias("s"),
+            F.sum("c").alias("n"),
+        ).collect()[0]
+        t_group = time.time() - t2
+        preserved = preserved and int(row["n"]) == N_ROWS
+        out["groupby_sec"] = round(t_group, 1)
+        out["mb_per_sec_groupby"] = round(gb * 1000 / t_group, 1)
 
-    # the hot user (if any) is the max-events user — no extra pass
-    share = round(mx1 / N_ROWS, 4) if MODE == "hot" else None
-
-    gb = N_ROWS * ROW_BYTES / 1e9
-    ok = cs1 == cs2 and ev1 == N_ROWS and ev2 == N_ROWS and cs_g != 0
-    out = {
-        "mode": MODE,
-        "n_rows": N_ROWS,
-        "bytes": N_ROWS * ROW_BYTES,
-        "plain_vs_bucketed_match": cs1 == cs2,
-        "rows_preserved": ev1 == N_ROWS and ev2 == N_ROWS,
-        "ok": ok,
-        "sessionize_plain_sec": round(t_plain, 1),
-        "sessionize_bucketed_sec": round(t_bucketed, 1),
-        "groupby_sec": round(t_group, 1),
-        "mb_per_sec_plain": round(gb * 1000 / t_plain, 1),
-        "mb_per_sec_bucketed": round(gb * 1000 / t_bucketed, 1),
-        "mb_per_sec_groupby": round(gb * 1000 / t_group, 1),
-    }
-    if share is not None:
-        out["hot_user_share"] = share
+    out["rows_preserved"] = preserved
+    ok = preserved
+    if cs1 is not None and cs2 is not None:
+        out["plain_vs_bucketed_match"] = cs1 == cs2
+        ok = ok and cs1 == cs2
+    out["ok"] = ok
     print(json.dumps(out))
     sys.exit(0 if ok else 1)
 
