@@ -76,6 +76,9 @@ HEADLINERS = [
     ("agg_quantile_hist", "partial+final bin-count aggregation; quantile extraction windows run over bins, not rows"),
     ("scan_bloom_skip", "pruned probe scans: PartitionFilters on the bucket directory key; bitmap built by bit_or aggregation, never collected"),
     ("pipeline_tokenize_pack", "broadcast vocab encode join onto the exploded token stream; one packing cumsum per source"),
+    ("pipeline_crawl_frontier", "Partial+Final WindowGroupLimit prunes each host's frontier to the scheduled horizon BEFORE the host exchange"),
+    ("ml_tree_depth2", "both child splits in ONE window pass (PARTITION BY node); root threshold carried by 1-row broadcast cross"),
+    ("sim_source_minhash", "mergeable sketch: 32 min() aggregations collapse map-side; pairwise join moves signatures, never tokens"),
 ]
 
 

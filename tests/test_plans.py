@@ -603,3 +603,30 @@ def test_nprobe_is_bucket_equijoin_no_cartesian(spark, sf_dir):
     assert_no_cartesian(df)
     plan = executed_plan(df)
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_frontier_prunes_before_exchange(spark, sf_dir):
+    """pipeline_crawl_frontier: the per-host rank filter must plan BOTH
+    a Partial WindowGroupLimit (pruning each host's frontier to the
+    scheduled horizon BEFORE the host exchange) and the Final one — at
+    100 TB the unscheduled tail of every host's frontier never rides
+    the shuffle. The schedule must stay cartesian-free."""
+    df = _Q["pipeline_crawl_frontier"](spark, sf_dir)
+    assert_no_cartesian(df)
+    plan = executed_plan(df)
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan and "Final" in plan, plan
+
+
+def test_tree_depth2_single_windowed_pass_per_level(spark, sf_dir):
+    """ml_tree_depth2: both child splits must run inside ONE window
+    pass (PARTITION BY node appears in the window spec), and the root
+    threshold must arrive by BROADCAST (the repo's 1-row scalar-carry
+    cross — a BroadcastNestedLoopJoin whose build side is the 1-row
+    root split, never a shuffled join of the histogram)."""
+    df = _Q["ml_tree_depth2"](spark, sf_dir)
+    plan = executed_plan(df)
+    assert "windowspecdefinition(node#" in plan, plan
+    assert "BroadcastNestedLoopJoin BuildRight, Cross" in plan, plan
+    # the per-node argmin is WindowGroupLimit-pruned, not a full sort
+    assert "WindowGroupLimit" in plan, plan
