@@ -85,6 +85,7 @@ _OPERATOR_MODULES = (
     "terasort_spark.operators.wave11",
     "terasort_spark.operators.wave12",
     "terasort_spark.operators.wave13",
+    "terasort_spark.operators.wave14",
 )
 
 _loaded = False
