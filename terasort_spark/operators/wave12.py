@@ -433,7 +433,13 @@ def scan_vacuum(spark, sf_dir):
     )
     write_version(ups, root, 1)
     delete_keys(spark, o.filter(F.col("o_orderkey") % 13 == 0), root, 2)
-    snap = read_snapshot(spark, root, ["o_orderkey"], version=2)
+    # Pin the v<=2 resolution BEFORE writing v3 into the same root:
+    # spark.read.parquet lists files lazily enough that the checkpoint
+    # write job could otherwise re-list the root mid-write and read its
+    # own partial _v=3 output (the transient-FileNotFound retry shape
+    # _util.py documents). localCheckpoint is the repo's idiom for
+    # cutting a lineage off a directory that is about to be mutated.
+    snap = read_snapshot(spark, root, ["o_orderkey"], version=2).localCheckpoint()
     write_version(snap, root, _VACUUM_BASE)
 
     latest = read_snapshot(

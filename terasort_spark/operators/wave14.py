@@ -76,8 +76,11 @@ ROUGE_PAIRS = 400  # candidate doc_ids < this (odd ids; ref = id - 1)
 def _rouge_oracle() -> str:
     return f"""
 WITH d AS MATERIALIZED (
-  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
-  FROM documents WHERE text IS NOT NULL AND doc_id < {ROUGE_PAIRS}
+  SELECT doc_id, toks FROM (
+    SELECT doc_id,
+           list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+    FROM documents WHERE text IS NOT NULL AND doc_id < {ROUGE_PAIRS}
+  ) WHERE len(toks) > 0
 ),
 uni AS MATERIALIZED (
   SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c
@@ -150,6 +153,10 @@ def ml_rouge(spark, sf_dir):
                 "toks"
             ),
         )
+        # Zero-token docs would make cn1 = 0 and (under ANSI mode) turn
+        # m1/cn1 into DIVIDE_BY_ZERO on one executor while the oracle
+        # returns NULL; drop them in BOTH engines (oracle d CTE mirrors).
+        .filter(F.size("toks") > 0)
     )
     uni = (
         d.select("doc_id", F.explode("toks").alias("t"))

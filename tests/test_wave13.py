@@ -93,7 +93,11 @@ def test_tree_depth2_consistency(spark, sf_dir):
     root's row counts; each child's split keeps threshold strictly
     inside its node's x-range."""
     rows = {r["node"]: r for r in _Q["ml_tree_depth2"](spark, sf_dir).collect()}
-    assert set(rows) == {"root", "left", "right"}
+    # A child with a single distinct n_chars value emits no split row
+    # (best_split has nothing to split) — both engines agree, so only
+    # the root is guaranteed; child invariants apply when present.
+    assert "root" in rows
+    assert set(rows) <= {"root", "left", "right"}
     stump = _Q["ml_stump"](spark, sf_dir).collect()[0]
     root = rows["root"]
     assert (root["threshold"], root["wgini"]) == (
@@ -101,12 +105,17 @@ def test_tree_depth2_consistency(spark, sf_dir):
         stump["wgini"],
     )
     n_root = root["n_left"] + root["n_right"]
-    assert rows["left"]["n_left"] + rows["left"]["n_right"] == root["n_left"]
-    assert (
-        rows["right"]["n_left"] + rows["right"]["n_right"] == root["n_right"]
-    )
-    assert rows["left"]["threshold"] < root["threshold"]
-    assert rows["right"]["threshold"] > root["threshold"]
+    if "left" in rows:
+        assert (
+            rows["left"]["n_left"] + rows["left"]["n_right"] == root["n_left"]
+        )
+        assert rows["left"]["threshold"] < root["threshold"]
+    if "right" in rows:
+        assert (
+            rows["right"]["n_left"] + rows["right"]["n_right"]
+            == root["n_right"]
+        )
+        assert rows["right"]["threshold"] > root["threshold"]
     assert n_root == table(spark, sf_dir, "documents").count()
 
 
