@@ -3,12 +3,28 @@
 
 Runs every declared query at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], 3 repetitions after a
-discarded warm-up, and prints ONE JSON line:
+discarded warm-up, and prints ONE compact JSON line at the end:
   {"metric": "suite_median_total_s", "value": N, "unit": "sec",
    "queries": {name: median_sec, ...}, "sf": 0.1}
 
 Each timing materializes the full result (collect) so the measured cost
 includes the whole plan, not just planning.
+
+Session-aging fix (round-10 verdict task 1): one SparkSession across
+308 queries x 4 reps accumulates JVM heap / plan-cache / listener state
+that inflated late-alphabet medians 4-17x on UNTOUCHED code
+(BENCH_r10: ts_autocorr 0.58 -> 9.71 s; isolated re-timing returned it
+to 1.0-1.9x). The suite now runs in CHUNKS of $BENCH_CHUNK (default 50)
+queries, each chunk in a FRESH child process (fresh JVM — stronger than
+newSession, which shares the aged context). Chunk startup cost is
+outside the per-query timings. Per-query medians are therefore
+comparable to isolated runs by construction.
+
+Gate (round-10 verdict task 7): after the sweep, every query is checked
+against OPERATIVE_BASELINE.json (per-query frozen best median +
+provenance; regenerate with scripts/make_operative_baseline.py). A
+query fails the gate when median > 2x its operative baseline AND > 1 s
+absolute. The gate line prints before the final summary.
 """
 
 from __future__ import annotations
@@ -17,6 +33,7 @@ import gc
 import json
 import os
 import statistics
+import subprocess
 import sys
 import time
 
@@ -24,11 +41,10 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
-from terasort_spark.registry import queries  # noqa: E402
-from terasort_spark.session import get_spark  # noqa: E402
-
 REPS = int(os.environ.get("BENCH_REPS", "3"))
+CHUNK = int(os.environ.get("BENCH_CHUNK", "50"))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+_CHILD_MARK = "##BENCH_CHILD_RESULT##"
 
 
 def _sf_from_dir(d: str) -> float:
@@ -39,16 +55,26 @@ def _sf_from_dir(d: str) -> float:
         return -1.0
 
 
-def main() -> None:
+def _run_chunk(names: list[str]) -> dict[str, float]:
+    """Child-process body: time the given queries in one fresh session."""
+    from terasort_spark.registry import queries
+    from terasort_spark.session import get_spark
+
     spark = get_spark(app_name="terasort-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = queries()
-    only = os.environ.get("BENCH_ONLY")  # comma-separated names, local iteration
-    if only:
-        keep = {n.strip() for n in only.split(",")}
-        qs = {n: f for n, f in qs.items() if n in keep}
+    # JVM warm-up pre-pass: the chunk's first query runs twice, discarded,
+    # so global one-time costs (codegen compiler JIT, parquet reader and
+    # shuffle init) land outside ANY timed rep. Without this the chunk's
+    # first 1-2 queries read ~1.5-2x their warmed medians (probe: rep
+    # times 8.1 -> 1.8 s by the third execution).
+    for _ in range(2):
+        try:
+            qs[names[0]](spark, SF_DIR).collect()
+        except Exception:  # pragma: no cover
+            break
     medians: dict[str, float] = {}
-    for name in sorted(qs):
+    for name in names:
         fn = qs[name]
         times = []
         for rep in range(REPS + 1):  # rep 0 = warm-up, discarded
@@ -66,11 +92,77 @@ def main() -> None:
             medians[name] = round(statistics.median(times), 3)
         # Release per-query driver state between queries: dropping the
         # Python DataFrame refs lets the JVM ContextCleaner evict
-        # localCheckpoint blocks (iterative queries pin them until GC),
-        # which otherwise accumulate across 185x4 runs and inflate
-        # late-alphabet medians ~2x vs isolated runs.
+        # localCheckpoint blocks (iterative queries pin them until GC).
         gc.collect()
         spark.catalog.clearCache()
+    spark.stop()
+    return medians
+
+
+def _spawn_chunk(names: list[str]) -> dict[str, float]:
+    """Run one chunk in a fresh python+JVM; parse the marked result line."""
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--chunk"] + names,
+        capture_output=True,
+        text=True,
+        env=os.environ.copy(),
+        cwd=REPO,
+    )
+    for line in reversed(proc.stdout.splitlines()):
+        if line.startswith(_CHILD_MARK):
+            return json.loads(line[len(_CHILD_MARK):])
+    print(
+        f"# chunk [{names[0]}..{names[-1]}] produced no result "
+        f"(rc={proc.returncode}); stderr tail: {proc.stderr[-500:]}",
+        file=sys.stderr,
+    )
+    return {}
+
+
+def _gate(medians: dict[str, float]) -> dict:
+    """Evaluate the >2x-and->1s gate against OPERATIVE_BASELINE.json."""
+    try:
+        with open(os.path.join(REPO, "OPERATIVE_BASELINE.json")) as f:
+            base = json.load(f)["queries"]
+    except (OSError, ValueError, KeyError):
+        return {"metric": "gate_over_2x", "status": "no_baseline_file"}
+    over = {}
+    for name, med in medians.items():
+        b = base.get(name, {}).get("median_s")
+        if b and med > 2 * b and med > 1.0:
+            over[name] = {"median_s": med, "baseline_s": b,
+                          "ratio": round(med / b, 2)}
+    return {
+        "metric": "gate_over_2x",
+        "status": "PASS" if not over else "FAIL",
+        "n_checked": sum(1 for n in medians if n in base),
+        "n_over": len(over),
+        "over": over,
+    }
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--chunk":
+        medians = _run_chunk(sys.argv[2:])
+        print(_CHILD_MARK + json.dumps(medians))
+        return
+
+    from terasort_spark.registry import queries  # light import, no session
+
+    names = sorted(queries())
+    only = os.environ.get("BENCH_ONLY")  # comma-separated, local iteration
+    if only:
+        keep = {n.strip() for n in only.split(",")}
+        names = [n for n in names if n in keep]
+    medians: dict[str, float] = {}
+    for i in range(0, len(names), CHUNK):
+        chunk = names[i : i + CHUNK]
+        medians.update(_spawn_chunk(chunk))
+        print(
+            f"# chunk {i // CHUNK + 1}/{(len(names) + CHUNK - 1) // CHUNK} "
+            f"done ({len(medians)}/{len(names)} queries)",
+            file=sys.stderr,
+        )
     total = round(sum(medians.values()), 3)
     sf = _sf_from_dir(SF_DIR)
     # Machine-detectable ambient drift (r8 VERDICT task 7): the median
@@ -113,6 +205,7 @@ def main() -> None:
                 json.dump(full, f, indent=1, sort_keys=True)
         except OSError as exc:  # pragma: no cover
             print(f"# could not write BENCH_QUERIES.json: {exc}", file=sys.stderr)
+    print(json.dumps(_gate(medians)))
     slowest = dict(
         sorted(medians.items(), key=lambda kv: kv[1], reverse=True)[:15]
     )
@@ -129,7 +222,6 @@ def main() -> None:
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":
