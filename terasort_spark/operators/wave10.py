@@ -125,8 +125,83 @@ _STREAM_ROUNDS = 3
 _DOCS_SCHEMA = (
     "doc_id bigint, text string, lang string, source string, n_chars bigint"
 )
-_BUCKET_SCHEMA = "band int, bucket bigint, e_id bigint"
-_TOKS_SCHEMA = "doc_id bigint, toks array<string>"
+# Standing-state layout (r10 VERDICT task 2): bucket state is stored
+# PRE-GROUPED and CAP-COMPACTED (per (band,bucket) the sorted <=cap
+# smallest admitted ids — the only ids the admission slice can ever
+# use), hive-partitioned by (band, bs=pmod(bucket, _BUCKET_SHARDS)) so
+# a micro-batch reads only the partition directories its own buckets
+# can touch. Token state is partitioned by ds=pmod(doc_id, _TOK_SHARDS)
+# so Jaccard verification reads only the shards holding candidate ids.
+_BUCKET_SHARDS = 4
+_TOK_SHARDS = 8
+_COMPACT_EVERY = 8  # physical cap-compaction cadence (micro-batches)
+_GSTATE_SCHEMA = "bucket bigint, eids array<bigint>, band int, bs int"
+_TOKS_PART_SCHEMA = "doc_id bigint, toks array<string>, ds int"
+
+
+def _bucket_shard(col):
+    return F.pmod(col, F.lit(_BUCKET_SHARDS)).cast("int")
+
+
+def _tok_shard(col):
+    return F.pmod(col, F.lit(_TOK_SHARDS)).cast("int")
+
+
+def _read_pruned_buckets(spark, st_b, pairs, cap):
+    """Partition-pruned standing-state read: only the (band, bs) hive
+    directories in ``pairs`` are listed and scanned — the filter is a
+    disjunction over partition columns only, so it resolves at file
+    listing time (PartitionFilters in the scan node), never touching
+    the other shards' bytes. ``pairs`` is bounded at
+    N_BANDS x _BUCKET_SHARDS regardless of corpus size.
+
+    State rows are APPEND-ONLY pre-capped groups (one row per bucket
+    per admitting batch); this read cap-merges them back to one sorted
+    <=cap array per bucket. Exact despite per-row capping: an id
+    outside a row's cap-smallest could only have been capped out by
+    cap smaller ids in that same row, all of which are present in the
+    merge, so it can never re-enter any cap slice."""
+    from functools import reduce
+
+    cond = reduce(
+        lambda acc, p: acc
+        | ((F.col("band") == p[0]) & (F.col("bs") == p[1])),
+        sorted(pairs),
+        F.lit(False),
+    )
+    return (
+        spark.read.schema(_GSTATE_SCHEMA)
+        .parquet(st_b)
+        .filter(cond)
+        .groupBy("band", "bucket")
+        .agg(
+            F.slice(
+                F.array_sort(F.array_distinct(F.flatten(F.collect_list("eids")))),
+                1,
+                cap,
+            ).alias("eids")
+        )
+        .select("band", "bucket", "eids")
+    )
+
+
+def _compact_buckets(spark, st_b, pairs, cap):
+    """Physical cap-compaction: rewrite the given (band, bs) partitions
+    as one merged <=cap row per bucket (dynamic partition overwrite of
+    a checkpointed merge), so standing state stays bounded at
+    cap x n_buckets ids no matter how many batches appended. Runs every
+    _COMPACT_EVERY batches — amortized, never on the admission path."""
+    merged = (
+        _read_pruned_buckets(spark, st_b, pairs, cap)
+        .withColumn("bs", _bucket_shard(F.col("bucket")))
+        .localCheckpoint(eager=True)  # pin before overwriting source
+    )
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("band", "bs")
+        .parquet(st_b)
+    )
 
 
 def _stream_lsh_oracle() -> str:
@@ -217,19 +292,22 @@ def dedup_stream_lsh(spark, sf_dir):
     replays relationally: the oracle unrolls the three rounds as
     MATERIALIZED CTE generations of the fuzzy-ingest chain.
 
-    Per-batch state discipline: drops are eagerly checkpointed BEFORE
-    any state append (the decision must see state as of batch start);
-    decisions land in an append-only sink; admitted docs append their
-    band-bucket rows and token sets. State per (band, bucket) is
-    append-only here; at 100 TB a compaction keeps only the cap
-    SMALLEST ids per bucket — semantics-preserving because the
-    admission slice sort(S)[1:cap] depends only on those — and the
-    existing side contributes signatures, never text, exactly as in
-    the batch twin."""
+    Per-batch state discipline: candidates and drops are eagerly
+    checkpointed BEFORE any state write (the decision must see state
+    as of batch start); decisions land in an append-only sink. Bucket
+    state lives PRE-GROUPED and CAP-COMPACTED (r10 VERDICT task 2):
+    per (band,bucket) only the sorted cap SMALLEST admitted ids —
+    semantics-preserving because the admission slice sort(S)[1:cap]
+    depends only on those — hive-partitioned by (band, bucket shard)
+    so each micro-batch's state read PRUNES to the directories its own
+    buckets map to instead of re-scanning (and re-grouping!) the full
+    standing corpus. Merges rewrite only the touched partitions
+    (dynamic partition overwrite on a checkpointed merge; at 100 TB
+    the same merge is a staged write + atomic dir swap). Token state
+    is doc-id-sharded the same way, so Jaccard verification reads only
+    the shards that hold candidate ids. The existing side contributes
+    signatures, never text, exactly as in the batch twin."""
     import os as _os
-
-    from terasort_spark.operators.llm_dedup import lsh_signatures_df
-    from terasort_spark.operators.wave8 import fuzzy_dropped
 
     base = scratch_dir(spark, "stream_lsh")
     shutil.rmtree(base, ignore_errors=True)
@@ -241,15 +319,60 @@ def dedup_stream_lsh(spark, sf_dir):
     staged = _os.path.join(base, "_staged")
     _os.makedirs(replay, exist_ok=True)
 
+    # Micro-batch shuffles here move batch-sized (not corpus-sized)
+    # data through many small jobs; 32-way exchanges are pure task
+    # overhead at that volume. Scope a smaller width to this operator
+    # and restore the session dial after (results are order-free, so
+    # the width never affects the hash).
+    _prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return _stream_lsh_run(
+            spark, sf_dir, replay, ckpt, st_b, st_t, dec, staged
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", _prev_sp)
+
+
+def _stream_lsh_run(spark, sf_dir, replay, ckpt, st_b, st_t, dec, staged):
+    import os as _os
+
+    from terasort_spark.operators.llm_dedup import lsh_signatures_df
+    from terasort_spark.operators.wave8 import (
+        FUZZY_CAP,
+        fuzzy_capped,
+        fuzzy_verified_drops,
+    )
+
     docs = table(spark, sf_dir, "documents")
-    # bootstrap standing state from the existing corpus
+    # bootstrap standing state from the existing corpus: grouped,
+    # cap-compacted, shard-partitioned (layout documented at top)
     sig0, b0 = lsh_signatures_df(
         docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
     )
-    b0.select("band", "bucket", F.col("doc_id").alias("e_id")).write.mode(
-        "overwrite"
-    ).parquet(st_b)
-    sig0.select("doc_id", "toks").write.mode("overwrite").parquet(st_t)
+    (
+        b0.groupBy("band", "bucket")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_set("doc_id")), 1, FUZZY_CAP
+            ).alias("eids")
+        )
+        .withColumn("bs", _bucket_shard(F.col("bucket")))
+        # repartition on the partition columns: one file per leaf dir
+        # instead of one per task per dir (commit cost is per file)
+        .repartition("band", "bs")
+        .write.mode("overwrite")
+        .partitionBy("band", "bs")
+        .parquet(st_b)
+    )
+    (
+        sig0.select("doc_id", "toks")
+        .withColumn("ds", _tok_shard(F.col("doc_id")))
+        .repartition("ds")
+        .write.mode("overwrite")
+        .partitionBy("ds")
+        .parquet(st_t)
+    )
 
     # stage the crawl rounds: VALUE-partitioned write (round is the
     # exact function doc_id % 3, never a sampled range), then each
@@ -267,18 +390,38 @@ def dedup_stream_lsh(spark, sf_dir):
         b = batch_df.select("doc_id", "text")
         sigb, bb = lsh_signatures_df(b)
         btb = bb.select("band", "bucket", F.col("doc_id").alias("b_id"))
-        exb = spark.read.schema(_BUCKET_SCHEMA).parquet(st_b)
+        # (band, shard) pairs this batch can touch — bounded at
+        # N_BANDS x _BUCKET_SHARDS rows regardless of batch size, so
+        # the collect is a constant-size driver list, not data volume
+        touched = {
+            (r["band"], r["bs"])
+            for r in btb.select(
+                "band", _bucket_shard(F.col("bucket")).alias("bs")
+            )
+            .distinct()
+            .collect()
+        }
+        state = _read_pruned_buckets(spark, st_b, touched, FUZZY_CAP)
+        capped = fuzzy_capped(btb, state)
+        # token-state pruning without a second action: semi-join the
+        # doc-sharded toks store against the candidates' shard set
+        # (broadcast -> dynamic partition pruning prunes the ds= dirs
+        # at scale; locally it degrades to a cheap semi-join, same
+        # rows either way)
+        cand_ds = capped.select(_tok_shard(F.col("e_id")).alias("ds")).distinct()
         e_toks = (
-            spark.read.schema(_TOKS_SCHEMA)
+            spark.read.schema(_TOKS_PART_SCHEMA)
             .parquet(st_t)
+            .join(F.broadcast(cand_ds), "ds", "left_semi")
             .select(F.col("doc_id").alias("e_id"), "toks")
         )
         b_toks = sigb.select(F.col("doc_id").alias("b_id"), "toks")
-        # pin the drop set against state AS OF batch start, before any
-        # append below can change what the reads would return
-        dropped = fuzzy_dropped(btb, exb, b_toks, e_toks).localCheckpoint(
-            eager=True
-        )
+        # pin the drop set against state AS OF batch start: the toks
+        # append below would otherwise change what a lazy recompute of
+        # this plan reads (the buckets append changes st_b too)
+        dropped = fuzzy_verified_drops(
+            capped, b_toks, e_toks
+        ).localCheckpoint(eager=True)
         drop_ids = dropped.withColumnRenamed("b_id", "doc_id")
         decisions = (
             sigb.select("doc_id")
@@ -286,17 +429,55 @@ def dedup_stream_lsh(spark, sf_dir):
             .withColumn("keep", F.lit(True))
             .unionByName(drop_ids.withColumn("keep", F.lit(False)))
         )
-        decisions.write.mode("append").parquet(dec)
         kept = sigb.select("doc_id", "toks").join(
             drop_ids, "doc_id", "left_anti"
         )
-        (
+        # the batch's admissions append as pre-capped per-bucket groups
+        # (one row per bucket per batch; the pruned read cap-merges);
+        # every new row's partition is in `touched` by construction —
+        # its bucket came from btb
+        new_groups = (
             bb.join(kept.select("doc_id"), "doc_id")
-            .select("band", "bucket", F.col("doc_id").alias("e_id"))
-            .write.mode("append")
-            .parquet(st_b)
+            .groupBy("band", "bucket")
+            .agg(
+                F.slice(
+                    F.sort_array(F.collect_set("doc_id")), 1, FUZZY_CAP
+                ).alias("eids")
+            )
+            .withColumn("bs", _bucket_shard(F.col("bucket")))
+            .repartition("band", "bs")  # one file per touched leaf dir
         )
-        kept.write.mode("append").parquet(st_t)
+        new_toks = kept.withColumn(
+            "ds", _tok_shard(F.col("doc_id"))
+        ).repartition("ds")
+        # all three sinks read only the PINNED drop set (plus the lazy
+        # signature checkpoint), so they are independent — submit them
+        # concurrently; small-job latency, not data volume, is the
+        # per-batch cost here
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futs = [
+                pool.submit(
+                    lambda: decisions.write.mode("append").parquet(dec)
+                ),
+                pool.submit(
+                    lambda: new_groups.write.mode("append")
+                    .partitionBy("band", "bs")
+                    .parquet(st_b)
+                ),
+                pool.submit(
+                    lambda: new_toks.write.mode("append")
+                    .partitionBy("ds")
+                    .parquet(st_t)
+                ),
+            ]
+            for f in futs:
+                f.result()
+        # amortized physical compaction keeps per-bucket state at ONE
+        # row regardless of batch count
+        if _batch_id % _COMPACT_EVERY == _COMPACT_EVERY - 1:
+            _compact_buckets(spark, st_b, touched, FUZZY_CAP)
 
     q = (
         spark.readStream.schema(_DOCS_SCHEMA)

@@ -605,31 +605,37 @@ WHERE d.doc_id % 5 <> 0
 """
 
 
-def fuzzy_dropped(btb, exb, b_toks, e_toks, cap=FUZZY_CAP, tau=FUZZY_TAU):
-    """THE cross-corpus capped LSH admission rule, factored (r10) so
-    the batch ingest below and the streaming ingest
-    (wave10.dedup_stream_lsh's per-micro-batch twin) are one code path.
-    ``btb``/(band,bucket,b_id) is the arriving side, ``exb``/(band,
-    bucket,e_id) the standing side; ``b_toks``/(b_id,toks) and
-    ``e_toks``/(e_id,toks) feed exact-Jaccard verification. Existing-
-    side ids group per (band,bucket) into a sorted list, each arriving
-    doc takes the cap smallest, one groupBy per b_id dedups the
-    per-band unions — per-reducer state bounded at cap x bands ids, no
-    arriving-arriving or standing-standing pair ever formed. Returns
-    the DISTINCT dropped b_ids (a verified >= tau partner exists)."""
-    grouped = exb.groupBy("band", "bucket").agg(
+def fuzzy_group_state(exb):
+    """Group standing-side (band,bucket,e_id) rows into the sorted
+    per-bucket id arrays the admission rule consumes. Kept as its own
+    factor so a PRE-GROUPED, cap-compacted state store (wave10's
+    streaming ingest) can skip this full-state shuffle per batch."""
+    return exb.groupBy("band", "bucket").agg(
         F.sort_array(F.collect_set("e_id")).alias("eids")
     )
+
+
+def fuzzy_capped(btb, grouped, cap=FUZZY_CAP):
+    """Capped candidate generation: join arriving (band,bucket,b_id)
+    against grouped standing buckets, take the cap smallest standing
+    ids per bucket, then the cap smallest of each arriving doc's
+    per-band union — per-reducer state bounded at cap x bands ids, no
+    arriving-arriving or standing-standing pair ever formed."""
     cand = btb.join(grouped, ["band", "bucket"]).select(
         "b_id", F.explode(F.slice("eids", 1, cap)).alias("e_id")
     )
-    capped = (
+    return (
         cand.groupBy("b_id")
         .agg(
             F.slice(F.array_sort(F.collect_set("e_id")), 1, cap).alias("eids")
         )
         .select("b_id", F.explode("eids").alias("e_id"))
     )
+
+
+def fuzzy_verified_drops(capped, b_toks, e_toks, tau=FUZZY_TAU):
+    """Exact-Jaccard verification of capped candidate pairs; returns
+    the DISTINCT dropped b_ids (a verified >= tau partner exists)."""
     verified = capped.join(
         e_toks.select(F.col("e_id"), F.col("toks").alias("e_toks")), "e_id"
     ).join(
@@ -643,6 +649,21 @@ def fuzzy_dropped(btb, exb, b_toks, e_toks, cap=FUZZY_CAP, tau=FUZZY_TAU):
         .filter(F.col("jaccard") >= tau)
         .select("b_id")
         .distinct()
+    )
+
+
+def fuzzy_dropped(btb, exb, b_toks, e_toks, cap=FUZZY_CAP, tau=FUZZY_TAU):
+    """THE cross-corpus capped LSH admission rule, factored (r10) so
+    the batch ingest below and the streaming ingest
+    (wave10.dedup_stream_lsh's per-micro-batch twin) are one code path.
+    ``btb``/(band,bucket,b_id) is the arriving side, ``exb``/(band,
+    bucket,e_id) the standing side; ``b_toks``/(b_id,toks) and
+    ``e_toks``/(e_id,toks) feed exact-Jaccard verification. Composed
+    from the three factors above (r11: split so the streaming twin can
+    feed a pre-grouped pruned state instead of re-grouping the full
+    standing corpus every micro-batch)."""
+    return fuzzy_verified_drops(
+        fuzzy_capped(btb, fuzzy_group_state(exb), cap), b_toks, e_toks, tau
     )
 
 

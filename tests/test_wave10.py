@@ -270,3 +270,87 @@ def test_nprobe_monotone_and_bounded_probes(spark, sf_dir):
             .collect()[0]["mx"]
         )
         assert per_q <= 5  # top-5 contract regardless of probe fan
+
+
+def test_stream_lsh_state_read_prunes_partitions(spark, tmp_path):
+    """The r10 VERDICT 'done' criterion for streaming-state pruning:
+    a micro-batch's standing-state read must touch ONLY the (band, bs)
+    hive directories its own buckets map to. Build a synthetic grouped
+    state across every shard, read with a two-pair filter, and assert
+    (a) the scan's inputFiles stay inside those two directories and
+    (b) the filter shows up as a partition filter (pruned at listing
+    time), not a post-scan predicate."""
+    from terasort_spark.operators.wave10 import (
+        _BUCKET_SHARDS,
+        _read_pruned_buckets,
+    )
+
+    st_b = str(tmp_path / "state_buckets")
+    rows = [
+        (bucket, [bucket * 10 + 1, bucket * 10 + 2], band, bucket % _BUCKET_SHARDS)
+        for band in range(4)
+        for bucket in range(2 * _BUCKET_SHARDS)
+    ]
+    (
+        spark.createDataFrame(
+            rows, "bucket bigint, eids array<bigint>, band int, bs int"
+        )
+        .repartition("band", "bs")
+        .write.partitionBy("band", "bs")
+        .parquet(st_b)
+    )
+    pairs = {(0, 1), (2, 3)}
+    # behavioral proof of pruning: corrupt every NON-candidate leaf
+    # directory's files — a listing-time-pruned scan never opens them,
+    # an unpruned scan (even with a post-scan filter) dies parsing them
+    import glob
+    import os
+
+    for f in glob.glob(os.path.join(st_b, "band=*", "bs=*", "*.parquet")):
+        leaf = os.path.dirname(f)
+        band = int(leaf.split("band=")[1].split("/")[0])
+        bs = int(leaf.split("bs=")[1])
+        if (band, bs) not in pairs:
+            with open(f, "wb") as fh:
+                fh.write(b"not-a-parquet-file")
+    df = _read_pruned_buckets(spark, st_b, pairs, cap=8)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    got = {(r["band"], r["bucket"]) for r in df.collect()}
+    want = {
+        (band, bucket)
+        for band in range(4)
+        for bucket in range(2 * _BUCKET_SHARDS)
+        if (band, bucket % _BUCKET_SHARDS) in pairs
+    }
+    assert got == want
+
+
+def test_stream_lsh_compaction_preserves_hash_and_bounds_files(
+    spark, sf_dir, monkeypatch
+):
+    """Physical cap-compaction every batch must (a) leave the admission
+    decisions bit-identical to the amortized default and (b) actually
+    bound the bucket state at one file per leaf directory after the
+    final compaction — the property that keeps standing state
+    O(cap x n_buckets) at crawl timescales."""
+    import glob
+    import os
+
+    import terasort_spark.operators.wave10 as w10
+    from terasort_spark.operators._util import scratch_dir
+
+    want = sorted(map(tuple, _Q["dedup_stream_lsh"](spark, sf_dir).collect()))
+    monkeypatch.setattr(w10, "_COMPACT_EVERY", 1)
+    got = sorted(map(tuple, _Q["dedup_stream_lsh"](spark, sf_dir).collect()))
+    assert got == want
+    st_b = os.path.join(scratch_dir(spark, "stream_lsh"), "state_buckets")
+    leaf_files = {}
+    for f in glob.glob(os.path.join(st_b, "band=*", "bs=*", "*.parquet")):
+        leaf_files.setdefault(os.path.dirname(f), []).append(f)
+    assert leaf_files, "no state partitions written"
+    # every batch compacted the partitions it touched, so each leaf dir
+    # holds exactly the one merged file the last compaction wrote
+    assert all(len(v) == 1 for v in leaf_files.values()), {
+        k: len(v) for k, v in leaf_files.items() if len(v) != 1
+    }
