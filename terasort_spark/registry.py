@@ -123,19 +123,27 @@ def _load() -> None:
 # rules: a query whose latest row FAILED re-fronts for regrade, and a
 # query graded rows-only before its oracle existed (err == "no_oracle"
 # but an oracle is registered now) re-fronts to earn a hash row.
-_graded_cache: frozenset | None = None
+_graded_cache: dict | None = None
 
 
-def _graded_names() -> frozenset:
+def _graded_rounds() -> dict:
+    """name -> round number of the query's LATEST green CORRECTNESS
+    row. Drives both membership (graded at all) and the staleness
+    rotation: with every query green, the ~50-slot per-round budget
+    re-grades the queries whose evidence is OLDEST (r11 VERDICT task
+    4 — ~50 rows dated r1-r3 under materially evolved code)."""
     global _graded_cache
     if _graded_cache is not None:
         return _graded_cache
     import glob
     import json
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    latest: dict[str, dict] = {}
+    latest: dict[str, tuple[int, dict]] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnum = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 data = json.load(f)
@@ -144,15 +152,19 @@ def _graded_names() -> frozenset:
         if isinstance(data, dict):
             for name, row in data.items():
                 if isinstance(row, dict):
-                    latest[name] = row
-    done = set()
-    for name, row in latest.items():
+                    latest[name] = (rnum, row)
+    done: dict[str, int] = {}
+    for name, (rnum, row) in latest.items():
         if row.get("hash_match"):
-            done.add(name)
+            done[name] = rnum
         elif row.get("err") == "no_oracle" and name not in _ORACLES:
-            done.add(name)  # rows-only by declared design, already recorded
-    _graded_cache = frozenset(done)
+            done[name] = rnum  # rows-only by declared design, recorded
+    _graded_cache = done
     return _graded_cache
+
+
+def _graded_names() -> frozenset:
+    return frozenset(_graded_rounds())
 
 # Never-graded entries pulled to the very front of the rotation so this
 # round's 50-entry budget lands on the highest-evidence-value rows first:
@@ -214,18 +226,26 @@ _GRADE_FIRST = (
 # so they must re-front for a fresh hash row even though _graded_names()
 # still lists them as green. Reviewed each round; emptied once regraded.
 _REGRADE = (
-    "source_binaryfile",  # r10: byte-exact fingerprint + non-ASCII marker
-    "agg_heavyhitters",  # r10: tf-weighted sketch rewrite (same hashes, re-prove)
+    "dedup_stream_lsh",  # r11: sharded/pruned/compacted state rewrite
+    "ml_rouge",  # r11: zero-token guard added to BOTH engines
+    "scan_vacuum",  # r11: checkpoint pinned before same-root write
 )
 
 
 def _graded_last(d: dict) -> dict:
-    graded = _graded_names() - set(_REGRADE)
+    rounds = _graded_rounds()
+    graded = set(rounds) - set(_REGRADE)
     first = {k: d[k] for k in _GRADE_FIRST if k in d and k not in graded}
     front = {
         k: v for k, v in d.items() if k not in graded and k not in first
     }
-    back = {k: d[k] for k in d if k in graded and k not in first and k not in front}
+    # graded queries yield STALEST-evidence-first, so the driver's
+    # ~50-row budget refreshes the oldest green rows each round
+    stale_order = sorted(
+        (k for k in d if k in graded and k not in first and k not in front),
+        key=lambda k: (rounds.get(k, 0), k),
+    )
+    back = {k: d[k] for k in stale_order}
     return {**first, **front, **back}
 
 
