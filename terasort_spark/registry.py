@@ -86,6 +86,7 @@ _OPERATOR_MODULES = (
     "terasort_spark.operators.wave12",
     "terasort_spark.operators.wave13",
     "terasort_spark.operators.wave14",
+    "terasort_spark.operators.wave15",
 )
 
 _loaded = False

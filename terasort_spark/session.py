@@ -53,7 +53,22 @@ def get_spark(
         # blocks from piling up across a long suite.
         .config("spark.cleaner.periodicGC.interval", "5min")
     )
+    _export_pythonpath()
     return builder.getOrCreate()
+
+
+def _export_pythonpath() -> None:
+    """Put the repo root on PYTHONPATH BEFORE the JVM launches, so every
+    Python process the JVM spawns (Arrow workers, transformWithState's
+    driver-side init runner) imports the repo-root ``usercustomize`` at
+    startup — that hook substitutes the pure-Python StateMessage codec
+    when google-protobuf is absent (streaming/state_message_shim.py)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo + (os.pathsep + existing if existing else "")
+        )
 
 
 _shipped_sessions: set[int] = set()

@@ -409,14 +409,22 @@ def test_transform_with_state_running_sum(spark, sf_dir, replay_dir, state_store
     replayed micro-batches must equal the batch aggregate. Exercises
     the ValueState handle + processor lifecycle.
 
-    The operator's state-server protocol needs google.protobuf, which
-    this container lacks (no installs allowed) — skip, don't fail, so
-    the test lights up on protobuf-equipped clusters."""
-    pytest.importorskip(
-        "google.protobuf.descriptor",
-        reason="transformWithState state server requires protobuf",
-    )
+    The operator's state-server protocol speaks proto3; when
+    google-protobuf is absent (this container), the repo-root
+    usercustomize hook substitutes the pure-Python StateMessage codec
+    (terasort_spark/streaming/state_message_shim.py, r11) in every
+    worker process — so this test runs EVERYWHERE: real protobuf wins
+    when installed, the shim carries the wire format when not."""
+    import usercustomize  # noqa: F401  (installs the finder if needed)
+
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    if state_store == "hdfs":
+        pytest.skip(
+            "transformWithState needs multiple state-store column "
+            "families — RocksDB-only by Spark design "
+            "(UNSUPPORTED_FEATURE.STATE_STORE_MULTIPLE_COLUMN_FAMILIES)"
+        )
 
     stagers = stage_chunks(spark, sf_dir, replay_dir, n_chunks=3)
 
