@@ -151,3 +151,194 @@ def stream_transformwithstate(spark, sf_dir):
             F.col("s.n_events").cast("bigint").alias("n_events"),
         )
     )
+
+
+@register(
+    "stream_tws_liststate",
+    oracle="""
+WITH c AS (
+  SELECT user_id, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC)
+             AS rn,
+         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_events
+  FROM events WHERE value IS NOT NULL
+)
+SELECT user_id,
+       string_agg(CAST(cents AS VARCHAR), '|' ORDER BY event_id) AS last3,
+       any_value(n_events) AS n_events
+FROM c WHERE rn <= 3
+GROUP BY user_id
+""",
+)
+def stream_tws_liststate(spark, sf_dir):
+    """transformWithState ListState fold, hash-graded: per user, keep
+    the cents of the LAST 3 events (by event_id) across micro-batches
+    plus a running count — the bounded-recency buffer every
+    feature-store / fraud pipeline keeps per entity. Each batch reads
+    the standing list back through the state server's ListStateGet
+    iterator and puts the capped merge, so ListStateGet / ListStatePut
+    cross the pure-Python codec on the graded path (single fetch at
+    this list size; the multi-fetch requireNextFetch decode is
+    unit-tested in tests/test_wave15.py). Final emission per user must
+    hash-equal the batch window query (rows with rn<=3 by event_id
+    desc). Bounded state: 3 tuples + 1 counter per key at any corpus
+    size."""
+    _ensure_state_codec(spark)
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    from terasort_spark.streaming.replay import (
+        read_stream,
+        run_to_memory,
+        stage_chunks,
+    )
+
+    replay_dir = scratch_dir(spark, "tws_list_replay")
+    stagers = stage_chunks(spark, sf_dir, replay_dir, n_chunks=3)
+
+    class Last3(StatefulProcessor):
+        def init(self, handle):
+            self._l = handle.getListState("vals", "eid bigint, c bigint")
+            self._n = handle.getValueState("n", "n bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import math
+
+            cur = list(self._l.get()) if self._l.exists() else []
+            n = self._n.get()[0] if self._n.exists() else 0
+            for pdf in rows:
+                pdf = pdf.dropna(subset=["value"]).sort_values("event_id")
+                for eid, v in zip(pdf["event_id"], pdf["value"]):
+                    cur.append((int(eid), int(math.floor(v * 100 + 0.5))))
+                    n += 1
+            cur.sort()
+            cur = cur[-3:]
+            self._l.put(cur)
+            self._n.update((n,))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    # '|'-joined (arrays are driver-unhashable in the
+                    # grading canonicalizer; the string is total-ordered
+                    # by event_id so it is deterministic)
+                    "last3": ["|".join(str(c) for _, c in cur)],
+                    "n_events": [n],
+                }
+            )
+
+        def close(self):
+            pass
+
+    folded = (
+        read_stream(spark, replay_dir)
+        .filter(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            Last3(),
+            outputStructType=(
+                "user_id bigint, last3 string, n_events bigint"
+            ),
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, _ROCKSDB_PROVIDER)
+    try:
+        got = run_to_memory(folded, "tws_list", "update", stagers, spark)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    return (
+        got.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "last3")).alias("s"))
+        .select(
+            "user_id",
+            F.col("s.last3").alias("last3"),
+            F.col("s.n_events").cast("bigint").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "stream_tws_mapstate",
+    oracle="""
+SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY user_id, event_type
+""",
+)
+def stream_tws_mapstate(spark, sf_dir):
+    """transformWithState MapState fold, hash-graded: per user, a map
+    event_type -> count updated each micro-batch (GetValue /
+    UpdateValue / the paginated Iterator all cross the state server
+    through the pure-Python codec), emitting the full map as rows after
+    every batch; the final per-(user, type) count must hash-equal the
+    batch groupBy. This is the per-entity categorical-profile shape
+    (user agent mix, event-type histograms) with O(distinct types)
+    state per key."""
+    _ensure_state_codec(spark)
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    from terasort_spark.streaming.replay import (
+        read_stream,
+        run_to_memory,
+        stage_chunks,
+    )
+
+    replay_dir = scratch_dir(spark, "tws_map_replay")
+    stagers = stage_chunks(spark, sf_dir, replay_dir, n_chunks=3)
+
+    class TypeCounts(StatefulProcessor):
+        def init(self, handle):
+            self._m = handle.getMapState("tc", "t string", "n bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            for pdf in rows:
+                for t, cnt in pdf["event_type"].value_counts().items():
+                    cur = (
+                        self._m.getValue((t,))
+                        if self._m.containsKey((t,))
+                        else None
+                    )
+                    n = (cur[0] if cur else 0) + int(cnt)
+                    self._m.updateValue((t,), (n,))
+            out = sorted((k[0], v[0]) for k, v in self._m.iterator())
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(out),
+                    "event_type": [t for t, _ in out],
+                    "n": [n for _, n in out],
+                }
+            )
+
+        def close(self):
+            pass
+
+    folded = (
+        read_stream(spark, replay_dir)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            TypeCounts(),
+            outputStructType="user_id bigint, event_type string, n bigint",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, _ROCKSDB_PROVIDER)
+    try:
+        got = run_to_memory(folded, "tws_map", "update", stagers, spark)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    return (
+        got.groupBy("user_id", "event_type")
+        .agg(F.max("n").cast("bigint").alias("n"))
+    )
