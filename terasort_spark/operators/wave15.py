@@ -18,7 +18,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 from terasort_spark.catalog import table
-from terasort_spark.operators._util import scratch_dir
+from terasort_spark.operators._util import rnd, scratch_dir
 from terasort_spark.registry import register
 
 _ROCKSDB_PROVIDER = (
@@ -342,3 +342,139 @@ def stream_tws_mapstate(spark, sf_dir):
         got.groupBy("user_id", "event_type")
         .agg(F.max("n").cast("bigint").alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_hll_exact — a PORTABLE HyperLogLog whose sketch is hash-graded
+
+_HLL_P = 8
+_HLL_M = 1 << _HLL_P  # 256 registers
+_HLL_WBITS = 60 - _HLL_P  # 15 md5 hex digits = 60-bit hash, 52-bit suffix
+_HLL_POW = 1 << (_HLL_WBITS + 1)  # 2^53, exact in int64 AND double
+_HLL_COLS = ("o_custkey", "o_orderkey", "o_orderstatus")
+# estimate = alpha_m * m^2 * 2^53 / S, spelled IDENTICALLY in both
+# engines so IEEE evaluation order matches bit for bit
+# E-notation literals: bare decimals parse as DECIMAL in BOTH Spark
+# and DuckDB, whose scaled arithmetic rounds differently from IEEE;
+# 0.7213E0 is a DOUBLE literal in both.
+_HLL_EST = (
+    f"0.7213E0 / (1.0E0 + 1.079E0 / {_HLL_M}.0E0) * {_HLL_M * _HLL_M}.0E0"
+    f" * {_HLL_POW}.0E0"
+)
+
+
+def _hll_oracle() -> str:
+    from terasort_spark.operators._util import o_rnd
+
+    parts = []
+    for c in _HLL_COLS:
+        parts.append(
+            f"""
+SELECT '{c}' AS col_name, reg_sum, v_zero,
+  {o_rnd(
+      f"CASE WHEN {_HLL_EST} / reg_sum <= {2.5 * _HLL_M} AND v_zero > 0 "
+      f"THEN {_HLL_M}.0E0 * ln({_HLL_M}.0E0 / v_zero) "
+      f"ELSE {_HLL_EST} / reg_sum END",
+      "est",
+  )},
+  (SELECT CAST(count(DISTINCT {c}) AS BIGINT) FROM orders) AS n_exact
+FROM (
+  SELECT CAST(sum(1::BIGINT << ({_HLL_WBITS + 1} - mx)) AS BIGINT)
+           + ({_HLL_M} - CAST(count(*) AS BIGINT)) * {_HLL_POW} AS reg_sum,
+         {_HLL_M} - CAST(count(*) AS BIGINT) AS v_zero
+  FROM (
+    SELECT b, max(rho) AS mx FROM (
+      SELECT h % {_HLL_M} AS b,
+             CASE WHEN h // {_HLL_M} = 0 THEN {_HLL_WBITS + 1}
+                  ELSE {_HLL_WBITS + 1} - length(bin(h // {_HLL_M}))
+             END AS rho
+      FROM (
+        SELECT CAST('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS h
+        FROM orders WHERE {c} IS NOT NULL
+      )
+    ) GROUP BY b
+  )
+)"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@register("agg_hll_exact", oracle=_hll_oracle())
+def agg_hll_exact(spark, sf_dir):
+    """HyperLogLog distinct-count sketch built from ENGINE-PORTABLE
+    primitives, so — unlike agg_approx's opaque
+    approx_count_distinct, rows-only by declared design since r1 — the
+    SKETCH ITSELF is hash-graded: 60-bit md5-slice hash, 256 registers
+    (bucket = h mod m, rho = leading-zero rank of the 52-bit suffix via
+    the binary-string length both engines print identically), register
+    state reduced to ONE exact int64 `reg_sum` = sum of 2^(53-M_j)
+    (each term a power of two, 256 terms < 2^61 — no float sum, no
+    ordering sensitivity), plus the zero-register count driving the
+    standard small-range correction m*ln(m/V). The float estimate is
+    one literal-identical IEEE expression over those exact integers,
+    4dp-floored. Columns chosen to cover both branches: o_orderkey
+    (all-distinct, raw path), o_custkey (mid), o_orderstatus (3
+    values — correction path, 253 zero registers).
+
+    100 TB: this is the mergeable-sketch shape — per-partition register
+    maxes combine associatively (max commutes), one m-sized row per
+    column leaves each executor, and the same construction feeds the
+    sketch-rollup family. n_exact rides along so the grade also pins
+    the estimate's error against truth at this SF."""
+    o = table(spark, sf_dir, "orders")
+    outs = []
+    for c in _HLL_COLS:
+        h = F.conv(
+            F.substring(F.md5(F.col(c).cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        w = F.shiftright(h, _HLL_P)
+        rho = F.when(w == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+            F.lit(_HLL_WBITS + 1) - F.length(F.bin(w))
+        )
+        regs = (
+            o.filter(F.col(c).isNotNull())
+            .select(
+                F.pmod(h, F.lit(_HLL_M)).alias("b"), rho.alias("rho")
+            )
+            .groupBy("b")
+            .agg(F.max("rho").alias("mx"))
+        )
+        agg = regs.agg(
+            (
+                F.sum(
+                    # SQL shiftleft takes a column shift count; the
+                    # Python wrapper insists on a literal
+                    F.expr(
+                        f"shiftleft(cast(1 as bigint), {_HLL_WBITS + 1} - mx)"
+                    )
+                )
+                + (F.lit(_HLL_M) - F.count(F.lit(1))) * F.lit(_HLL_POW)
+            )
+            .cast("bigint")
+            .alias("reg_sum"),
+            (F.lit(_HLL_M) - F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("v_zero"),
+        )
+        est_raw = F.expr(_HLL_EST) / F.col("reg_sum")
+        est = F.when(
+            (est_raw <= 2.5 * _HLL_M) & (F.col("v_zero") > 0),
+            F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / F.col("v_zero")),
+        ).otherwise(est_raw)
+        exact = o.agg(
+            F.count_distinct(F.col(c)).cast("bigint").alias("n_exact")
+        )
+        outs.append(
+            agg.crossJoin(exact).select(
+                F.lit(c).alias("col_name"),
+                "reg_sum",
+                "v_zero",
+                rnd(est, "est"),
+                "n_exact",
+            )
+        )
+    out = outs[0]
+    for d in outs[1:]:
+        out = out.unionByName(d)
+    return out

@@ -114,3 +114,42 @@ def test_finder_defers_to_real_protobuf():
         )
         assert spec is not None
         assert spec.origin and spec.origin.endswith("state_message_shim.py")
+
+
+def test_hll_registers_merge_associatively(spark, sf_dir):
+    """The 100 TB contract of agg_hll_exact: per-partition register
+    maxes MERGE (elementwise max) into exactly the registers of the
+    single-pass sketch, so the sketch distributes with one m-sized row
+    per executor."""
+    from pyspark.sql import functions as F
+
+    from terasort_spark.catalog import table
+    from terasort_spark.operators.wave15 import _HLL_M, _HLL_P, _HLL_WBITS
+
+    o = table(spark, sf_dir, "orders")
+
+    def regs(df):
+        h = F.conv(
+            F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        w = F.shiftright(h, _HLL_P)
+        rho = F.when(w == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+            F.lit(_HLL_WBITS + 1) - F.length(F.bin(w))
+        )
+        return {
+            r["b"]: r["mx"]
+            for r in df.select(
+                F.pmod(h, F.lit(_HLL_M)).alias("b"), rho.alias("rho")
+            )
+            .groupBy("b")
+            .agg(F.max("rho").alias("mx"))
+            .collect()
+        }
+
+    full = regs(o)
+    a = regs(o.filter(F.col("o_orderkey") % 2 == 0))
+    b = regs(o.filter(F.col("o_orderkey") % 2 == 1))
+    merged = {k: max(a.get(k, 0), b.get(k, 0)) for k in set(a) | set(b)}
+    assert merged == full
