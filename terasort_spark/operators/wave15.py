@@ -478,3 +478,176 @@ def agg_hll_exact(spark, sf_dir):
     for d in outs[1:]:
         out = out.unionByName(d)
     return out
+
+
+# ---------------------------------------------------------------------------
+# agg_kmv_theta — KMV (theta) sketch with SET OPERATIONS, hash-graded
+
+_KMV_K = 64
+_KMV_POW = f"{1 << 60}.0E0"  # 2^60, a power of two: exact as a double
+_KMV_PAIRS = (("F", "O"), ("O", "P"))
+
+
+def _kmv_oracle() -> str:
+    from terasort_spark.operators._util import o_rnd
+
+    k = _KMV_K
+    parts = []
+    for a, b in _KMV_PAIRS:
+        est = lambda n, th: (  # noqa: E731
+            f"CASE WHEN {n} < {k} THEN CAST({n} AS DOUBLE) "
+            f"ELSE {k - 1}.0E0 * {_KMV_POW} / {th} END"
+        )
+        parts.append(
+            f"""
+SELECT '{a}|{b}' AS pair, theta, n_int_sample,
+  {o_rnd(est("na", "tha"), "est_a")},
+  {o_rnd(est("nb", "thb"), "est_b")},
+  {o_rnd(est("nu", "theta"), "est_union")},
+  {o_rnd(
+      f"CASE WHEN nu < {k} THEN CAST(n_int_sample AS DOUBLE) "
+      f"ELSE CAST(n_int_sample AS DOUBLE) / {k}.0E0 "
+      f"* ({k - 1}.0E0 * {_KMV_POW} / theta) END",
+      "est_int",
+  )},
+  exact_a, exact_b, exact_int
+FROM (
+  WITH ha AS (SELECT DISTINCT CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+              FROM orders WHERE o_orderstatus = '{a}'),
+       hb AS (SELECT DISTINCT CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+              FROM orders WHERE o_orderstatus = '{b}'),
+       ka AS (SELECT h FROM ha ORDER BY h LIMIT {k}),
+       kb AS (SELECT h FROM hb ORDER BY h LIMIT {k}),
+       ku AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+              ORDER BY h LIMIT {k})
+  SELECT (SELECT max(h) FROM ku) AS theta,
+         (SELECT max(h) FROM ka) AS tha,
+         (SELECT max(h) FROM kb) AS thb,
+         (SELECT CAST(count(*) AS BIGINT) FROM ka) AS na,
+         (SELECT CAST(count(*) AS BIGINT) FROM kb) AS nb,
+         (SELECT CAST(count(*) AS BIGINT) FROM ku) AS nu,
+         (SELECT CAST(count(*) AS BIGINT) FROM ku
+          WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb))
+             AS n_int_sample,
+         (SELECT CAST(count(*) AS BIGINT) FROM ha) AS exact_a,
+         (SELECT CAST(count(*) AS BIGINT) FROM hb) AS exact_b,
+         (SELECT CAST(count(*) AS BIGINT)
+          FROM ha WHERE h IN (SELECT h FROM hb)) AS exact_int
+)"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@register("agg_kmv_theta", oracle=_kmv_oracle())
+def agg_kmv_theta(spark, sf_dir):
+    """KMV / theta sketch with SET OPERATIONS, the DataSketches shape:
+    per order-status customer set, keep the k={64} SMALLEST 60-bit
+    md5-slice hashes; distinct-count estimate (k-1)*2^60/theta, union
+    sketch = k smallest of the merged samples, intersection estimate =
+    (matching sample fraction) x union estimate. Everything derives
+    from k-smallest order statistics of a portable hash, so — unlike
+    library theta sketches — sample, theta and the 4dp estimates
+    hash-grade against DuckDB exactly; exact counts ride along to pin
+    the error. Sets smaller than k degrade to exact counts by the
+    standard KMV rule (the sketch IS the set), covered by the O|P pair
+    at small SFs.
+
+    100 TB: k-smallest is a mergeable bounded sample — per-partition
+    top-k (TakeOrderedAndProject, no full sort) then a k-sized merge;
+    set algebra over sketches replaces a shuffle-heavy distinct-join.
+    2^60 and (k-1) are E-notation double literals for IEEE parity."""
+    o = table(spark, sf_dir, "orders")
+    k = _KMV_K
+    est = lambda n, th: F.when(  # noqa: E731
+        F.col(n) < k, F.col(n).cast("double")
+    ).otherwise(F.expr(f"{k - 1}.0E0 * {_KMV_POW}") / F.col(th))
+    outs = []
+    for a, b in _KMV_PAIRS:
+
+        def hset(status):
+            return (
+                o.filter(F.col("o_orderstatus") == status)
+                .select(
+                    F.conv(
+                        F.substring(
+                            F.md5(F.col("o_custkey").cast("string")), 1, 15
+                        ),
+                        16,
+                        10,
+                    )
+                    .cast("long")
+                    .alias("h")
+                )
+                .distinct()
+            )
+
+        ha, hb = hset(a), hset(b)
+        ka = ha.orderBy("h").limit(k).localCheckpoint(eager=False)
+        kb = hb.orderBy("h").limit(k).localCheckpoint(eager=False)
+        ku = (
+            ka.unionByName(kb)
+            .distinct()
+            .orderBy("h")
+            .limit(k)
+            .localCheckpoint(eager=False)
+        )
+        stats = (
+            ku.agg(
+                F.max("h").alias("theta"),
+                F.count(F.lit(1)).cast("bigint").alias("nu"),
+            )
+            .crossJoin(
+                ka.agg(
+                    F.max("h").alias("tha"),
+                    F.count(F.lit(1)).cast("bigint").alias("na"),
+                )
+            )
+            .crossJoin(
+                kb.agg(
+                    F.max("h").alias("thb"),
+                    F.count(F.lit(1)).cast("bigint").alias("nb"),
+                )
+            )
+            .crossJoin(
+                ku.join(ka, "h", "left_semi")
+                .join(kb, "h", "left_semi")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_int_sample"))
+            )
+            .crossJoin(
+                ha.agg(F.count(F.lit(1)).cast("bigint").alias("exact_a"))
+            )
+            .crossJoin(
+                hb.agg(F.count(F.lit(1)).cast("bigint").alias("exact_b"))
+            )
+            .crossJoin(
+                ha.join(hb, "h", "left_semi").agg(
+                    F.count(F.lit(1)).cast("bigint").alias("exact_int")
+                )
+            )
+        )
+        est_union = est("nu", "theta")
+        est_int = F.when(
+            F.col("nu") < k, F.col("n_int_sample").cast("double")
+        ).otherwise(
+            F.col("n_int_sample").cast("double")
+            / F.expr(f"{k}.0E0")
+            * (F.expr(f"{k - 1}.0E0 * {_KMV_POW}") / F.col("theta"))
+        )
+        outs.append(
+            stats.select(
+                F.lit(f"{a}|{b}").alias("pair"),
+                "theta",
+                "n_int_sample",
+                rnd(est("na", "tha"), "est_a"),
+                rnd(est("nb", "thb"), "est_b"),
+                rnd(est_union, "est_union"),
+                rnd(est_int, "est_int"),
+                "exact_a",
+                "exact_b",
+                "exact_int",
+            )
+        )
+    out = outs[0]
+    for d in outs[1:]:
+        out = out.unionByName(d)
+    return out
