@@ -651,3 +651,46 @@ def agg_kmv_theta(spark, sf_dir):
     for d in outs[1:]:
         out = out.unionByName(d)
     return out
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_distinct,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_bitmap_distinct(spark, sf_dir):
+    """EXACT distinct counting via Spark 4's bitmap function family —
+    the warehouse pattern that replaces count(DISTINCT)'s expand+
+    re-shuffle with OR-able fixed-width bitmaps: keys bucket by
+    bitmap_bucket_number (32k-bit buckets), each (group, bucket) builds
+    one bitmap with bitmap_construct_agg(bitmap_bit_position(key)),
+    and the group's distinct count is the SUM of bitmap_count over its
+    buckets. Two map-side-combinable aggregations, no per-key rows past
+    stage one, and the bitmaps are mergeable (bitmap_or_agg) across
+    partitions/days — the incremental-rollup property HLL gives
+    approximately, here exactly. The oracle is plain count(DISTINCT):
+    bitmap math must reproduce it bit for bit."""
+    li = table(spark, sf_dir, "lineitem")
+
+    def counts(key, alias):
+        return (
+            li.groupBy(
+                "l_returnflag",
+                F.expr(f"bitmap_bucket_number({key})").alias("bkt"),
+            )
+            .agg(
+                F.expr(
+                    f"bitmap_construct_agg(bitmap_bit_position({key}))"
+                ).alias("bm")
+            )
+            .groupBy("l_returnflag")
+            .agg(F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias(alias))
+        )
+    return counts("l_partkey", "n_distinct").join(
+        counts("l_suppkey", "n_supp"), "l_returnflag"
+    )
