@@ -694,3 +694,93 @@ def agg_bitmap_distinct(spark, sf_dir):
     return counts("l_partkey", "n_distinct").join(
         counts("l_suppkey", "n_supp"), "l_returnflag"
     )
+
+
+# ---------------------------------------------------------------------------
+# sql_recursive_cte / sql_scripting — Spark 4.1 SQL surface
+
+
+@register(
+    "sql_recursive_cte",
+    oracle="""
+WITH RECURSIVE up AS (
+  SELECT s_suppkey AS node, s_suppkey AS cur,
+         0 AS depth, CAST(s_suppkey AS BIGINT) AS path_sum
+  FROM supplier
+  UNION ALL
+  SELECT node, cur // 2, depth + 1, path_sum + cur // 2
+  FROM up WHERE cur > 1
+)
+SELECT node, CAST(max(depth) AS INT) AS depth,
+       CAST(max(path_sum) AS BIGINT) AS path_sum
+FROM up GROUP BY node
+""",
+)
+def sql_recursive_cte(spark, sf_dir):
+    """Recursive CTE (WITH RECURSIVE, new SQL surface in Spark 4.1):
+    walk every supplier up the implicit binary-heap hierarchy
+    (parent(n) = n div 2) to the root, accumulating depth and the
+    ancestor-key path sum — the org-chart / BOM / reachability shape
+    that needed iterative DataFrame loops (graph_pagerank style) before
+    the engine executed fixpoint recursion itself. DuckDB runs the
+    IDENTICAL recursive SQL, so termination, step semantics and the
+    accumulated values are all hash-graded. Depth is logarithmic in
+    the key (the recursion is O(n log n) rows total); at 100 TB the
+    same pattern walks real parent-pointer hierarchies with each
+    iteration a self-join Catalyst plans like any other."""
+    table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(
+        """
+WITH RECURSIVE up AS (
+  SELECT s_suppkey AS node, s_suppkey AS cur,
+         0 AS depth, CAST(s_suppkey AS BIGINT) AS path_sum
+  FROM supplier
+  UNION ALL
+  SELECT node, CAST(cur / 2 AS BIGINT), depth + 1,
+         path_sum + CAST(cur / 2 AS BIGINT)
+  FROM up WHERE cur > 1
+)
+SELECT node, CAST(max(depth) AS INT) AS depth,
+       CAST(max(path_sum) AS BIGINT) AS path_sum
+FROM up GROUP BY node
+"""
+    )
+
+
+@register(
+    "sql_scripting",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders
+""",
+)
+def sql_scripting(spark, sf_dir):
+    """SQL scripting (Spark 4 BEGIN..END procedural blocks): a WHILE
+    loop accumulates per-residue partial aggregates of orders into
+    DECLAREd session variables — five scripted iterations whose final
+    SELECT must equal the one-shot aggregate. The exhibit is the
+    procedural surface (DECLARE / SET / WHILE / scalar subqueries in
+    loop bodies), graded by the plain-SQL oracle; each loop iteration
+    is still a full Catalyst-planned query, so nothing here trades
+    distributed execution for driver loops."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+BEGIN
+  DECLARE k INT DEFAULT 0;
+  DECLARE n_orders BIGINT DEFAULT 0;
+  DECLARE total_cents BIGINT DEFAULT 0;
+  WHILE k < 5 DO
+    SET n_orders = n_orders + (
+      SELECT count(*) FROM orders WHERE o_orderkey % 5 = k);
+    SET total_cents = total_cents + (
+      SELECT coalesce(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)), 0)
+      FROM orders WHERE o_orderkey % 5 = k);
+    SET k = k + 1;
+  END WHILE;
+  SELECT n_orders, total_cents;
+END
+"""
+    )

@@ -9,6 +9,9 @@ from __future__ import annotations
 import importlib.util
 
 import terasort_spark.streaming.state_message_shim as sm
+from terasort_spark.registry import queries
+
+_Q = queries()
 
 
 def test_codec_emits_empty_oneof_tags():
@@ -153,3 +156,20 @@ def test_hll_registers_merge_associatively(spark, sf_dir):
     b = regs(o.filter(F.col("o_orderkey") % 2 == 1))
     merged = {k: max(a.get(k, 0), b.get(k, 0)) for k in set(a) | set(b)}
     assert merged == full
+
+
+def test_recursive_cte_depth_closed_form(spark, sf_dir):
+    """The recursion's fixpoint is independently checkable: walking
+    n -> n div 2 to 1 takes exactly floor(log2(n)) steps, and the
+    path sum telescopes to sum of n div 2^i."""
+    rows = _Q["sql_recursive_cte"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        n = r["node"]
+        want_d = max(n.bit_length() - 1, 0)  # nodes 0 and 1 are roots
+        want_sum, cur = n, n
+        while cur > 1:
+            cur //= 2
+            want_sum += cur
+        assert r["depth"] == want_d, (n, r["depth"], want_d)
+        assert r["path_sum"] == want_sum
