@@ -292,18 +292,21 @@ def dedup_stream_lsh(spark, sf_dir):
     replays relationally: the oracle unrolls the three rounds as
     MATERIALIZED CTE generations of the fuzzy-ingest chain.
 
-    Per-batch state discipline: candidates and drops are eagerly
-    checkpointed BEFORE any state write (the decision must see state
-    as of batch start); decisions land in an append-only sink. Bucket
-    state lives PRE-GROUPED and CAP-COMPACTED (r10 VERDICT task 2):
-    per (band,bucket) only the sorted cap SMALLEST admitted ids —
+    Per-batch state discipline: the drop set is eagerly checkpointed
+    BEFORE any state write (the decision must see state as of batch
+    start); decisions land in an append-only sink. Bucket state lives
+    PRE-GROUPED and CAP-COMPACTED (r10 VERDICT task 2): per
+    (band,bucket) only the sorted cap SMALLEST admitted ids —
     semantics-preserving because the admission slice sort(S)[1:cap]
     depends only on those — hive-partitioned by (band, bucket shard)
     so each micro-batch's state read PRUNES to the directories its own
     buckets map to instead of re-scanning (and re-grouping!) the full
-    standing corpus. Merges rewrite only the touched partitions
+    standing corpus. Admissions APPEND pre-capped per-bucket groups
+    (the pruned read cap-merges them exactly — see
+    _read_pruned_buckets); every _COMPACT_EVERY batches a physical
+    compaction rewrites the touched partitions to one row per bucket
     (dynamic partition overwrite on a checkpointed merge; at 100 TB
-    the same merge is a staged write + atomic dir swap). Token state
+    the same rewrite is a staged write + atomic dir swap). Token state
     is doc-id-sharded the same way, so Jaccard verification reads only
     the shards that hold candidate ids. The existing side contributes
     signatures, never text, exactly as in the batch twin."""
@@ -395,12 +398,13 @@ def _stream_lsh_run(spark, sf_dir, replay, ckpt, st_b, st_t, dec, staged):
         # the collect is a constant-size driver list, not data volume
         touched = {
             (r["band"], r["bs"])
-            for r in btb.select(
-                "band", _bucket_shard(F.col("bucket")).alias("bs")
-            )
+            for r in btb.filter(F.col("bucket").isNotNull())
+            .select("band", _bucket_shard(F.col("bucket")).alias("bs"))
             .distinct()
             .collect()
-        }
+        }  # NULL-text docs have NULL buckets: they can never match
+        # standing state, so they prune out here and fall through to
+        # keep=True via the left-anti decision join
         state = _read_pruned_buckets(spark, st_b, touched, FUZZY_CAP)
         capped = fuzzy_capped(btb, state)
         # token-state pruning without a second action: semi-join the
