@@ -14,11 +14,16 @@ Session-aging fix (round-10 verdict task 1): one SparkSession across
 308 queries x 4 reps accumulates JVM heap / plan-cache / listener state
 that inflated late-alphabet medians 4-17x on UNTOUCHED code
 (BENCH_r10: ts_autocorr 0.58 -> 9.71 s; isolated re-timing returned it
-to 1.0-1.9x). The suite now runs in CHUNKS of $BENCH_CHUNK (default 50)
+to 1.0-1.9x). The suite now runs in CHUNKS of $BENCH_CHUNK (default 25)
 queries, each chunk in a FRESH child process (fresh JVM — stronger than
 newSession, which shares the aged context). Chunk startup cost is
-outside the per-query timings. Per-query medians are therefore
-comparable to isolated runs by construction.
+outside the per-query timings. 25, not 50: the r11 50-query sweep
+showed heavyweight STREAMING queries (stream_tws_*, dedup_stream_lsh —
+13-17 s each, RocksDB state + streaming listener turnover) age their
+chunk-mates measurably (win_runsum 3.5 s in-chunk vs 0.8 s solo);
+halving the chunk halves the blast radius at ~90 s extra JVM startup
+across the suite. Per-query medians are therefore comparable to
+isolated runs by construction.
 
 Gate (round-10 verdict task 7): after the sweep, every query is checked
 against OPERATIVE_BASELINE.json (per-query frozen best median +
@@ -42,7 +47,7 @@ if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
 REPS = int(os.environ.get("BENCH_REPS", "3"))
-CHUNK = int(os.environ.get("BENCH_CHUNK", "50"))
+CHUNK = int(os.environ.get("BENCH_CHUNK", "25"))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _CHILD_MARK = "##BENCH_CHILD_RESULT##"
 
@@ -154,13 +159,29 @@ def main() -> None:
     if only:
         keep = {n.strip() for n in only.split(",")}
         names = [n for n in names if n in keep]
+    # HEAVY queries (>= BENCH_HEAVY_S in the previous committed snapshot)
+    # run in their OWN fresh JVM: 4 back-to-back 10-20 s runs of a
+    # streaming/LSH workload measurably age every later chunk-mate
+    # (r11 calibration: emb_pca_power 1.6 s solo -> 8.9 s when scheduled
+    # after dedup_stream_lsh in one chunk). ~12 solo chunks cost ~2.5 min
+    # of untimed JVM startup and make the sweep reproducible.
+    heavy_cut = float(os.environ.get("BENCH_HEAVY_S", "3.0"))
+    prev_meds: dict[str, float] = {}
+    try:
+        with open(os.path.join(REPO, "BENCH_QUERIES.json")) as f:
+            prev_meds = json.load(f).get("queries", {})
+    except (OSError, ValueError):
+        pass
+    light = [n for n in names if prev_meds.get(n, 0.0) < heavy_cut]
+    heavy = [n for n in names if n not in set(light)]
+    chunks = [light[i : i + CHUNK] for i in range(0, len(light), CHUNK)]
+    chunks += [[n] for n in heavy]
     medians: dict[str, float] = {}
-    for i in range(0, len(names), CHUNK):
-        chunk = names[i : i + CHUNK]
+    for ci, chunk in enumerate(chunks):
         medians.update(_spawn_chunk(chunk))
         print(
-            f"# chunk {i // CHUNK + 1}/{(len(names) + CHUNK - 1) // CHUNK} "
-            f"done ({len(medians)}/{len(names)} queries)",
+            f"# chunk {ci + 1}/{len(chunks)} done "
+            f"({len(medians)}/{len(names)} queries)",
             file=sys.stderr,
         )
     total = round(sum(medians.values()), 3)

@@ -2,13 +2,20 @@
 """Build OPERATIVE_BASELINE.json — the machine-readable per-query frozen
 baseline (round-10 verdict task 7).
 
-For each query ever recorded in a committed BENCH_QUERIES.json, the
-operative baseline is the MINIMUM median across the file's git history
-(the code's best demonstrated capability on this host; ambient load only
-inflates, never deflates, a median), with the provenance commit recorded.
-bench.py evaluates its >2x-and->1s gate against this file, so "is
-anything over the gate?" is one command instead of archaeology across
-ten rounds of BASELINE.md prose.
+Two protocols produced committed BENCH_QUERIES.json snapshots:
+
+- r1-r10: ONE long-lived SparkSession for the whole suite. Medians
+  benefit from deep JIT warm-up and a hot page cache, and late-alphabet
+  queries suffer session aging — the per-query MIN across those
+  snapshots is a best-ever-under-warmth figure a fresh JVM can't meet
+  (r11 calibration: unchanged sub-second queries read 1.5-2.5x it).
+- r11+: fresh-JVM chunks (bench.py). Medians are comparable to
+  isolated runs by construction.
+
+The GATE baseline (``median_s``) is therefore the per-query MIN across
+fresh-JVM-protocol snapshots only — like compared with like — while the
+all-history min is kept as ``historical_min_s`` for context. bench.py
+flags median > 2x median_s AND > 1 s.
 
 Re-run after any round whose bench sweep produces new per-query bests;
 the output is committed so the gate is stable between regenerations.
@@ -22,6 +29,9 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# First commit whose BENCH_QUERIES.json was produced by the fresh-JVM
+# chunked protocol (bench.py rework, round 11).
+PROTOCOL_CUTOVER = "eeedcef"
 
 
 def git(*args: str) -> str:
@@ -33,6 +43,22 @@ def git(*args: str) -> str:
     ).stdout
 
 
+def _is_fresh_jvm(sha: str) -> bool:
+    """True when `sha` contains the chunked-bench rework (i.e. its
+    committed snapshot was measured under the fresh-JVM protocol)."""
+    try:
+        return (
+            subprocess.run(
+                ["git", "-C", REPO, "merge-base", "--is-ancestor",
+                 PROTOCOL_CUTOVER, sha],
+                capture_output=True,
+            ).returncode
+            == 0
+        )
+    except OSError:  # pragma: no cover
+        return False
+
+
 def main() -> None:
     sys.path.insert(0, REPO)
     from terasort_spark.registry import queries as live_queries
@@ -42,7 +68,8 @@ def main() -> None:
         "log", "--format=%H %ad", "--date=short", "--", "BENCH_QUERIES.json"
     ).splitlines()
     best: dict[str, dict] = {}
-    n_versions = 0
+    hist: dict[str, float] = {}
+    n_versions = n_fresh = 0
     for line in commits:
         sha, date = line.split()
         try:
@@ -54,6 +81,8 @@ def main() -> None:
         if not qs:
             continue
         n_versions += 1
+        fresh = _is_fresh_jvm(sha)
+        n_fresh += 1 if fresh else 0
         for name, med in qs.items():
             # Drop renamed/retired queries (e.g. sink_zorder) so the file
             # tracks exactly the live registry.
@@ -61,30 +90,39 @@ def main() -> None:
                 continue
             if not isinstance(med, (int, float)) or med <= 0:
                 continue
+            if med < hist.get(name, float("inf")):
+                hist[name] = med
+            if not fresh:
+                continue
             cur = best.get(name)
             if cur is None or med < cur["median_s"]:
                 best[name] = {
                     "median_s": med,
                     "provenance": f"{sha[:10]} {date}",
                 }
+    for name, entry in best.items():
+        if name in hist:
+            entry["historical_min_s"] = hist[name]
     out = {
         "metric": "operative_per_query_baseline_s",
         "unit": "sec",
         "sf": 0.1,
         "protocol": (
-            "min per-query 3-rep median across all committed "
-            "BENCH_QUERIES.json versions; gate = current median > 2x this "
-            "AND > 1s absolute"
+            "min per-query 3-rep median across committed fresh-JVM-chunk "
+            "BENCH_QUERIES.json versions (r11+ protocol); historical_min_s "
+            "= all-history min incl. r1-r10 long-session runs, context "
+            "only. gate = current median > 2x median_s AND > 1s absolute"
         ),
         "n_snapshot_versions": n_versions,
+        "n_fresh_jvm_versions": n_fresh,
         "queries": dict(sorted(best.items())),
     }
     path = os.path.join(REPO, "OPERATIVE_BASELINE.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
     print(
-        f"wrote {path}: {len(best)} queries from {n_versions} snapshot "
-        "versions",
+        f"wrote {path}: {len(best)} queries from {n_fresh} fresh-JVM of "
+        f"{n_versions} snapshot versions",
         file=sys.stderr,
     )
 
