@@ -132,7 +132,12 @@ def _graded_rounds() -> dict:
     row. Drives both membership (graded at all) and the staleness
     rotation: with every query green, the ~50-slot per-round budget
     re-grades the queries whose evidence is OLDEST (r11 VERDICT task
-    4 — ~50 rows dated r1-r3 under materially evolved code)."""
+    4 — ~50 rows dated r1-r3 under materially evolved code).
+
+    Files are ordered by PARSED round number, not filename sort: an
+    unpadded name (CORRECTNESS_r2.json vs _r10.json) would otherwise
+    let a stale row override a newer one and mask a later FAILED grade
+    (r11 ADVICE)."""
     global _graded_cache
     if _graded_cache is not None:
         return _graded_cache
@@ -141,10 +146,13 @@ def _graded_rounds() -> dict:
     import re
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    latest: dict[str, tuple[int, dict]] = {}
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+    paths = []
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        rnum = int(m.group(1)) if m else 0
+        if m:
+            paths.append((int(m.group(1)), path))
+    latest: dict[str, tuple[int, dict]] = {}
+    for rnum, path in sorted(paths):
         try:
             with open(path) as f:
                 data = json.load(f)
@@ -160,8 +168,19 @@ def _graded_rounds() -> dict:
             done[name] = rnum
         elif row.get("err") == "no_oracle" and name not in _ORACLES:
             done[name] = rnum  # rows-only by declared design, recorded
+    global _ever_cache
+    _ever_cache = frozenset(latest)
     _graded_cache = done
     return _graded_cache
+
+
+_ever_cache: frozenset | None = None
+
+
+def _ever_graded() -> frozenset:
+    """Names with ANY committed CORRECTNESS row (green or not)."""
+    _graded_rounds()
+    return _ever_cache or frozenset()
 
 
 def _graded_names() -> frozenset:
@@ -226,28 +245,46 @@ _GRADE_FIRST = (
 # together): their latest committed CORRECTNESS row predates the change,
 # so they must re-front for a fresh hash row even though _graded_names()
 # still lists them as green. Reviewed each round; emptied once regraded.
-_REGRADE = (
-    "dedup_stream_lsh",  # r11: sharded/pruned/compacted state rewrite
-    "ml_rouge",  # r11: zero-token guard added to BOTH engines
-    "scan_vacuum",  # r11: checkpoint pinned before same-root write
-)
+# (r11 set — dedup_stream_lsh, ml_rouge, scan_vacuum — all earned green
+# r11 rows; emptied.)
+_REGRADE = ()
+
+# Green rows graded before this round are "stale evidence" and re-front
+# AHEAD of never-graded new declarations (r11 VERDICT task 2: the 55
+# r3/r4 rows predate materially evolved shared helpers; the 50-slot
+# driver budget must chase them before freshly-declared queries, which
+# are already proven by this round's own full drive_driver sweep and
+# get their driver row next round). Budget arithmetic for r12: 2
+# oracle-upgrade slots (agg_sketch_rollup/agg_percentile_approx re-front
+# via the no_oracle rule) + 12 r3 rows + 36 of the 43 r4 rows = 50.
+_FRESH_CUT = 5
 
 
 def _graded_last(d: dict) -> dict:
     rounds = _graded_rounds()
+    ever = _ever_graded()
     graded = set(rounds) - set(_REGRADE)
-    first = {k: d[k] for k in _GRADE_FIRST if k in d and k not in graded}
-    front = {
-        k: v for k, v in d.items() if k not in graded and k not in first
-    }
-    # graded queries yield STALEST-evidence-first, so the driver's
-    # ~50-row budget refreshes the oldest green rows each round
-    stale_order = sorted(
-        (k for k in d if k in graded and k not in first and k not in front),
+    # tier 0 — must-regrade: latest row FAILED, output changed this
+    # round (_REGRADE), or graded rows-only before its oracle existed
+    # (the no_oracle self-healing rule excludes these from `graded`).
+    urgent = [k for k in d if k in ever and k not in graded]
+    # tier 1 — stale green evidence (graded before _FRESH_CUT),
+    # oldest round first.
+    old = sorted(
+        (k for k in d if k in graded and rounds[k] < _FRESH_CUT),
+        key=lambda k: (rounds[k], k),
+    )
+    # tier 2 — never-graded new declarations (_GRADE_FIRST pins first).
+    new = [k for k in d if k not in ever]
+    pinned = [k for k in _GRADE_FIRST if k in new]
+    new = pinned + [k for k in new if k not in set(pinned)]
+    # tier 3 — remaining green rows, stalest first.
+    seen = set(urgent) | set(old) | set(new)
+    rest = sorted(
+        (k for k in d if k not in seen),
         key=lambda k: (rounds.get(k, 0), k),
     )
-    back = {k: d[k] for k in stale_order}
-    return {**first, **front, **back}
+    return {k: d[k] for k in urgent + old + new + rest}
 
 
 def queries() -> dict[str, QueryFn]:

@@ -62,7 +62,13 @@ def _export_pythonpath() -> None:
     Python process the JVM spawns (Arrow workers, transformWithState's
     driver-side init runner) imports the repo-root ``usercustomize`` at
     startup — that hook substitutes the pure-Python StateMessage codec
-    when google-protobuf is absent (streaming/state_message_shim.py)."""
+    when google-protobuf is absent (streaming/state_message_shim.py).
+
+    This mutates the calling process's PYTHONPATH, which makes the
+    repo-root hook shadow any user-site usercustomize.py in spawned
+    interpreters; the hook chain-loads the next usercustomize found on
+    sys.path so shadowed user hooks still run (r11 ADVICE), and a
+    repo-root sitecustomize covers venvs where user-site is disabled."""
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     existing = os.environ.get("PYTHONPATH", "")
     if repo not in existing.split(os.pathsep):
