@@ -70,14 +70,104 @@ def agg_percentile(spark, sf_dir):
     )
 
 
-@register("agg_percentile_approx")  # sketch-based → rows-only
-def agg_percentile_approx(spark, sf_dir):
+def agg_percentile_approx_native(spark, sf_dir):
+    """Native ``percentile_approx`` exhibit (NOT registered: its
+    KLL-style sketch state is engine-private, so no cross-engine oracle
+    exists; accuracy vs the exact percentile is pinned in
+    tests/test_extras.py). The registered ``agg_percentile_approx``
+    below keeps the approximate-quantile SEMANTICS but swaps in a
+    portable deterministic sketch that hash-grades against DuckDB."""
     return (
         table(spark, sf_dir, "customer")
         .groupBy("c_mktsegment")
         .agg(
             rnd(F.percentile_approx("c_acctbal", F.lit(0.5), F.lit(1000)), "p50_approx")
         )
+    )
+
+
+# Portable approximate percentile (r11 VERDICT task 3): quantiles over
+# a content-addressed bottom-k-by-hash sample — the mergeable bounded
+# uniform sample that KMV distinct-counting uses, applied to rank
+# estimation. k rows per group regardless of group size.
+_APA_K = 256
+
+
+@register(
+    "agg_percentile_approx",
+    oracle=f"""
+WITH s AS (
+  SELECT c_mktsegment, c_acctbal,
+         row_number() OVER (
+           PARTITION BY c_mktsegment
+           ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey
+         ) AS rn
+  FROM customer
+),
+samp AS (SELECT * FROM s WHERE rn <= {_APA_K}),
+approx AS (
+  SELECT c_mktsegment,
+         {o_rnd("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY c_acctbal) AS DOUBLE)", "p50_approx")},
+         CAST(count(*) AS BIGINT) AS n_sample
+  FROM samp GROUP BY c_mktsegment
+),
+exact AS (
+  SELECT c_mktsegment,
+         {o_rnd("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY c_acctbal) AS DOUBLE)", "p50_exact")}
+  FROM customer GROUP BY c_mktsegment
+)
+SELECT approx.c_mktsegment, p50_approx, n_sample, p50_exact
+FROM approx JOIN exact USING (c_mktsegment)
+""",
+)
+def agg_percentile_approx(spark, sf_dir):
+    """Approximate per-group median from a deterministic bounded
+    sample, hash-graded (upgraded from rows-only in round 12; the
+    native ``percentile_approx`` twin lives on as the module-test
+    exhibit ``agg_percentile_approx_native``): per market segment keep
+    the k={256} rows whose md5(c_custkey) sorts smallest — the
+    content-addressed coin the sampling family already uses, so the
+    sample is a uniform random subset that is partition-, retry- and
+    engine-invariant — then take percentile_disc(0.5) over the sample.
+    The exact median rides along to pin the sampling error (classic
+    bound: rank error O(n/sqrt(k)) w.h.p.).
+
+    100 TB: bottom-k-by-hash is a mergeable summary — per-partition
+    top-k then a k-sized merge, exactly the KMV shape — so per-group
+    state is k rows regardless of group size, while native
+    approx_percentile's sketch state is opaque and engine-specific.
+    Groups smaller than k degrade to the exact median (sample = group)."""
+    from pyspark.sql import Window
+
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.md5(F.col("c_custkey").cast("string")), F.col("c_custkey")
+    )
+    samp = (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _APA_K)
+    )
+    approx = samp.groupBy("c_mktsegment").agg(
+        rnd(
+            F.expr(
+                "CAST(percentile_disc(0.5) WITHIN GROUP"
+                " (ORDER BY c_acctbal) AS DOUBLE)"
+            ),
+            "p50_approx",
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n_sample"),
+    )
+    exact = c.groupBy("c_mktsegment").agg(
+        rnd(
+            F.expr(
+                "CAST(percentile_disc(0.5) WITHIN GROUP"
+                " (ORDER BY c_acctbal) AS DOUBLE)"
+            ),
+            "p50_exact",
+        )
+    )
+    return approx.join(exact, "c_mktsegment").select(
+        "c_mktsegment", "p50_approx", "n_sample", "p50_exact"
     )
 
 

@@ -30,10 +30,11 @@ from __future__ import annotations
 
 import shutil
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from terasort_spark.catalog import table
-from terasort_spark.operators._util import scratch_dir
+from terasort_spark.operators._util import rnd, scratch_dir
 from terasort_spark.registry import register
 
 # Chunking geometry: 16-token windows, stride 12 (25% overlap).
@@ -369,22 +370,14 @@ def sim_cosine_mrl(spark, sf_dir):
     )
 
 
-@register("agg_sketch_rollup")  # sketch estimates: no cross-engine oracle;
-# mergeability + accuracy pinned in tests/test_modern.py
-def agg_sketch_rollup(spark, sf_dir):
-    """Re-aggregatable distinct counting with Apache DataSketches HLL
-    (built into Spark 4): per-priority sketches over o_custkey, then a
-    lossless ``hll_union_agg`` merge for the grand total — the partial
-    row carries the SKETCH, not the members.
-
-    This is the 100 TB distinct-count design: per-partition partials
-    are fixed-size (lgK=12 → ~2.5 KB) regardless of cardinality, every
-    rollup level re-aggregates from the level below without touching
-    raw data, and the same sketch column serves batch and streaming
-    (sketches are commutative-monoid state). ``agg_approx``
-    (approx_count_distinct) shows the one-shot form; this query pins
-    the MERGE property: the unioned estimate is bit-identical to
-    sketching the unfiltered column directly (asserted in tests)."""
+def agg_sketch_rollup_hll(spark, sf_dir):
+    """Apache DataSketches HLL exhibit (NOT registered — the library
+    sketch's estimate is engine-private, so it stays a module test;
+    mergeability + accuracy pinned in tests/test_modern.py):
+    per-priority ``hll_sketch_agg`` over o_custkey, lossless
+    ``hll_union_agg`` merge for the grand total. The registered
+    ``agg_sketch_rollup`` below proves the identical rollup algebra
+    with a PORTABLE sketch that hash-grades against DuckDB."""
     o = table(spark, sf_dir, "orders")
     per = o.groupBy("o_orderpriority").agg(
         F.hll_sketch_agg("o_custkey").alias("sk")
@@ -398,3 +391,129 @@ def agg_sketch_rollup(spark, sf_dir):
         F.hll_sketch_estimate("sk").alias("n_custkeys"),
     )
     return per_level.unionAll(total)
+
+
+# Portable KMV rollup (r11 VERDICT task 3): same parameters as
+# wave15's agg_kmv_theta so the sketch family is consistent repo-wide.
+_SKR_K = 64
+_SKR_POW = f"{1 << 60}.0E0"  # 2^60 exactly representable as a double
+
+
+@register(
+    "agg_sketch_rollup",
+    oracle=f"""
+WITH h AS (
+  SELECT DISTINCT o_orderpriority AS pr,
+         CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)
+              AS BIGINT) AS h
+  FROM orders
+),
+samp AS (
+  SELECT pr, h,
+         row_number() OVER (PARTITION BY pr ORDER BY h) AS rn
+  FROM h
+),
+kept AS (SELECT pr, h FROM samp WHERE rn <= {_SKR_K}),
+per AS (
+  SELECT pr, max(h) AS theta, CAST(count(*) AS BIGINT) AS n_samp
+  FROM kept GROUP BY pr
+),
+merged AS (
+  SELECT h FROM (SELECT DISTINCT h FROM kept) ORDER BY h LIMIT {_SKR_K}
+),
+allrow AS (
+  SELECT 'ALL' AS pr, max(h) AS theta, CAST(count(*) AS BIGINT) AS n_samp
+  FROM merged
+),
+ex AS (
+  SELECT pr, CAST(count(*) AS BIGINT) AS n_exact FROM h GROUP BY pr
+  UNION ALL
+  SELECT 'ALL', CAST(count(DISTINCT h) AS BIGINT) FROM h
+)
+SELECT u.pr AS o_orderpriority,
+       round(CASE WHEN n_samp < {_SKR_K} THEN CAST(n_samp AS DOUBLE)
+                  ELSE {_SKR_K - 1}.0E0 * {_SKR_POW} / theta END,
+             4) AS est_custkeys,
+       n_samp, n_exact
+FROM (SELECT * FROM per UNION ALL SELECT * FROM allrow) u
+JOIN ex ON ex.pr = u.pr
+""",
+)
+def agg_sketch_rollup(spark, sf_dir):
+    """Re-aggregatable distinct counting with a PORTABLE KMV (bottom-k)
+    sketch, hash-graded end-to-end (upgraded from rows-only in round
+    12; the DataSketches HLL twin lives on as the module-test exhibit
+    ``agg_sketch_rollup_hll``): per o_orderpriority keep the k={64}
+    smallest 60-bit md5-slice hashes of o_custkey; the rollup's 'ALL'
+    row merges the per-group samples by re-taking the k smallest —
+    the KMV merge rule, whose result is IDENTICAL to sketching the
+    unfiltered column (global k-smallest ⊆ union of per-group
+    k-smallest), which is exactly the lossless re-aggregation property
+    the HLL exhibit pins. Estimate (k-1)·2^60/theta, degrading to the
+    exact sample count when |set| < k; exact distinct counts ride
+    along to pin the error.
+
+    100 TB: per-group state is a bounded k-row sample produced by one
+    row_number window over the distinct-hash set (per-partition top-k,
+    no full sort); every rollup level re-aggregates from k-sized
+    samples without touching raw data, and the estimate is
+    deterministic integer/IEEE math — identical on any engine and any
+    partitioning, unlike library sketch registers."""
+    o = table(spark, sf_dir, "orders")
+    k = _SKR_K
+    h = (
+        o.select(
+            F.col("o_orderpriority").alias("pr"),
+            F.conv(
+                F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("pr").orderBy("h")
+    kept = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("pr", "h")
+        .localCheckpoint(eager=False)
+    )
+    per = kept.groupBy("pr").agg(
+        F.max("h").alias("theta"),
+        F.count(F.lit(1)).cast("bigint").alias("n_samp"),
+    )
+    allrow = (
+        kept.select("h")
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+        .agg(
+            F.max("h").alias("theta"),
+            F.count(F.lit(1)).cast("bigint").alias("n_samp"),
+        )
+        .select(F.lit("ALL").alias("pr"), "theta", "n_samp")
+    )
+    ex = h.groupBy("pr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact")
+    ).unionByName(
+        h.select("h")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+        .select(F.lit("ALL").alias("pr"), "n_exact")
+    )
+    est = F.when(
+        F.col("n_samp") < k, F.col("n_samp").cast("double")
+    ).otherwise(F.expr(f"{k - 1}.0E0 * {_SKR_POW}") / F.col("theta"))
+    return (
+        per.unionByName(allrow)
+        .join(ex, "pr")
+        .select(
+            F.col("pr").alias("o_orderpriority"),
+            rnd(est, "est_custkeys"),
+            "n_samp",
+            "n_exact",
+        )
+    )

@@ -87,6 +87,7 @@ _OPERATOR_MODULES = (
     "terasort_spark.operators.wave13",
     "terasort_spark.operators.wave14",
     "terasort_spark.operators.wave15",
+    "terasort_spark.plans.window_skew_rewrite",
 )
 
 _loaded = False

@@ -154,12 +154,15 @@ def test_sketch_rollup_merge_is_lossless_and_accurate(spark, sf_dir):
     yields the IDENTICAL estimate to sketching the whole column in one
     pass (same hashes, same registers), and the estimate tracks the
     exact distinct count within HLL lgK=12 error (<2% at these
-    cardinalities)."""
+    cardinalities). The DataSketches exhibit is module-test-only since
+    r12 (its registers are engine-private); the REGISTERED
+    agg_sketch_rollup is the portable KMV form, tested below."""
     from terasort_spark.catalog import table
+    from terasort_spark.operators.modern import agg_sketch_rollup_hll
 
     rows = {
         r.o_orderpriority: r.n_custkeys
-        for r in _Q["agg_sketch_rollup"](spark, sf_dir).collect()
+        for r in agg_sketch_rollup_hll(spark, sf_dir).collect()
     }
     o = table(spark, sf_dir, "orders")
     direct = (
@@ -172,3 +175,93 @@ def test_sketch_rollup_merge_is_lossless_and_accurate(spark, sf_dir):
     exact = o.select("o_custkey").distinct().count()
     assert abs(rows["ALL"] - exact) / exact < 0.02
     assert max(v for k, v in rows.items() if k != "ALL") <= rows["ALL"]
+
+
+def test_kmv_rollup_merge_matches_direct_sketch(spark, sf_dir):
+    """The registered (hash-graded) agg_sketch_rollup pins the same
+    lossless-merge algebra portably: the 'ALL' row — k smallest of the
+    merged per-group samples — must equal the estimate from sketching
+    the unfiltered column directly (global k-smallest is a subset of
+    the union of per-group k-smallest), and every estimate tracks its
+    exact count within the KMV k=64 error envelope (~3/sqrt(k-2) ≈ 38%
+    at 3 sigma; exact when the set fits in the sample)."""
+    from terasort_spark.catalog import table
+    from terasort_spark.operators.modern import _SKR_K
+
+    rows = {
+        r.o_orderpriority: r
+        for r in _Q["agg_sketch_rollup"](spark, sf_dir).collect()
+    }
+    assert "ALL" in rows
+    o = table(spark, sf_dir, "orders")
+    direct_sample = (
+        o.select(
+            F.conv(
+                F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h")
+        )
+        .distinct()
+        .orderBy("h")
+        .limit(_SKR_K)
+        .agg(F.max("h").alias("theta"), F.count(F.lit(1)).alias("n"))
+        .collect()[0]
+    )
+    if direct_sample.n < _SKR_K:
+        direct_est = float(direct_sample.n)
+    else:
+        direct_est = (_SKR_K - 1) * float(1 << 60) / direct_sample.theta
+    assert abs(rows["ALL"].est_custkeys - round(direct_est, 4)) <= 1e-6
+    for r in rows.values():
+        if r.n_samp < _SKR_K:
+            assert r.est_custkeys == float(r.n_exact)
+        else:
+            assert abs(r.est_custkeys - r.n_exact) / r.n_exact < 0.38
+
+
+def test_percentile_approx_sample_tracks_exact(spark, sf_dir):
+    """Portable bottom-k-by-hash quantile sample (registered
+    agg_percentile_approx): the sampled median stays within the
+    group's central value band, degrading to EXACT when the group fits
+    in the k=256 sample; the native percentile_approx exhibit agrees
+    with the exact median within its declared accuracy."""
+    from terasort_spark.catalog import table
+    from terasort_spark.operators.extras import (
+        _APA_K,
+        agg_percentile_approx_native,
+    )
+
+    rows = _Q["agg_percentile_approx"](spark, sf_dir).collect()
+    assert rows and all(r.n_sample <= _APA_K for r in rows)
+    c = table(spark, sf_dir, "customer")
+    spread = {
+        r.c_mktsegment: (r.lo, r.hi)
+        for r in c.groupBy("c_mktsegment")
+        .agg(
+            F.expr(
+                "percentile_cont(0.25) WITHIN GROUP (ORDER BY c_acctbal)"
+            ).alias("lo"),
+            F.expr(
+                "percentile_cont(0.75) WITHIN GROUP (ORDER BY c_acctbal)"
+            ).alias("hi"),
+        )
+        .collect()
+    }
+    for r in rows:
+        if r.n_sample < _APA_K:
+            assert r.p50_approx == r.p50_exact
+        else:
+            lo, hi = spread[r.c_mktsegment]
+            assert lo <= r.p50_approx <= hi
+    native = {
+        r.c_mktsegment: r.p50_approx
+        for r in agg_percentile_approx_native(spark, sf_dir).collect()
+    }
+    exact = {r.c_mktsegment: r.p50_exact for r in rows}
+    for seg, v in native.items():
+        lo, hi = spread[seg]
+        band = max(1.0, hi - lo)
+        assert abs(v - exact[seg]) <= band

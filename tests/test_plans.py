@@ -630,3 +630,55 @@ def test_tree_depth2_single_windowed_pass_per_level(spark, sf_dir):
     assert "BroadcastNestedLoopJoin BuildRight, Cross" in plan, plan
     # the per-node argmin is WindowGroupLimit-pruned, not a full sort
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_window_skew_rewrite_strategy_choice_and_parity(spark, sf_dir, tmp_path):
+    """plans/window_skew_rewrite (r11 VERDICT task 4): the skew sketch
+    must pick PLAIN on the shipped (roughly uniform) events table and
+    BUCKETED on a 50%-hot fixture; the bucketed physical plan must
+    window over (user_id, bucket) while plain windows over user_id
+    alone; and the two strategies must return identical rows on the
+    skewed fixture — the semantic license for the rewrite."""
+    from terasort_spark.plans.window_skew_rewrite import (
+        WIN_SKEW_SHARE_CUT,
+        autocorr_autoplan,
+        choose_strategy,
+        max_key_share,
+    )
+
+    share = max_key_share(spark, sf_dir)
+    assert share < WIN_SKEW_SHARE_CUT, share
+    assert choose_strategy(spark, sf_dir) == "plain"
+
+    # 50%-hot fixture: 4000 events, user 0 owns half, 20 cold users
+    # share the rest (~100 events each — all past AC_MIN_EVENTS).
+    fixture = str(tmp_path)
+    ev = spark.range(4000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(20)) + 1)
+        .alias("user_id"),
+        F.timestamp_seconds(
+            F.lit(1700000000) + F.pmod(F.xxhash64("id", F.lit(1)), F.lit(40000))
+        ).alias("ts"),
+        F.col("id").alias("event_id"),
+        (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(10000)) / 100.0).alias(
+            "value"
+        ),
+        F.lit("click").alias("event_type"),
+        F.lit("{}").alias("props"),
+    )
+    ev.write.mode("overwrite").parquet(f"{fixture}/events.parquet")
+    assert choose_strategy(spark, fixture) == "bucketed"
+
+    plain = autocorr_autoplan(spark, fixture, strategy="plain")
+    bucketed = autocorr_autoplan(spark, fixture, strategy="bucketed")
+    plain_plan = executed_plan(plain)
+    bucketed_plan = executed_plan(bucketed)
+    assert "windowspecdefinition(user_id#" in plain_plan, plain_plan
+    assert "bucket#" not in plain_plan, plain_plan
+    assert "bucket#" in bucketed_plan, bucketed_plan
+
+    got_plain = sorted(map(tuple, plain.collect()))
+    got_bucketed = sorted(map(tuple, bucketed.collect()))
+    assert got_plain == got_bucketed
+    assert len(got_plain) == 21  # every user passes AC_MIN_EVENTS
