@@ -88,6 +88,7 @@ _OPERATOR_MODULES = (
     "terasort_spark.operators.wave14",
     "terasort_spark.operators.wave15",
     "terasort_spark.plans.window_skew_rewrite",
+    "terasort_spark.operators.wave16",
 )
 
 _loaded = False
