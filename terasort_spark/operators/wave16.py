@@ -91,3 +91,158 @@ def stream_source_pyds(spark, sf_dir):
     )
     got = _run_stream_complete(agg, "pyds_replay_sink", spark)
     return got.select("event_type", "n_events", "total_cents")
+
+
+@register(
+    "stream_tws_timer",
+    oracle="""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM events
+WHERE value IS NOT NULL
+GROUP BY user_id
+""",
+)
+def stream_tws_timer(spark, sf_dir):
+    """transformWithStateInPandas PROCESSING-TIME TIMERS end-to-end,
+    hash-graded: a flush-on-timer fold. handleInputRows only folds
+    (exact integer cents + count into ValueState) and registers a
+    constant already-expired timer — guarded by ``listTimers`` so each
+    key holds at most one; ALL emission happens in
+    ``handleExpiredTimer``, which reads the state, flushes a row, and
+    ``deleteTimer``s itself. Every timer wire call of the StateMessage
+    protocol (register/list/delete + the expiry iterator) therefore
+    runs through the pure-Python codec (r11 SURVEY candidate: "timer
+    wire calls are in the codec, unexercised end-to-end").
+
+    Determinism: the per-key count is strictly monotone across that
+    key's flushes (a flush follows a batch that delivered rows), so
+    max-by-count is the final fold regardless of how many intermediate
+    flushes the timer schedule produced; the run drains until the
+    flushed totals cover every staged row (known count), which the
+    engine guarantees because the last registration's expiry is
+    already in the past. Equal to the batch GROUP BY exactly.
+
+    Timer cadence is paced at 500 ms — with expired timers the
+    zero-interval default schedules continuous empty micro-batches
+    (measured: a drain via processAllAvailable never settles), which
+    is also why the drain condition is row-coverage, not
+    no-more-data."""
+    from terasort_spark.operators.wave15 import (
+        _ROCKSDB_PROVIDER,
+        _ensure_state_codec,
+    )
+
+    _ensure_state_codec(spark)
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    from terasort_spark.streaming.replay import read_stream, stage_chunks
+
+    replay_dir = scratch_dir(spark, "tws_timer_replay")
+    stagers = stage_chunks(spark, sf_dir, replay_dir, n_chunks=3)
+    for s in stagers:
+        s()
+
+    class FlushOnTimer(StatefulProcessor):
+        def init(self, handle):
+            self._s = handle.getValueState("tot", "total bigint, n bigint")
+            self._h = handle
+
+        def handleInputRows(self, key, rows, timerValues):
+            import math
+
+            t, n = tuple(self._s.get()) if self._s.exists() else (0, 0)
+            for pdf in rows:
+                v = pdf["value"].dropna()
+                t += int(sum(int(math.floor(x * 100 + 0.5)) for x in v))
+                n += int(len(v))
+            self._s.update((t, n))
+            if not any(True for _ in self._h.listTimers()):
+                self._h.registerTimer(1)  # constant past expiry
+            return iter([])
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            self._h.deleteTimer(expiredTimerInfo.getExpiryTimeInMs())
+            t, n = tuple(self._s.get()) if self._s.exists() else (0, 0)
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "total_cents": [t],
+                    "n_events": [n],
+                }
+            )
+
+        def close(self):
+            pass
+
+    from terasort_spark.catalog import table
+
+    src = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    expected_rows = src.count()
+    folded = (
+        read_stream(spark, replay_dir)
+        .filter(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            FlushOnTimer(),
+            outputStructType=(
+                "user_id bigint, total_cents bigint, n_events bigint"
+            ),
+            outputMode="Update",
+            timeMode="ProcessingTime",
+        )
+    )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, _ROCKSDB_PROVIDER)
+    import time
+
+    qname = "tws_timer_sink"
+    try:
+        q = (
+            folded.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("update")
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 600
+            covered = -1
+            while time.time() < deadline:
+                covered = (
+                    spark.table(qname)
+                    .groupBy("user_id")
+                    .agg(F.max("n_events").alias("mx"))
+                    .agg(F.sum("mx").alias("s"))
+                    .collect()[0]
+                    .s
+                ) or 0
+                if covered >= expected_rows:
+                    break
+                time.sleep(1.0)
+            if covered < expected_rows:
+                raise TimeoutError(
+                    f"timer flushes covered {covered}/{expected_rows} rows"
+                )
+        finally:
+            q.stop()
+            q.awaitTermination()
+        final = (
+            spark.table(qname)
+            .groupBy("user_id")
+            .agg(F.max(F.struct("n_events", "total_cents")).alias("s"))
+            .select(
+                "user_id",
+                F.col("s.n_events").cast("bigint").alias("n_events"),
+                F.col("s.total_cents").cast("bigint").alias("total_cents"),
+            )
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    return final
