@@ -116,3 +116,138 @@ def test_stream_source_pyds_runs_multiple_microbatches(spark, sf_dir):
     n = pq.ParquetFile(path).metadata.num_rows
     batch = max(1, (n + 2) // 3)
     assert (n + batch - 1) // batch >= 3 or n < 3
+
+
+def test_tws_value_state_ttl_expires_and_persists(spark, sf_dir):
+    """TTL state through the StateMessage codec (the TTLConfig wire
+    field, previously unexercised): a 1 ms-TTL ValueState written every
+    input batch must NEVER survive to the next batch's read (batches
+    are >1 ms apart by construction), while a 1 h-TTL running count
+    folds exactly — TTL expiry is per-variable, not per-key-blast.
+    timeMode must be ProcessingTime (engine rejects TTL under NoTime —
+    asserted too); with that mode the engine schedules continuous
+    maintenance batches, so the run drains by row-coverage polling and
+    an explicit stop, never processAllAvailable (same discipline as
+    stream_tws_timer)."""
+    import time
+
+    import pandas as pd
+    import pytest as _pytest
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    from terasort_spark.operators.wave15 import (
+        _ROCKSDB_PROVIDER,
+        _ensure_state_codec,
+    )
+    from terasort_spark.streaming.replay import read_stream, stage_chunks
+
+    _ensure_state_codec(spark)
+    src = table(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    exact = {
+        r.user_id: r.n
+        for r in src.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    expected_rows = sum(exact.values())
+    replay_dir = scratch_dir(spark, "ttl_replay")
+    stagers = stage_chunks(spark, sf_dir, replay_dir, n_chunks=3, src=src)
+    for s in stagers:
+        s()
+
+    class TtlFold(StatefulProcessor):
+        def init(self, handle):
+            self._keep = handle.getValueState(
+                "keep", "n bigint", ttlDurationMs=3600_000
+            )
+            self._tmp = handle.getValueState("tmp", "n bigint", ttlDurationMs=1)
+
+        def handleInputRows(self, key, rows, timerValues):
+            tmp_survived = self._tmp.exists()
+            n = tuple(self._keep.get())[0] if self._keep.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._keep.update((n,))
+            self._tmp.update((n,))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "tmp_survived": [bool(tmp_survived)],
+                }
+            )
+
+        def close(self):
+            pass
+
+    def build(time_mode):
+        return (
+            read_stream(spark, replay_dir)
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                TtlFold(),
+                outputStructType=(
+                    "user_id bigint, n_events bigint, tmp_survived boolean"
+                ),
+                outputMode="Update",
+                timeMode=time_mode,
+            )
+        )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, _ROCKSDB_PROVIDER)
+    try:
+        q = (
+            build("ProcessingTime")
+            .writeStream.format("memory")
+            .queryName("ttl_sink")
+            .outputMode("update")
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 300
+            while time.time() < deadline:
+                covered = (
+                    spark.table("ttl_sink")
+                    .groupBy("user_id")
+                    .agg(F.max("n_events").alias("mx"))
+                    .agg(F.sum("mx").alias("s"))
+                    .collect()[0]
+                    .s
+                ) or 0
+                if covered >= expected_rows:
+                    break
+                time.sleep(1.0)
+        finally:
+            q.stop()
+            q.awaitTermination()
+        rows = spark.table("ttl_sink").collect()
+        # engine contract: TTL is a ProcessingTime-only feature (must
+        # run under the SAME RocksDB provider so the time-mode check —
+        # not the HDFS multi-column-family limit — is what fires)
+        with _pytest.raises(Exception, match="TIME_MODE|TTL|NoTime"):
+            q2 = (
+                build("None")
+                .writeStream.format("memory")
+                .queryName("ttl_sink_bad")
+                .outputMode("update")
+                .start()
+            )
+            try:
+                q2.processAllAvailable()
+            finally:
+                q2.stop()
+                q2.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    assert rows
+    assert not any(r.tmp_survived for r in rows), rows
+    mx = {}
+    for r in rows:
+        mx[r.user_id] = max(mx.get(r.user_id, 0), r.n_events)
+    assert mx == exact
