@@ -246,3 +246,59 @@ def stream_tws_timer(spark, sf_dir):
         else:
             spark.conf.set(key, prev)
     return final
+
+
+@register(
+    "stream_source_pyds_dist",
+    oracle="""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM events
+WHERE user_id % 7 = 0
+GROUP BY user_id
+""",
+)
+def stream_source_pyds_dist(spark, sf_dir):
+    """Streaming aggregate over the PARTITION-PLANNING custom source
+    (``events_replay_dist``, sources/replay_stream_ds.py): the driver
+    plans only row-offset ranges; each micro-batch's window is split
+    into 4 RowRange partitions whose parquet slicing runs ON EXECUTORS
+    — the high-throughput shape of the Python streaming DataSource
+    API, complementing stream_source_pyds's driver-side Simple reader.
+    A pre-aggregation filter rides the stream (user_id % 7) so the
+    graded fold also proves predicate flow through the custom scan.
+    Complete-mode result equals the batch GROUP BY exactly."""
+    from terasort_spark.sources.replay_stream_ds import (
+        register_replay_dist_source,
+        stage_sorted_events,
+    )
+
+    register_replay_dist_source(spark)
+    root = scratch_dir(spark, "pyds_replay_dist")
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(root, "events_sorted.parquet")
+    stage_sorted_events(spark, sf_dir, path)
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(path).metadata.num_rows
+    stream = (
+        spark.readStream.format("events_replay_dist")
+        .option("path", path)
+        .option("batchRows", max(1, (n + 2) // 3))
+        .option("numPartitions", "4")
+        .load()
+    )
+    agg = (
+        stream.filter(F.col("user_id") % 7 == 0)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+    )
+    got = _run_stream_complete(agg, "pyds_replay_dist_sink", spark)
+    return got.select("user_id", "n_events", "total_cents")

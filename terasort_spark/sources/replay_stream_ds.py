@@ -34,6 +34,8 @@ from typing import Iterator, Tuple
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamReader,
+    InputPartition,
     SimpleDataSourceStreamReader,
 )
 
@@ -181,4 +183,84 @@ def register_replay_source(spark) -> None:
     key = id(spark)
     if key not in _registered:
         spark.dataSource.register(EventsReplayDataSource)
+        _registered.add(key)
+
+
+# ---------------------------------------------------------------------------
+# Partition-planning streaming reader — the SCALE path of the same API.
+
+
+class RowRange(InputPartition):
+    def __init__(self, path: str, start: int, end: int) -> None:
+        self.path = path
+        self.start = start
+        self.end = end
+
+
+class EventsReplayDistStreamReader(DataSourceStreamReader):
+    """The executor-side counterpart of EventsReplayStreamReader
+    (``DataSourceStreamReader``): the driver only plans OFFSETS
+    (``latestOffset`` advances by batchRows per trigger) and splits
+    each batch's row window into ``numPartitions`` RowRange partitions;
+    the actual parquet slicing runs in ``read()`` ON EXECUTORS. This is
+    the shape a real high-throughput source (Kafka, a CDC log) takes:
+    driver state is O(1) offsets, data never passes through the
+    driver, and per-batch parallelism is the partition count."""
+
+    def __init__(self, options: dict) -> None:
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("events_replay_dist requires option 'path'")
+        self._batch = int(options.get("batchrows", 2000))
+        self._parts = int(options.get("numpartitions", 4))
+        import pyarrow.parquet as pq
+
+        self._n = pq.ParquetFile(self._path).metadata.num_rows
+        self._cur = 0
+
+    def initialOffset(self) -> dict:
+        return {"row": 0}
+
+    def latestOffset(self) -> dict:
+        self._cur = min(self._cur + self._batch, self._n)
+        return {"row": self._cur}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["row"]), int(end["row"])
+        if hi <= lo:
+            return [RowRange(self._path, lo, lo)]
+        span = hi - lo
+        k = min(self._parts, span)
+        step = (span + k - 1) // k
+        return [
+            RowRange(self._path, s, min(s + step, hi))
+            for s in range(lo, hi, step)
+        ]
+
+    def read(self, partition: RowRange) -> Iterator[Tuple]:
+        # runs on an executor: slice only this partition's row window
+        return _slice_rows(partition.path, partition.start, partition.end)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class EventsReplayDistDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "events_replay_dist"
+
+    def schema(self) -> str:
+        from terasort_spark.streaming.replay import EVENTS_SCHEMA
+
+        return EVENTS_SCHEMA
+
+    def streamReader(self, schema) -> EventsReplayDistStreamReader:
+        return EventsReplayDistStreamReader(self.options)
+
+
+def register_replay_dist_source(spark) -> None:
+    key = ("dist", id(spark))
+    if key not in _registered:
+        spark.dataSource.register(EventsReplayDistDataSource)
         _registered.add(key)

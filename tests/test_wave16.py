@@ -251,3 +251,40 @@ def test_tws_value_state_ttl_expires_and_persists(spark, sf_dir):
     for r in rows:
         mx[r.user_id] = max(mx.get(r.user_id, 0), r.n_events)
     assert mx == exact
+
+
+def test_dist_reader_plans_partitions_and_covers_rows(staged):
+    """The partition-planning reader (events_replay_dist): latestOffset
+    advances by batchRows per call and saturates at the table end;
+    partitions() splits each window into <= numPartitions contiguous
+    disjoint RowRanges; reading every partition of every batch yields
+    each row exactly once."""
+    from terasort_spark.sources.replay_stream_ds import (
+        EventsReplayDistStreamReader,
+    )
+
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(staged).metadata.num_rows
+    r = EventsReplayDistStreamReader(
+        {"path": staged, "batchrows": "900", "numpartitions": "4"}
+    )
+    off = r.initialOffset()
+    seen = 0
+    while True:
+        nxt = r.latestOffset()
+        if nxt == off:
+            break
+        parts = r.partitions(off, nxt)
+        assert 1 <= len(parts) <= 4
+        bounds = [(p.start, p.end) for p in parts]
+        assert bounds[0][0] == off["row"] and bounds[-1][1] == nxt["row"]
+        for (a, b), (c, _) in zip(bounds, bounds[1:]):
+            assert b == c  # contiguous, disjoint
+        for p in parts:
+            rows = list(r.read(p))
+            assert len(rows) == p.end - p.start
+            seen += len(rows)
+        r.commit(nxt)
+        off = nxt
+    assert seen == n
