@@ -134,7 +134,22 @@ _DOCS_SCHEMA = (
 # so Jaccard verification reads only the shards holding candidate ids.
 _BUCKET_SHARDS = 4
 _TOK_SHARDS = 8
-_COMPACT_EVERY = 8  # physical cap-compaction cadence (micro-batches)
+_COMPACT_EVERY = 8  # legacy fixed cadence (kept for the cadence test)
+_COMPACT_FILES = 8  # fragmentation threshold: compact a (band, bs)
+# leaf once it holds this many files (>= bounds read amplification at
+# cap-merge time; appends write one file per touched leaf per batch)
+
+
+def _leaf_file_count(st_b: str, band, bs) -> int:
+    import os as _os
+
+    leaf = _os.path.join(st_b, f"band={band}", f"bs={bs}")
+    try:
+        return sum(1 for f in _os.listdir(leaf) if f.endswith(".parquet"))
+    except OSError:
+        return 0
+
+
 _GSTATE_SCHEMA = "bucket bigint, eids array<bigint>, band int, bs int"
 _TOKS_PART_SCHEMA = "doc_id bigint, toks array<string>, ds int"
 
@@ -189,8 +204,9 @@ def _compact_buckets(spark, st_b, pairs, cap):
     """Physical cap-compaction: rewrite the given (band, bs) partitions
     as one merged <=cap row per bucket (dynamic partition overwrite of
     a checkpointed merge), so standing state stays bounded at
-    cap x n_buckets ids no matter how many batches appended. Runs every
-    _COMPACT_EVERY batches — amortized, never on the admission path."""
+    cap x n_buckets ids no matter how many batches appended. Triggered
+    per leaf by measured fragmentation (>= _COMPACT_FILES files) —
+    amortized, never on the admission path."""
     merged = (
         _read_pruned_buckets(spark, st_b, pairs, cap)
         .withColumn("bs", _bucket_shard(F.col("bucket")))
@@ -303,8 +319,9 @@ def dedup_stream_lsh(spark, sf_dir):
     buckets map to instead of re-scanning (and re-grouping!) the full
     standing corpus. Admissions APPEND pre-capped per-bucket groups
     (the pruned read cap-merges them exactly — see
-    _read_pruned_buckets); every _COMPACT_EVERY batches a physical
-    compaction rewrites the touched partitions to one row per bucket
+    _read_pruned_buckets); once a leaf's measured fragmentation reaches
+    _COMPACT_FILES files, a physical
+    compaction rewrites that partition to one row per bucket
     (dynamic partition overwrite on a checkpointed merge; at 100 TB
     the same rewrite is a staged write + atomic dir swap). Token state
     is doc-id-sharded the same way, so Jaccard verification reads only
@@ -479,9 +496,23 @@ def _stream_lsh_run(spark, sf_dir, replay, ckpt, st_b, st_t, dec, staged):
             for f in futs:
                 f.result()
         # amortized physical compaction keeps per-bucket state at ONE
-        # row regardless of batch count
-        if _batch_id % _COMPACT_EVERY == _COMPACT_EVERY - 1:
-            _compact_buckets(spark, st_b, touched, FUZZY_CAP)
+        # row regardless of batch count. Cadence is AUTO-TUNED by
+        # measured fragmentation (r11 SURVEY candidate): a leaf
+        # (band, bs) dir is rewritten only once it holds >=
+        # _COMPACT_FILES parquet files — compaction work tracks actual
+        # append pressure per leaf instead of a blind every-N clock, so
+        # hot leaves stay within a bounded read amplification while
+        # cold leaves are never rewritten. The listing is the same
+        # O(touched-leaves) driver metadata walk the pruned read
+        # already pays; at 100 TB the file count comes from the table
+        # metadata layer (manifest/file-index) for the same O(1)/leaf.
+        frag = [
+            (band, bs)
+            for band, bs in touched
+            if _leaf_file_count(st_b, band, bs) >= _COMPACT_FILES
+        ]
+        if frag:
+            _compact_buckets(spark, st_b, frag, FUZZY_CAP)
 
     q = (
         spark.readStream.schema(_DOCS_SCHEMA)

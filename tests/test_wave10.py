@@ -329,7 +329,9 @@ def test_stream_lsh_state_read_prunes_partitions(spark, tmp_path):
 def test_stream_lsh_compaction_preserves_hash_and_bounds_files(
     spark, sf_dir, monkeypatch
 ):
-    """Physical cap-compaction every batch must (a) leave the admission
+    """Fragmentation-triggered cap-compaction at its most aggressive
+    dial (threshold 1: every touched leaf rewritten every batch) must
+    (a) leave the admission
     decisions bit-identical to the amortized default and (b) actually
     bound the bucket state at one file per leaf directory after the
     final compaction — the property that keeps standing state
@@ -341,7 +343,7 @@ def test_stream_lsh_compaction_preserves_hash_and_bounds_files(
     from terasort_spark.operators._util import scratch_dir
 
     want = sorted(map(tuple, _Q["dedup_stream_lsh"](spark, sf_dir).collect()))
-    monkeypatch.setattr(w10, "_COMPACT_EVERY", 1)
+    monkeypatch.setattr(w10, "_COMPACT_FILES", 1)
     got = sorted(map(tuple, _Q["dedup_stream_lsh"](spark, sf_dir).collect()))
     assert got == want
     st_b = os.path.join(scratch_dir(spark, "stream_lsh"), "state_buckets")
