@@ -288,3 +288,90 @@ def test_dist_reader_plans_partitions_and_covers_rows(staged):
         r.commit(nxt)
         off = nxt
     assert seen == n
+
+
+def test_tws_delete_if_exists_resets_state_mid_stream(spark, sf_dir):
+    """handle.deleteIfExists through the codec (the last unexercised
+    StatefulProcessorCall wire method; the engine only permits it in
+    init(), handle state CREATED — calling it during processing raises
+    INVALID_HANDLE_STATE, verified while building this test): init
+    drops the `cnt` variable every micro-batch, so the counter shows
+    PER-BATCH counts, while the sibling `seq` variable — untouched —
+    keeps its cross-batch fold. Together: deleteIfExists removed
+    exactly the named variable, each batch, and nothing else."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    from terasort_spark.operators.wave15 import (
+        _ROCKSDB_PROVIDER,
+        _ensure_state_codec,
+    )
+    from terasort_spark.streaming.replay import (
+        read_stream,
+        run_to_memory,
+        stage_chunks,
+    )
+
+    _ensure_state_codec(spark)
+    src = table(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    exact = {
+        r.user_id: r.n
+        for r in src.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    replay_dir = scratch_dir(spark, "dix_replay")
+    stagers = stage_chunks(spark, sf_dir, replay_dir, n_chunks=3, src=src)
+
+    class PerBatchCounter(StatefulProcessor):
+        def init(self, handle):
+            handle.deleteIfExists("cnt")
+            self._s = handle.getValueState("cnt", "n bigint")
+            self._seq = handle.getValueState("seq", "i bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = tuple(self._s.get())[0] if self._s.exists() else 0
+            i = (tuple(self._seq.get())[0] if self._seq.exists() else 0) + 1
+            for pdf in rows:
+                n += len(pdf)
+            self._s.update((n,))
+            self._seq.update((i,))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "i": [i], "n": [n]}
+            )
+
+        def close(self):
+            pass
+
+    folded = (
+        read_stream(spark, replay_dir)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            PerBatchCounter(),
+            outputStructType="user_id bigint, i bigint, n bigint",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, _ROCKSDB_PROVIDER)
+    try:
+        got = run_to_memory(folded, "dix_sink", "update", stagers, spark)
+        rows = got.collect()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    per_user = {}
+    for r in sorted(rows, key=lambda r: (r.user_id, r.i)):
+        per_user.setdefault(r.user_id, []).append(r)
+    assert set(per_user) == set(exact)
+    for uid, seq in per_user.items():
+        # seq (never dropped) folds across batches: 1..k
+        assert [r.i for r in seq] == list(range(1, len(seq) + 1)), seq
+        # cnt (dropped each init) is per-batch only: the emissions sum
+        # to the user's total but no single emission reaches it
+        assert sum(r.n for r in seq) == exact[uid], (uid, seq)
+        assert len(seq) >= 2 and max(r.n for r in seq) < exact[uid], seq
