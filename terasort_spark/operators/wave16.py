@@ -22,10 +22,6 @@ from pyspark.sql import functions as F
 from terasort_spark.operators._util import scratch_dir
 from terasort_spark.registry import register
 
-_ROCKSDB_PROVIDER = (
-    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
-)
-
 
 def _run_stream_complete(df, qname: str, spark):
     """Start ``df`` on a complete-mode memory sink, drain every

@@ -73,64 +73,68 @@ def test_engine_facade(spark, sf_dir):
 
 def test_grading_rotation_fronts_ungraded_queries():
     """The driver grades queries() in dict order with a ~50-entry
-    budget, so the rotation must yield hard-CORRECTNESS-row-less
-    entries first. The graded set is derived from the committed
-    CORRECTNESS_r*.json files (self-advancing), so this test derives
-    the expected partition from the same ``_graded_names()`` source
-    instead of naming specific queries — future driver rounds advance
-    the rotation without re-breaking this invariant."""
+    budget; since r12 the rotation is TIERED (registry._graded_last):
+    tier 0 = urgent regrades (latest row FAILED, output changed this
+    round, or graded rows-only before its oracle existed), tier 1 =
+    stale green rows (graded before _FRESH_CUT) oldest-first, tier 2 =
+    never-graded new declarations, tier 3 = remaining green rows
+    stalest-first. This test derives the expected tiers from the same
+    committed CORRECTNESS_r*.json files the rotation reads, so future
+    driver rounds advance it without re-breaking the invariant."""
     from terasort_spark import registry
 
     order = list(registry.queries())
     pos = {n: i for i, n in enumerate(order)}
-    # _REGRADE pins queries whose OUTPUT changed this round: they hold a
-    # (now-stale) green row yet must re-front, so the rotation treats
-    # them as ungraded — mirror that here (r10).
-    graded = registry._graded_names() - set(registry._REGRADE)
-    ungraded = [n for n in order if n not in graded]
-    graded_in_order = [n for n in order if n in graded]
-    # Self-check: both sides of the partition are non-trivial.
-    assert ungraded or graded_in_order
-    if ungraded and graded_in_order:
-        worst_ungraded = max(pos[n] for n in ungraded)
-        best_graded = min(pos[n] for n in graded_in_order)
-        assert worst_ungraded < best_graded, (
-            f"graded query '{min(graded_in_order, key=pos.get)}' precedes "
-            f"ungraded '{max(ungraded, key=pos.get)}'"
-        )
-    # Self-healing rule: a query whose latest committed row is
-    # rows-only (err == no_oracle) but that NOW has a registered
-    # oracle must be UNGRADED (re-fronted to earn a hash row), i.e.
-    # sort before every graded name in the rotation.
+    rounds = registry._graded_rounds()
+    ever = registry._ever_graded()
+    graded = set(rounds) - set(registry._REGRADE)
+
+    def tier(n):
+        if n in ever and n not in graded:
+            return 0
+        if n in graded and rounds[n] < registry._FRESH_CUT:
+            return 1
+        if n not in ever:
+            return 2
+        return 3
+
+    tiers = [tier(n) for n in order]
+    assert tiers == sorted(tiers), [
+        (n, t) for n, t in zip(order, tiers)
+    ][:20]
+    # within tiers 1 and 3, stalest evidence first
+    for want in (1, 3):
+        rs = [rounds[n] for n, t in zip(order, tiers) if t == want]
+        assert rs == sorted(rs)
+    # Self-healing rules: a rows-only row whose oracle now exists, and
+    # a FAILED latest row, must both be tier 0 (before everything).
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(registry.__file__)))
     latest = {}
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+    paths = []
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m:
+            paths.append((int(m.group(1)), path))
+    for _, path in sorted(paths):
         data = json.load(open(path))
         for name, row in data.items():
             if isinstance(row, dict):
                 latest[name] = row
     oracles = registry.oracle_sql()
-    refront = [
-        n
-        for n, row in latest.items()
-        if row.get("err") == "no_oracle" and n in oracles and n in pos
-    ]
-    for name in refront:
-        assert name not in graded, (
-            f"{name}: rows-only row but oracle now registered — must re-front"
-        )
-        if graded_in_order:
-            assert pos[name] < min(pos[g] for g in graded_in_order), (
-                f"{name} must sort before all graded names"
-            )
-    # And a query whose latest row FAILED re-fronts for regrade.
     for name, row in latest.items():
-        if name in pos and not row.get("hash_match") and row.get("err") != "no_oracle":
-            assert name not in graded, f"{name}: failed row must re-front"
+        if name not in pos:
+            continue
+        if row.get("err") == "no_oracle" and name in oracles:
+            assert tier(name) == 0, (
+                f"{name}: rows-only row but oracle now registered"
+            )
+        if not row.get("hash_match") and row.get("err") != "no_oracle":
+            assert tier(name) == 0, f"{name}: failed row must re-front"
 
 
 def test_engine_explain_returns_plan_text(spark, sf_dir):
