@@ -39,6 +39,8 @@ from pyspark.sql.datasource import (
     SimpleDataSourceStreamReader,
 )
 
+from terasort_spark.streaming.replay import EVENTS_SCHEMA
+
 
 def _slice_rows(path: str, start: int, end: int) -> Iterator[Tuple]:
     """Rows [start, end) of the event_id-ordered events table, as a
@@ -141,8 +143,6 @@ class EventsReplayDataSource(DataSource):
         return "events_replay"
 
     def schema(self) -> str:
-        from terasort_spark.streaming.replay import EVENTS_SCHEMA
-
         return EVENTS_SCHEMA
 
     def simpleStreamReader(self, schema) -> EventsReplayStreamReader:
@@ -179,9 +179,32 @@ def stage_sorted_events(spark, sf_dir: str, out_path: str) -> str:
 _registered: set = set()
 
 
+def _pickle_module_by_value() -> None:
+    """Force cloudpickle to serialize this module's classes BY VALUE.
+
+    Spark's driver-side streaming source planner
+    (``python_streaming_source_runner``) deserializes the registered
+    DataSource in a fresh Python process that — unlike batch
+    data-source and executor workers — does not put addPyFile'd zips
+    on sys.path before ``read_command`` (observed empirically: batch
+    ``source_fixedwidth`` plans fine from a non-repo cwd, the
+    streaming sources died with ModuleNotFoundError). By-value
+    registration embeds the class definitions (and the
+    ``_slice_rows``/``EVENTS_SCHEMA`` objects they reference) in the
+    pickle itself, so the runner needs no ``terasort_spark`` import —
+    the module stays dependency-free beyond pyarrow for exactly this
+    reason."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+
 def register_replay_source(spark) -> None:
     key = id(spark)
     if key not in _registered:
+        _pickle_module_by_value()
         spark.dataSource.register(EventsReplayDataSource)
         _registered.add(key)
 
@@ -251,8 +274,6 @@ class EventsReplayDistDataSource(DataSource):
         return "events_replay_dist"
 
     def schema(self) -> str:
-        from terasort_spark.streaming.replay import EVENTS_SCHEMA
-
         return EVENTS_SCHEMA
 
     def streamReader(self, schema) -> EventsReplayDistStreamReader:
@@ -262,5 +283,6 @@ class EventsReplayDistDataSource(DataSource):
 def register_replay_dist_source(spark) -> None:
     key = ("dist", id(spark))
     if key not in _registered:
+        _pickle_module_by_value()
         spark.dataSource.register(EventsReplayDistDataSource)
         _registered.add(key)
