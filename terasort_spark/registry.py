@@ -89,6 +89,8 @@ _OPERATOR_MODULES = (
     "terasort_spark.operators.wave15",
     "terasort_spark.plans.window_skew_rewrite",
     "terasort_spark.operators.wave16",
+    "terasort_spark.operators.wave17",
+    "terasort_spark.operators.wave18",
 )
 
 _loaded = False
