@@ -124,6 +124,16 @@ def graph_cc_star(spark, sf_dir):
     oracle is the recursive-CTE min-reachable fixpoint, which defines
     components independently of the algorithm."""
     e = _lsh_edges(spark, sf_dir, tau=0.8, cap=8).localCheckpoint(eager=True)
+    labels, _rounds = star_components(spark, e)
+    return labels
+
+
+def star_components(spark, e, max_rounds: int = 16):
+    """Large-star/small-star alternation over a canonical (a < b) edge
+    DataFrame until fixpoint. Returns (labels_df(doc_id, component),
+    rounds_run). Shared by graph_cc_star and the scale probe
+    (scripts/cc_scale_probe.py), so the probed loop IS the graded one."""
+    e = e.localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("a").alias("node"))
         .union(e.select(F.col("b").alias("node")))
@@ -137,7 +147,8 @@ def graph_cc_star(spark, sf_dir):
     # on a CHANGED set is the 2^-64 failure mode; the round cap and the
     # fixpoint oracle both bound it.
     prev_sig = None
-    for _ in range(16):  # >> log2(n) for any shipped SF
+    rounds = 0
+    for _ in range(max_rounds):  # >> log2(n) for any shipped SF
         sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
             e.select(F.col("b").alias("u"), F.col("a").alias("v"))
         )
@@ -174,11 +185,12 @@ def graph_cc_star(spark, sf_dir):
         ).collect()[0]  # one convergence scalar pair, not a data collect
         sig = (sig_row["n"], sig_row["h"])
         e = e_small
+        rounds += 1
         if sig == prev_sig:
             break
         prev_sig = sig
     # converged: every edge is (component-min, member)
-    return (
+    labels = (
         nodes.join(e, nodes.node == e.b, "left")
         .groupBy("node")
         .agg(F.min("a").alias("ma"))
@@ -187,6 +199,7 @@ def graph_cc_star(spark, sf_dir):
             F.coalesce("ma", F.col("node")).alias("component"),
         )
     )
+    return labels, rounds
 
 
 # ---------------------------------------------------------------------------
@@ -308,26 +321,29 @@ WHERE rn <= 20
 
 @register("agg_cms_topk", oracle=_cms_oracle())
 def agg_cms_topk(spark, sf_dir):
-    """Count-Min sketch frequency estimates for the true top-20 event
-    users, next to their exact counts. d=4 rows x w=64 columns with
-    independent mix32 row hashes — deliberately NARROW for the data
-    (150 keys into 64 columns) so collisions actually exercise the
-    min-over-rows estimate (91/150 keys overestimated at sf0.01).
+    """Count-Min sketch MERGE: two partial sketches built over disjoint
+    halves of the events load, unioned by cell addition, then queried
+    for the true top-20 users' frequency estimates next to their exact
+    counts. d=4 rows x w=64 columns of independent mix32 row hashes —
+    deliberately NARROW for the data (150 keys into 64 columns) so
+    collisions actually exercise the min-over-rows estimate (91/150
+    keys overestimated at sf0.01).
 
-    The sketch is a (j, h) -> count table: cells are plain sums, so
-    the whole sketch is MERGEABLE — partial sketches combine by cell
-    addition, which Spark's partial aggregation does for free
-    (map-side combine; cross-day/cross-partition sketch union is the
-    same plain SUM). Estimates never undercount (module-tested):
+    The point beyond agg_heavyhitters (which grades a SINGLE-PASS CMS
+    over md5-hashed tokens): cells are plain sums, so sketch UNION is
+    plain cell-wise SUM — this query performs that union explicitly,
+    the operation a cross-day/cross-source sketch rollup runs at
+    ingest, and the single-pass oracle proves merge-equals-rebuild
+    exactly. Estimates never undercount (module-tested):
     est(u) = min_j cell[j][h_j(u)] >= true count, with overestimates
-    bounded by colliding mass. Like r11's KMV/HLL, every hash is
-    engine-portable, so the ESTIMATES (FP artifacts included)
-    hash-grade against the SQL replay — not just the exact side.
+    bounded by colliding mass; every hash is engine-portable, so the
+    ESTIMATES (collision artifacts included) hash-grade.
 
-    100 TB: the sketch is d*w integers regardless of corpus size —
-    the frequency-estimation primitive when the key space (URLs,
-    shingles) is too large for an exact groupBy."""
-    ev = table(spark, sf_dir, "events").select("user_id")
+    100 TB: each load's sketch is d*w integers regardless of corpus
+    size; merge cost is d*w additions per pair of loads — the
+    frequency-estimation primitive when the key space (URLs, shingles)
+    is too large for an exact groupBy."""
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id")
     jh = F.explode(
         F.array(
             *[
@@ -338,11 +354,26 @@ def agg_cms_topk(spark, sf_dir):
             ]
         )
     ).alias("jh")
+
+    # Build TWO independent partial sketches (disjoint halves of the
+    # load) and MERGE them by cell addition — the union operation a
+    # cross-day / cross-batch sketch rollup performs. Estimates from
+    # the merged sketch equal the single-pass sketch exactly (cell sums
+    # distribute), which is what the unchanged single-pass oracle
+    # proves.
+    def partial(df):
+        return (
+            df.select(jh)
+            .select(F.col("jh.j").alias("j"), F.col("jh.h").alias("h"))
+            .groupBy("j", "h")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
     cells = (
-        ev.select(jh)
-        .select(F.col("jh.j").alias("j"), F.col("jh.h").alias("h"))
+        partial(ev.where(F.col("event_id") % 2 == 0))
+        .unionByName(partial(ev.where(F.col("event_id") % 2 == 1)))
         .groupBy("j", "h")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("c").alias("c"))
     )
     exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
     keys = exact.select("user_id", jh).select(
@@ -553,29 +584,43 @@ def dedup_semantic(spark, sf_dir):
         )
     )
 
-    def cos(a, b):
-        return dot_fold(F.col(a), F.col(b)) / (
-            F.sqrt(dot_fold(F.col(a), F.col(a)))
-            * F.sqrt(dot_fold(F.col(b), F.col(b)))
+    # Precompute each vector's norm ONCE (sqrt of the same fold the
+    # oracle's per-pair recomputation runs — identical doubles, 1/3 the
+    # fold work in the pair join: dot only, not dot + two norms).
+    e = e.withColumn("nrm", F.sqrt(dot_fold(F.col("emb"), F.col("emb"))))
+    cents = F.broadcast(
+        cents.withColumn(
+            "cnrm", F.sqrt(dot_fold(F.col("cemb"), F.col("cemb")))
         )
+    )
 
     w = Window.partitionBy("vec_id").orderBy(
         F.desc("ccos"), F.asc("cent_id")
     )
+    ccos = dot_fold(F.col("emb"), F.col("cemb")) / (
+        F.col("nrm") * F.col("cnrm")
+    )
     asg = (
         e.crossJoin(cents)
-        .withColumn("ccos", rnd(cos("emb", "cemb")))
+        .withColumn("ccos", rnd(ccos))
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .select("vec_id", F.col("cent_id").alias("cluster"), "emb")
+        .select("vec_id", F.col("cent_id").alias("cluster"), "emb", "nrm")
     )
     a = asg.select(
-        F.col("vec_id").alias("a_id"), "cluster", F.col("emb").alias("a_emb")
+        F.col("vec_id").alias("a_id"),
+        "cluster",
+        F.col("emb").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
     )
     b = asg.select(
         F.col("vec_id").alias("b_id"),
         F.col("cluster").alias("b_cluster"),
         F.col("emb").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    pcos = dot_fold(F.col("a_emb"), F.col("b_emb")) / (
+        F.col("a_nrm") * F.col("b_nrm")
     )
     dups = (
         a.join(
@@ -583,7 +628,7 @@ def dedup_semantic(spark, sf_dir):
             (F.col("cluster") == F.col("b_cluster"))
             & (F.col("b_id") < F.col("a_id")),
         )
-        .withColumn("pcos", rnd(cos("a_emb", "b_emb")))
+        .withColumn("pcos", rnd(pcos))
         .where(F.col("pcos") >= _SEM_TAU)
         .select(F.col("a_id").alias("vec_id"))
         .distinct()
