@@ -91,6 +91,7 @@ _OPERATOR_MODULES = (
     "terasort_spark.operators.wave16",
     "terasort_spark.operators.wave17",
     "terasort_spark.operators.wave18",
+    "terasort_spark.operators.wave19",
 )
 
 _loaded = False
