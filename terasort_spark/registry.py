@@ -92,6 +92,7 @@ _OPERATOR_MODULES = (
     "terasort_spark.operators.wave17",
     "terasort_spark.operators.wave18",
     "terasort_spark.operators.wave19",
+    "terasort_spark.operators.wave20",
 )
 
 _loaded = False
