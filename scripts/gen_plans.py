@@ -79,6 +79,16 @@ HEADLINERS = [
     ("pipeline_crawl_frontier", "Partial+Final WindowGroupLimit prunes each host's frontier to the scheduled horizon BEFORE the host exchange"),
     ("ml_tree_depth2", "both child splits in ONE window pass (PARTITION BY node); root threshold carried by 1-row broadcast cross"),
     ("sim_source_minhash", "mergeable sketch: 32 min() aggregations collapse map-side; pairwise join moves signatures, never tokens"),
+    ("agg_cms_topk", "CMS merge: two partial sketches union by cell-sum (partial+final aggregation), estimates via a keys-sized join; top-20 rank bounded"),
+    ("agg_bloom_filter", "Bloom build = 128-word bit_or aggregation (collapses map-side); probe joins the broadcast word table"),
+    ("dedup_semantic", "SemDeDup: broadcast K=8 centroid assignment; pair join carries the cluster equi-key — no all-pairs"),
+    ("scan_equality_delete", "merge-on-read equality deletes: broadcast LEFT ANTI on (key, seq) condition; data files immutable"),
+    ("ts_theil_sen", "per-key pair join on user_id equi-key; median via bounded rank filter — no cross-key product"),
+    ("text_kneser_ney", "one shuffle to bigram counts (map-side combined); vocabulary-sized context/continuation joins; types broadcast"),
+    ("sim_maxsim", "late interaction: broadcast query tokens; per-token MAX and per-pair SUM both partial-aggregated"),
+    ("scan_manifest_prune", "the FileScan lists ONLY manifest-surviving files; residual predicate pushed into the pruned scan"),
+    ("sim_cosine_binary", "sign codes built in whole-stage codegen; Hamming = xor+popcount on two words; broadcast 10-query side; rank bounded"),
+    ("dedup_bloom_ingest", "standing corpus collapses to a 128-word bitmap (bit_or, map-side); batch probes via broadcast — no shuffle against corpus state"),
 ]
 
 
