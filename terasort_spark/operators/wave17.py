@@ -606,6 +606,11 @@ def dedup_semantic(spark, sf_dir):
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("vec_id", F.col("cent_id").alias("cluster"), "emb", "nrm")
+        # materialize the assignment once: three downstream consumers
+        # (both pair sides + the label read-off) would otherwise each
+        # re-derive the centroid cross; at corpus scale the assignment
+        # is a persisted table (the sink_ann_index pattern)
+        .localCheckpoint(eager=True)
     )
     a = asg.select(
         F.col("vec_id").alias("a_id"),

@@ -682,3 +682,59 @@ def test_window_skew_rewrite_strategy_choice_and_parity(spark, sf_dir, tmp_path)
     got_bucketed = sorted(map(tuple, bucketed.collect()))
     assert got_plain == got_bucketed
     assert len(got_plain) == 21  # every user passes AC_MIN_EVENTS
+
+
+# ---------------------------------------------------------------------------
+# Round-12 session-2 wave operators: the scale-critical shapes
+
+
+def test_dedup_semantic_pair_join_is_hash_not_nested_loop(spark, sf_dir):
+    """SemDeDup's WITHIN-CLUSTER pair comparison must ride the cluster
+    equi-key as a hash join — the whole point of the clustering is that
+    candidates never go through an all-pairs nested loop. (The K=8
+    centroid ASSIGNMENT is a deliberate tiny broadcast cross, so we
+    assert on the nested-loop side count, not its absence.)"""
+    plan = executed_plan(_Q["dedup_semantic"](spark, sf_dir))
+    # the centroid-broadcast cross lives behind the materialized
+    # assignment checkpoint; the result plan must be nested-loop-free
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the pair stage joins hash-wise on the cluster key
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan), plan
+
+
+def test_bloom_filter_probe_broadcasts_words(spark, sf_dir):
+    """The Bloom word table (<=128 rows) must broadcast to the probe —
+    a shuffle against the bitmap would defeat the point of a filter."""
+    assert_broadcast_join(_Q["agg_bloom_filter"](spark, sf_dir), n_expected=1)
+
+
+def test_bloom_ingest_no_shuffle_against_corpus_state(spark, sf_dir):
+    """dedup_bloom_ingest's admission check must join the batch against
+    the BROADCAST bitmap only — never shuffle batch rows against the
+    standing corpus."""
+    plan = executed_plan(_Q["dedup_bloom_ingest"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_maxsim_rank_is_window_group_limited(spark, sf_dir):
+    """sim_maxsim's top-3 must activate WindowGroupLimit so per-group
+    state is bounded before the exchange (constant rn <= 3)."""
+    plan = executed_plan(_Q["sim_maxsim"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_binary_codes_build_in_codegen(spark, sf_dir):
+    """The sign-code projection must stay inside whole-stage codegen —
+    a Python round-trip would make the 8-byte scan CPU-bound."""
+    assert_whole_stage_codegen(_Q["sim_cosine_binary"](spark, sf_dir))
+
+
+def test_manifest_prune_scan_lists_only_surviving_files(spark, sf_dir):
+    """The pruned read's FileScan must not reference all staged files:
+    behaviorally proven in test_wave18 (corrupting a pruned-out file);
+    here assert the residual predicate is pushed into the pruned scan."""
+    df = _Q["scan_manifest_prune"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "PushedFilters" in plan and "o_orderdate" in plan, plan
