@@ -33,6 +33,19 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # chunked protocol (bench.py rework, round 11).
 PROTOCOL_CUTOVER = "eeedcef"
 
+# Queries whose IMPLEMENTATION was deliberately replaced: medians from
+# snapshots predating the rework time a DIFFERENT program, so both the
+# gate baseline and the historical min only consider snapshots
+# containing the rework commit. (r12: agg_sketch_rollup /
+# agg_percentile_approx went from rows-only native-sketch exhibits to
+# portable hash-graded KMV/histogram pipelines — more work by design;
+# the old sub-0.3 s figures describe code that no longer exists.)
+REWORK_CUTOVER = {
+    "agg_sketch_rollup": "9320003",
+    "agg_percentile_approx": "9320003",
+    "dedup_stream_lsh": "9fbf2cf",  # r10->r11 bounded-state redesign
+}
+
 
 def git(*args: str) -> str:
     return subprocess.run(
@@ -41,6 +54,27 @@ def git(*args: str) -> str:
         capture_output=True,
         text=True,
     ).stdout
+
+
+def _contains(sha: str, ancestor: str) -> bool:
+    """True when `sha` contains `ancestor` (cached per pair)."""
+    key = (sha, ancestor)
+    if key not in _contains_cache:
+        try:
+            _contains_cache[key] = (
+                subprocess.run(
+                    ["git", "-C", REPO, "merge-base", "--is-ancestor",
+                     ancestor, sha],
+                    capture_output=True,
+                ).returncode
+                == 0
+            )
+        except OSError:  # pragma: no cover
+            _contains_cache[key] = False
+    return _contains_cache[key]
+
+
+_contains_cache: dict = {}
 
 
 def _is_fresh_jvm(sha: str) -> bool:
@@ -90,6 +124,9 @@ def main() -> None:
                 continue
             if not isinstance(med, (int, float)) or med <= 0:
                 continue
+            cut = REWORK_CUTOVER.get(name)
+            if cut and not _contains(sha, cut):
+                continue  # snapshot predates the rework: different code
             if med < hist.get(name, float("inf")):
                 hist[name] = med
             if not fresh:
