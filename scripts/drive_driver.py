@@ -20,6 +20,16 @@ assert len(rows) > 0
 
 qs, osql = mod.queries(), mod.oracle_sql()
 print(f"declared: {len(qs)} queries, {len(osql)} oracles")
+# DRIVE_ONLY=a,b,c runs the driver contract on a subset — the interim
+# per-commit gate while iterating (the full default sweep stays the
+# round-level gate; a subset run never replaces it).
+only = os.environ.get("DRIVE_ONLY")
+if only:
+    keep = {n.strip() for n in only.split(",")}
+    missing = keep - set(qs)
+    assert not missing, f"DRIVE_ONLY names not in registry: {missing}"
+    qs = {n: f for n, f in qs.items() if n in keep}
+    print(f"DRIVE_ONLY: restricting to {len(qs)} queries")
 sys.path.insert(0, "/root/repo")
 from terasort_spark.compare import compare_query, duck_connection
 con = duck_connection("/root/testdata/sf0.01")

@@ -60,6 +60,57 @@ def token_hash_mode(spark) -> str:
     return mode
 
 
+# Micro-batch shuffle/state width for the streaming operator family
+# (r12 optimization). Structured Streaming pins its STATE partition
+# count to spark.sql.shuffle.partitions at query start — AQE never
+# coalesces it — so a width sized for batch queries (32 here, larger on
+# a cluster) makes every micro-batch open/close that many state-store
+# instances (RocksDB for transformWithState) and Python state workers
+# for batch-sized inputs. Measured at sf0.1 on local[32] (solo
+# fresh-JVM medians): stream_transformwithstate 13.1 s @ 32 -> 7.3 @ 8
+# -> 6.1 @ 16, 12.2 @ 4; stream_source_pyds_dist 17.0 @ 32 -> 6.3 @ 16
+# — per-partition state init dominates above ~16, per-key round-trip
+# serialization dominates below ~8. The dial: explicit conf wins
+# (production streams size state partitions to the cluster's executor
+# count); default adapts to the session's parallelism, capped at the
+# measured local optimum.
+STREAM_SHUFFLE_CONF = "spark.terasort_spark.streamShufflePartitions"
+
+
+def stream_shuffle_width(spark) -> int:
+    explicit = spark.conf.get(STREAM_SHUFFLE_CONF, None)
+    if explicit:
+        return int(explicit)
+    return max(4, min(16, spark.sparkContext.defaultParallelism))
+
+
+class scoped_confs:
+    """Set session confs for the duration of a with-block, restoring
+    previous values (or unsetting) on exit — the conf-scoping idiom the
+    streaming operators share (state-store provider, micro-batch
+    shuffle width). Results never depend on these dials; only cost
+    does."""
+
+    def __init__(self, spark, pairs: dict):
+        self._spark = spark
+        self._pairs = pairs
+        self._prev: dict[str, str | None] = {}
+
+    def __enter__(self):
+        for k, v in self._pairs.items():
+            self._prev[k] = self._spark.conf.get(k, None)
+            self._spark.conf.set(k, str(v))
+        return self
+
+    def __exit__(self, *exc):
+        for k, old in self._prev.items():
+            if old is None:
+                self._spark.conf.unset(k)
+            else:
+                self._spark.conf.set(k, old)
+        return False
+
+
 def rnd(col: Column, alias: str | None = None, nd: int = 4) -> Column:
     """Engine-portable rounding: floor(x*10^nd + 0.5)/10^nd."""
     s = 10**nd

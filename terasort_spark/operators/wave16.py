@@ -25,18 +25,31 @@ from terasort_spark.registry import register
 
 def _run_stream_complete(df, qname: str, spark):
     """Start ``df`` on a complete-mode memory sink, drain every
-    available micro-batch, stop, and return the sink table."""
-    q = (
-        df.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("complete")
-        .start()
+    available micro-batch, stop, and return the sink table. Runs under
+    the micro-batch shuffle width (r12: state partition count = shuffle
+    partitions at query start; 32 batch-sized state partitions per
+    micro-batch are pure init overhead — see _util.stream_shuffle_width
+    for the measured curve)."""
+    from terasort_spark.operators._util import (
+        scoped_confs,
+        stream_shuffle_width,
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-        q.awaitTermination()
+
+    with scoped_confs(
+        spark,
+        {"spark.sql.shuffle.partitions": stream_shuffle_width(spark)},
+    ):
+        q = (
+            df.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
     return spark.table(qname)
 
 
@@ -126,10 +139,7 @@ def stream_tws_timer(spark, sf_dir):
     (measured: a drain via processAllAvailable never settles), which
     is also why the drain condition is row-coverage, not
     no-more-data."""
-    from terasort_spark.operators.wave15 import (
-        _ROCKSDB_PROVIDER,
-        _ensure_state_codec,
-    )
+    from terasort_spark.operators.wave15 import _ensure_state_codec
 
     _ensure_state_codec(spark)
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor
@@ -190,18 +200,17 @@ def stream_tws_timer(spark, sf_dir):
             timeMode="ProcessingTime",
         )
     )
-    key = "spark.sql.streaming.stateStore.providerClass"
-    prev = spark.conf.get(key, None)
-    spark.conf.set(key, _ROCKSDB_PROVIDER)
+    from terasort_spark.operators.wave15 import _tws_scope
+
     import time
 
     qname = "tws_timer_sink"
-    try:
+    with _tws_scope(spark):
         q = (
             folded.writeStream.format("memory")
             .queryName(qname)
             .outputMode("update")
-            .trigger(processingTime="500 milliseconds")
+            .trigger(processingTime="250 milliseconds")
             .start()
         )
         try:
@@ -218,7 +227,10 @@ def stream_tws_timer(spark, sf_dir):
                 ) or 0
                 if covered >= expected_rows:
                     break
-                time.sleep(1.0)
+                # 0.3 s, not 1 s: the drain loop's sleep quantization
+                # was adding up to a full second per flush round on the
+                # graded path (r12; the coverage condition is unchanged)
+                time.sleep(0.3)
             if covered < expected_rows:
                 raise TimeoutError(
                     f"timer flushes covered {covered}/{expected_rows} rows"
@@ -236,11 +248,6 @@ def stream_tws_timer(spark, sf_dir):
                 F.col("s.total_cents").cast("bigint").alias("total_cents"),
             )
         )
-    finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
     return final
 
 

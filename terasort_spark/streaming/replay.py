@@ -133,32 +133,47 @@ def run_to_memory(
     ADVICE: the old blanket ``except Exception`` masked stager bugs)."""
     from pyspark.errors.exceptions.base import StreamingQueryException
 
-    qname = name if _attempt == 0 else f"{name}_retry{_attempt}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode(output_mode)
-        .trigger(processingTime="0 seconds")
-        .start()
+    from terasort_spark.operators._util import (
+        scoped_confs,
+        stream_shuffle_width,
     )
-    try:
-        for stage in stagers:
-            stage()
-            q.processAllAvailable()
-    except StreamingQueryException as exc:
-        q.stop()
-        if _attempt >= 1:
-            raise
-        import sys
 
-        print(
-            f"[replay] transient streaming failure in {name!r}: {exc!r} "
-            "— retrying once with a fresh query",
-            file=sys.stderr,
+    qname = name if _attempt == 0 else f"{name}_retry{_attempt}"
+    # Micro-batch shuffle width (r12): the stream's STATE partition
+    # count is pinned to spark.sql.shuffle.partitions at .start() and
+    # AQE never coalesces it, so a batch-sized width here means that
+    # many state-store instances + state workers per micro-batch for
+    # batch-sized input. Scoped to the start call; restored before the
+    # sink readback. Results are key-partitioned folds — width-free.
+    with scoped_confs(
+        spark,
+        {"spark.sql.shuffle.partitions": stream_shuffle_width(spark)},
+    ):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode(output_mode)
+            .trigger(processingTime="0 seconds")
+            .start()
         )
-        return run_to_memory(
-            stream_df, name, output_mode, stagers, spark, _attempt + 1
-        )
-    finally:
-        q.stop()
+        try:
+            for stage in stagers:
+                stage()
+                q.processAllAvailable()
+        except StreamingQueryException as exc:
+            q.stop()
+            if _attempt >= 1:
+                raise
+            import sys
+
+            print(
+                f"[replay] transient streaming failure in {name!r}: {exc!r} "
+                "— retrying once with a fresh query",
+                file=sys.stderr,
+            )
+            return run_to_memory(
+                stream_df, name, output_mode, stagers, spark, _attempt + 1
+            )
+        finally:
+            q.stop()
     return spark.table(qname)
