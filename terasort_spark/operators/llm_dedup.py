@@ -618,23 +618,28 @@ def dedup_cluster(spark, sf_dir):
             .groupBy("u")
             .agg(F.min("cluster_id").alias("neigh_min"))
         )
+        # The changed flag rides the label row (labels only ever
+        # decrease, so changed == strictly-smaller new label): the
+        # convergence check is then a filter-count over the checkpoint
+        # just materialized instead of a second join job per round
+        # (r12; was join-old-vs-new — one extra shuffle join per round).
+        new_cid = F.least(
+            F.col("cluster_id"),
+            F.coalesce(F.col("neigh_min"), F.col("cluster_id")),
+        )
         new_labels = (
             labels.join(neigh, labels.doc_id == neigh.u, "left")
             .select(
                 "doc_id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("neigh_min"), F.col("cluster_id"))
-                ).alias("cluster_id"),
+                new_cid.alias("new_cid"),
+                (new_cid < F.col("cluster_id")).alias("chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
+        changed = new_labels.filter("chg").count()
+        labels = new_labels.select(
+            "doc_id", F.col("new_cid").alias("cluster_id")
         )
-        labels = new_labels
         if changed == 0:
             break
     return labels

@@ -130,9 +130,11 @@ def stream_transformwithstate(spark, sf_dir):
         def handleInputRows(self, key, rows, timerValues):
             import math
 
-            t, n = (
-                tuple(self._s.get()) if self._s.exists() else (0, 0)
-            )
+            # get() returns None for absent state — the exists()
+            # pre-check was a second state-server round trip per key
+            # per batch (r12; the pure-Python codec pays per message)
+            cur = self._s.get()
+            t, n = tuple(cur) if cur is not None else (0, 0)
             for pdf in rows:
                 v = pdf["value"].dropna()
                 t += int(
@@ -228,8 +230,12 @@ def stream_tws_liststate(spark, sf_dir):
         def handleInputRows(self, key, rows, timerValues):
             import math
 
-            cur = list(self._l.get()) if self._l.exists() else []
-            n = self._n.get()[0] if self._n.exists() else 0
+            # absent ListState iterates empty and absent ValueState
+            # gets None — both exists() pre-checks were extra state-
+            # server round trips per key per batch (r12)
+            cur = list(self._l.get())
+            nv = self._n.get()
+            n = nv[0] if nv is not None else 0
             for pdf in rows:
                 pdf = pdf.dropna(subset=["value"]).sort_values("event_id")
                 for eid, v in zip(pdf["event_id"], pdf["value"]):
@@ -317,19 +323,28 @@ def stream_tws_mapstate(spark, sf_dir):
             # value_counts() silently drops NULL event_type while the
             # oracle's GROUP BY keeps the NULL group (r11 ADVICE; zero
             # nulls at shipped SFs, but the fold must stay NULL-correct).
+            #
+            # Round-trip budget (r12): read the WHOLE standing map once
+            # through the paginated iterator (absent state iterates
+            # empty by the client contract), merge the batch locally,
+            # and UpdateValue only the types this batch touched — was
+            # containsKey + GetValue + UpdateValue per (type, batch),
+            # ~3x the state-server messages for the same final map. The
+            # emission is built from the merged local view, which equals
+            # the post-update store contents exactly.
             NULL_KEY = "\x00null\x00"
+            cur = {k[0]: v[0] for k, v in self._m.iterator()}
+            upd: dict = {}
             for pdf in rows:
                 vc = pdf["event_type"].value_counts(dropna=False)
                 for t, cnt in vc.items():
                     t = NULL_KEY if pd.isna(t) else t
-                    cur = (
-                        self._m.getValue((t,))
-                        if self._m.containsKey((t,))
-                        else None
-                    )
-                    n = (cur[0] if cur else 0) + int(cnt)
-                    self._m.updateValue((t,), (n,))
-            out = sorted((k[0], v[0]) for k, v in self._m.iterator())
+                    upd[t] = upd.get(t, 0) + int(cnt)
+            for t, c in upd.items():
+                n = cur.get(t, 0) + c
+                cur[t] = n
+                self._m.updateValue((t,), (n,))
+            out = sorted(cur.items())
             yield pd.DataFrame(
                 {
                     "user_id": [key[0]] * len(out),

@@ -159,7 +159,10 @@ def stream_tws_timer(spark, sf_dir):
         def handleInputRows(self, key, rows, timerValues):
             import math
 
-            t, n = tuple(self._s.get()) if self._s.exists() else (0, 0)
+            # get() returns None for absent state — the exists()
+            # pre-check was an extra round trip per key per batch (r12)
+            cur = self._s.get()
+            t, n = tuple(cur) if cur is not None else (0, 0)
             for pdf in rows:
                 v = pdf["value"].dropna()
                 t += int(sum(int(math.floor(x * 100 + 0.5)) for x in v))
@@ -171,7 +174,8 @@ def stream_tws_timer(spark, sf_dir):
 
         def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
             self._h.deleteTimer(expiredTimerInfo.getExpiryTimeInMs())
-            t, n = tuple(self._s.get()) if self._s.exists() else (0, 0)
+            cur = self._s.get()
+            t, n = tuple(cur) if cur is not None else (0, 0)
             yield pd.DataFrame(
                 {
                     "user_id": [key[0]],
