@@ -78,9 +78,10 @@ def source_avro(spark, sf_dir):
     partition as one deflate-compressed .avro container (mapInPandas —
     the write_tera_files shape, no driver materialization; the 4-row
     manifest is the only driver state). Read path: the real DataSource
-    — header/schema parse, sync-marker split planning at 16 KiB so the
-    read provably fans out across MULTIPLE record-aligned splits per
-    file (split-geometry invariance is property-tested in
+    — header/schema parse, sync-marker split planning at the reader's
+    adaptive size (file/4, clamped to [16 KiB, 128 MiB]) so the read
+    provably fans out across MULTIPLE record-aligned splits per file
+    (split-geometry invariance is property-tested in
     tests/test_wave10.py), zigzag/union/IEEE binary decoding, raw-
     DEFLATE block decompression. The exact oracle closes the loop: what
     came back from the container must hash-equal the source table, so
@@ -107,12 +108,12 @@ def source_avro(spark, sf_dir):
     )
     assert len(manifest) >= 1
     spark.dataSource.register(AvroDataSource)
-    return (
-        spark.read.format("pyavro")
-        .option("path", out)
-        .option("split_bytes", 16384)
-        .load()
-    )
+    # No explicit split_bytes: the reader's adaptive default (file
+    # size / 4, clamped to [16 KiB, 128 MiB]) keeps multiple record-
+    # aligned splits per file at every SF without the fixed-16 KiB
+    # geometry that cost one Python task per 16 KiB of staging data
+    # (r12: 144 tasks -> 16 at sf0.1, read 2.9 s -> ~1.0 s warm).
+    return spark.read.format("pyavro").option("path", out).load()
 
 
 # ---------------------------------------------------------------------------

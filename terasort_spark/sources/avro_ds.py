@@ -347,11 +347,22 @@ class AvroSplit(InputPartition):
 
 
 class AvroReader(DataSourceReader):
+    # Adaptive split sizing (used when no explicit split_bytes option
+    # is given): size/4 per file keeps the multi-split-per-file scan
+    # shape at every scale while bounding the task count — a fixed tiny
+    # split (16 KiB was the old query-side constant) costs one Python
+    # task dispatch per split, measured ~15 ms each, 144 tasks for a
+    # 2.3 MB staging set (r12: 2.9 s -> 1.0 s warm at sf0.1). The cap
+    # is the production-sane 128 MiB scan split.
+    _MIN_SPLIT = 1 << 14
+    _MAX_SPLIT = 1 << 27
+
     def __init__(self, options):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("pyavro source requires option 'path'")
-        self.split_bytes = int(options.get("split_bytes", 1 << 27))
+        sb = options.get("split_bytes")
+        self.split_bytes = int(sb) if sb is not None else None
 
     def _files(self):
         if os.path.isdir(self.path):
@@ -368,7 +379,12 @@ class AvroReader(DataSourceReader):
             # header_end - 16): carve [header_end - 16, size) so every
             # block's preceding sync lands in exactly one split
             first = header_end - SYNC_LEN
-            step = max(self.split_bytes, SYNC_LEN + 1)
+            sb = (
+                self.split_bytes
+                if self.split_bytes is not None
+                else min(max(size // 4, self._MIN_SPLIT), self._MAX_SPLIT)
+            )
+            step = max(sb, SYNC_LEN + 1)
             splits += [
                 AvroSplit(
                     fp,

@@ -170,6 +170,38 @@ def test_avro_split_geometry_invariance(tmp_path):
         assert n_splits_tiny > 1  # tiny splits really fanned out
 
 
+def test_avro_adaptive_split_default(tmp_path):
+    """With no explicit split_bytes, the reader derives the split from
+    the file size (size/4, clamped to [16 KiB, 128 MiB]) — multiple
+    splits per file whenever the file exceeds the floor, bounded task
+    count always, and the same row multiset as a whole-file read
+    (r12 optimization of the fixed-16 KiB geometry)."""
+    from terasort_spark.sources.avro_ds import AvroReader, write_avro
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "k", "type": "long"},
+                   {"name": "s", "type": ["null", "string"]}],
+    }
+    rows = [(i, f"pad-{i:06d}" * 20) for i in range(9000)]
+    p = str(tmp_path / "adaptive.avro")
+    assert write_avro(p, rows, schema, codec="null", block_rows=100) == 9000
+    import os
+
+    size = os.path.getsize(p)
+    assert size > 4 * AvroReader._MIN_SPLIT  # big enough to fan out
+    r = AvroReader({"path": p})
+    parts = r.partitions()
+    # size/4 splits -> 4..6 partitions depending on header remainder
+    assert 3 < len(parts) <= 6, len(parts)
+    got = sorted(t for sp in parts for t in r.read(sp))
+    assert got == sorted(rows)
+    # explicit option still wins exactly
+    r1 = AvroReader({"path": p, "split_bytes": str(1 << 30)})
+    assert len(r1.partitions()) == 1
+
+
 def test_source_avro_reads_through_real_datasource(spark, sf_dir):
     """source_avro must come back through spark.read.format('pyavro')
     with >1 input partitions (the distributed write produced several
