@@ -613,6 +613,13 @@ def agg_kmv_theta(spark, sf_dir):
                 .distinct()
             )
 
+        # Each side's distinct-hash subtree feeds four consumers; a
+        # lazy localCheckpoint of ha/hb was A/B-measured in r12
+        # (3.1 s plain vs 5.4 s checkpointed, back-to-back solo): the
+        # materialization jobs cost more than the re-executed
+        # scan+md5+distinct at this scale, so the plan stays
+        # checkpoint-free here (the k-sized samples below are pinned —
+        # those ARE reused enough to pay).
         ha, hb = hset(a), hset(b)
         ka = ha.orderBy("h").limit(k).localCheckpoint(eager=False)
         kb = hb.orderBy("h").limit(k).localCheckpoint(eager=False)

@@ -206,22 +206,21 @@ def agg_ams_f2(spark, sf_dir):
     union is element-wise addition — the third mergeable-sketch family
     here after CMS and KMV."""
     ev = table(spark, sf_dir, "events").select("user_id")
-    sgn = ev.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("j"),
-                        _ams_sign(j).cast("long").alias("sgn"),
-                    )
-                    for j in range(_AMS_K)
-                ]
-            )
-        ).alias("x")
-    ).select(F.col("x.j").alias("j"), F.col("x.sgn").alias("sgn"))
-    s = sgn.groupBy("j").agg(F.sum("sgn").cast("bigint").alias("sj"))
-    est = s.agg(
-        F.expr(f"cast(sum(sj * sj) div {_AMS_K} as bigint)").alias("f2_est")
+    # The k counters are k sum COLUMNS of one global aggregate — no
+    # row explosion, no shuffle keyed on the estimator index (r12; was
+    # explode x k -> groupBy(j), which shipped k rows per event to pay
+    # for a k-long vector). Partial aggregation folds the same ±1
+    # stream into k longs per map task and the merge is element-wise
+    # addition — the mergeable-sketch property, now literally the plan.
+    sums = ev.agg(
+        *[
+            F.sum(_ams_sign(j).cast("long")).cast("bigint").alias(f"s{j}")
+            for j in range(_AMS_K)
+        ]
+    )
+    sq = " + ".join(f"s{j} * s{j}" for j in range(_AMS_K))
+    est = sums.select(
+        F.expr(f"cast(({sq}) div {_AMS_K} as bigint)").alias("f2_est")
     )
     exact = (
         ev.groupBy("user_id")
