@@ -112,6 +112,26 @@ _SPARK_TYPES = {
 }
 
 
+def _arrow_schema(schema: dict):
+    """Avro record schema -> pyarrow.Schema matching schema_to_ddl's
+    Spark types exactly (bigint<->int64 etc.), so read() can yield
+    Arrow RecordBatches instead of per-row tuples."""
+    import pyarrow as pa
+
+    types = {
+        "long": pa.int64(),
+        "int": pa.int32(),
+        "double": pa.float64(),
+        "float": pa.float32(),
+        "string": pa.string(),
+        "bytes": pa.binary(),
+        "boolean": pa.bool_(),
+    }
+    return pa.schema(
+        [(f["name"], types[_nullable(f["type"])[0]]) for f in schema["fields"]]
+    )
+
+
 def schema_to_ddl(schema: dict) -> str:
     """Avro record schema -> Spark DDL string (primitive + nullable-
     union fields; nested records/arrays/maps are out of scope for this
@@ -399,10 +419,19 @@ class AvroReader(DataSourceReader):
         return splits or [AvroSplit("", 0, 0, "00" * SYNC_LEN, "null", "{}")]
 
     def read(self, split: AvroSplit):
+        # Yields pyarrow.RecordBatch (one per Avro block) rather than
+        # per-row tuples: Spark 4's Python DataSource accepts Arrow
+        # batches directly, skipping the worker's row-pickle path —
+        # the decode loop is unchanged, only the boundary format moves
+        # (guide §4.1: batches, not pickled rows, across the boundary).
+        import pyarrow as pa
+
         if not split.path:
             return
         sync = bytes.fromhex(split.sync_hex)
-        dec = _decoders(json.loads(split.schema_json))
+        schema = json.loads(split.schema_json)
+        dec = _decoders(schema)
+        arrow_schema = _arrow_schema(schema)
         with open(split.path, "rb") as f:
             # find the first sync whose OFFSET is >= split.start (scan
             # with 15-byte window overlap so a marker straddling chunk
@@ -455,12 +484,19 @@ class AvroReader(DataSourceReader):
                         "external library this container does not ship)"
                     )
                 pos = 0
+                cols = [[] for _ in dec]
                 for _ in range(cnt):
-                    row = []
-                    for fn in dec:
+                    for fn, col in zip(dec, cols):
                         v, pos = fn(raw, pos)
-                        row.append(v)
-                    yield tuple(row)
+                        col.append(v)
+                if cnt:
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array(col, type=fld.type)
+                            for col, fld in zip(cols, arrow_schema)
+                        ],
+                        schema=arrow_schema,
+                    )
                 trailer = f.read(SYNC_LEN)
                 if trailer != sync:
                     raise IOError(

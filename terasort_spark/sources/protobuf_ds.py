@@ -366,22 +366,64 @@ class ProtobufReader(DataSourceReader):
             PbSplit("", self.fields_json)
         ]
 
+    # rows per emitted Arrow batch: large enough to amortize the
+    # from_arrays call, small enough to bound per-batch memory
+    _BATCH_ROWS = 4096
+
     def read(self, split: PbSplit):
+        # Yields pyarrow.RecordBatch (Spark 4 Python DataSource direct
+        # Arrow support) instead of per-row tuples — same decode loop,
+        # the worker's row-pickle boundary is skipped (guide §4.1).
+        import pyarrow as pa
+
         if not split.path:
             return
         fields = json.loads(split.fields_json)
         by_tag = _compile_tag_table(fields)
         n_cols = len(fields)
+        arrow_types = {
+            "int64": pa.int64(),
+            "sint64": pa.int64(),
+            "bool": pa.bool_(),
+            "double": pa.float64(),
+            "float": pa.float32(),
+            "string": pa.string(),
+            "bytes": pa.binary(),
+        }
+        arrow_schema = pa.schema(
+            [(f["name"], arrow_types[f["type"]]) for f in fields]
+        )
+
+        def batch(cols):
+            return pa.RecordBatch.from_arrays(
+                [
+                    pa.array(col, type=fld.type)
+                    for col, fld in zip(cols, arrow_schema)
+                ],
+                schema=arrow_schema,
+            )
+
         with open(split.path, "rb") as f:
             buf = f.read()
         pos = 0
+        cols = [[] for _ in range(n_cols)]
+        n = 0
         while pos < len(buf):
             ln, pos = uvarint_decode(buf, pos)
             msg = buf[pos : pos + ln]
             if len(msg) != ln:
                 raise IOError(f"{split.path}: truncated record at {pos}")
             pos += ln
-            yield tuple(decode_message_fast(msg, by_tag, n_cols))
+            row = decode_message_fast(msg, by_tag, n_cols)
+            for col, v in zip(cols, row):
+                col.append(v)
+            n += 1
+            if n >= self._BATCH_ROWS:
+                yield batch(cols)
+                cols = [[] for _ in range(n_cols)]
+                n = 0
+        if n:
+            yield batch(cols)
 
 
 class ProtobufDataSource(DataSource):

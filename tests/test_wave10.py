@@ -126,6 +126,15 @@ def test_skewed_terasort_contract_with_spanning_key(spark, sf_dir):
     assert gen_hist == out_hist
 
 
+def _reader_tuples(reader, parts):
+    """Flatten a DataSourceReader's Arrow RecordBatch yields to row
+    tuples (field order preserved by to_pylist)."""
+    for sp in parts:
+        for b in reader.read(sp):
+            for d in b.to_pylist():
+                yield tuple(d.values())
+
+
 def test_avro_split_geometry_invariance(tmp_path):
     """The Avro reader's split planning contract (r9 VERDICT task 2
     'done' criterion): ANY record-UNALIGNED byte carving of the file —
@@ -133,7 +142,9 @@ def test_avro_split_geometry_invariance(tmp_path):
     must yield exactly the same row multiset, because a split owns
     precisely the blocks whose preceding sync marker begins inside it.
     Pure-Python (driver-side twin of what each executor runs), both
-    spec codecs, nulls through the union branch, non-ASCII strings."""
+    spec codecs, nulls through the union branch, non-ASCII strings.
+    read() yields Arrow RecordBatches (Spark 4 direct-Arrow path);
+    flatten them back to tuples for the multiset comparison."""
     from terasort_spark.sources.avro_ds import AvroReader, write_avro
 
     schema = {
@@ -165,7 +176,7 @@ def test_avro_split_geometry_invariance(tmp_path):
             parts = r.partitions()
             if sb == 64:
                 n_splits_tiny = len(parts)
-            got = sorted(t for sp in parts for t in r.read(sp))
+            got = sorted(_reader_tuples(r, parts))
             assert got == base, (codec, sb, len(got))
         assert n_splits_tiny > 1  # tiny splits really fanned out
 
@@ -195,7 +206,7 @@ def test_avro_adaptive_split_default(tmp_path):
     parts = r.partitions()
     # size/4 splits -> 4..6 partitions depending on header remainder
     assert 3 < len(parts) <= 6, len(parts)
-    got = sorted(t for sp in parts for t in r.read(sp))
+    got = sorted(_reader_tuples(r, parts))
     assert got == sorted(rows)
     # explicit option still wins exactly
     r1 = AvroReader({"path": p, "split_bytes": str(1 << 30)})

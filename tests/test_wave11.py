@@ -123,7 +123,13 @@ def test_file_roundtrip_and_one_task_per_file(tmp_path):
     )
     splits = reader.partitions()
     assert len(splits) == 3  # split unit is the file (no sync markers)
-    got = sorted(r for s in splits for r in reader.read(s))
+    # read() yields Arrow RecordBatches (Spark 4 direct-Arrow path)
+    got = sorted(
+        tuple(d.values())
+        for s in splits
+        for b in reader.read(s)
+        for d in b.to_pylist()
+    )
     assert got == sorted(rows)
 
 
