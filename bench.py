@@ -7,8 +7,10 @@ discarded warm-up, and prints ONE compact JSON line at the end:
   {"metric": "suite_median_total_s", "value": N, "unit": "sec",
    "queries": {name: median_sec, ...}, "sf": 0.1}
 
-Each timing materializes the full result (collect) so the measured cost
-includes the whole plan, not just planning.
+Each timing materializes the full result through the built-in no-op
+sink (every column of every row computed, guide §1.4) so the measured
+cost is the whole plan without the driver-side row transfer;
+BENCH_ACTION=collect restores the pre-r12 collect-timed protocol.
 
 Session-aging fix (round-10 verdict task 1): one SparkSession across
 308 queries x 4 reps accumulates JVM heap / plan-cache / listener state
@@ -49,7 +51,28 @@ if REPO not in sys.path:
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 CHUNK = int(os.environ.get("BENCH_CHUNK", "25"))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# Timed action (r12 measurement fix, guide §1.4): "noop" writes the
+# result to the built-in no-op sink — every column of every row is
+# computed and discarded inside Spark, so the timing measures the
+# QUERY, not the driver-side row transfer. The previous protocol
+# ("collect") serialized the full result through py4j/pickle to the
+# Python driver: for large-result queries that single-threaded
+# transfer dominated (scan_project, 600k rows at sf0.1: 2.41 s
+# collect-timed vs 0.54 s noop-timed on identical code/plan) and it
+# scales with ROWS RETURNED, not with cores — polluting the driver's
+# core-count scaling measurement. BENCH_ACTION=collect reproduces the
+# old protocol; the last collect-protocol full sweep is kept in
+# BENCH_QUERIES_collect_protocol.json (see OPTIMIZATION_r12.md).
+ACTION = os.environ.get("BENCH_ACTION", "noop")
 _CHILD_MARK = "##BENCH_CHILD_RESULT##"
+
+
+def _run_df(df) -> None:
+    """Execute one timed repetition of a query's DataFrame."""
+    if ACTION == "collect":
+        df.collect()
+    else:
+        df.write.format("noop").mode("overwrite").save()
 
 
 def _sf_from_dir(d: str) -> float:
@@ -75,7 +98,7 @@ def _run_chunk(names: list[str]) -> dict[str, float]:
     # times 8.1 -> 1.8 s by the third execution).
     for _ in range(2):
         try:
-            qs[names[0]](spark, SF_DIR).collect()
+            _run_df(qs[names[0]](spark, SF_DIR))
         except Exception:  # pragma: no cover
             break
     medians: dict[str, float] = {}
@@ -85,7 +108,7 @@ def _run_chunk(names: list[str]) -> dict[str, float]:
         for rep in range(REPS + 1):  # rep 0 = warm-up, discarded
             t0 = time.perf_counter()
             try:
-                fn(spark, SF_DIR).collect()
+                _run_df(fn(spark, SF_DIR))
             except Exception as exc:  # pragma: no cover
                 print(f"# {name} failed: {exc}", file=sys.stderr)
                 times = []
