@@ -587,80 +587,92 @@ def agg_kmv_theta(spark, sf_dir):
     100 TB: k-smallest is a mergeable bounded sample — per-partition
     top-k (TakeOrderedAndProject, no full sort) then a k-sized merge;
     set algebra over sketches replaces a shuffle-heavy distinct-join.
-    2^60 and (k-1) are E-notation double literals for IEEE parity."""
+    2^60 and (k-1) are E-notation double literals for IEEE parity.
+
+    r12 one-pass restructure (guide §1.2 "don't compute things twice"):
+    the original built ha/hb = distinct-hash sets per status and
+    re-executed those scan+md5+distinct subtrees in every consumer
+    (k-sample, exact count, exact intersection — ~6 orders scans per
+    pair, 12 total; a localCheckpoint of ha/hb alone was A/B-rejected,
+    3.1 s plain vs 5.4 s). Every output is instead derivable from ONE
+    tiny membership table hm(h, in_F, in_O, in_P) = one orders scan +
+    one distinct + one groupBy(h), pinned once:
+      * k-smallest of ha∪hb == k-smallest of ka∪kb (standard KMV
+        mergeability: any h among the k smallest of the union has < k
+        union elements below it, hence < k own-set elements below it,
+        hence sits in its own set's k-sample) — so ku filters hm on
+        (in_a OR in_b) directly;
+      * h ∈ ku ∧ h ∈ ha ⟹ h ∈ ka by the same argument, so
+        n_int_sample = count of ku rows with in_a AND in_b;
+      * exact counts/intersections are conditional counts over hm.
+    Estimates, casts and row order are bit-identical to the oracle."""
     o = table(spark, sf_dir, "orders")
     k = _KMV_K
     est = lambda n, th: F.when(  # noqa: E731
         F.col(n) < k, F.col(n).cast("double")
     ).otherwise(F.expr(f"{k - 1}.0E0 * {_KMV_POW}") / F.col(th))
-    outs = []
-    for a, b in _KMV_PAIRS:
-
-        def hset(status):
-            return (
-                o.filter(F.col("o_orderstatus") == status)
-                .select(
-                    F.conv(
-                        F.substring(
-                            F.md5(F.col("o_custkey").cast("string")), 1, 15
-                        ),
-                        16,
-                        10,
-                    )
-                    .cast("long")
-                    .alias("h")
-                )
-                .distinct()
+    statuses = sorted({s for pair in _KMV_PAIRS for s in pair})
+    hm = (
+        o.filter(F.col("o_orderstatus").isin(statuses))
+        .select(
+            F.col("o_orderstatus").alias("s"),
+            F.conv(
+                F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15),
+                16,
+                10,
             )
+            .cast("long")
+            .alias("h"),
+        )
+        .distinct()
+        .groupBy("h")
+        .agg(
+            *[
+                F.max(F.col("s") == st).alias(f"in_{st}")
+                for st in statuses
+            ]
+        )
+        .localCheckpoint(eager=False)
+    )
 
-        # Each side's distinct-hash subtree feeds four consumers; a
-        # lazy localCheckpoint of ha/hb was A/B-measured in r12
-        # (3.1 s plain vs 5.4 s checkpointed, back-to-back solo): the
-        # materialization jobs cost more than the re-executed
-        # scan+md5+distinct at this scale, so the plan stays
-        # checkpoint-free here (the k-sized samples below are pinned —
-        # those ARE reused enough to pay).
-        ha, hb = hset(a), hset(b)
-        ka = ha.orderBy("h").limit(k).localCheckpoint(eager=False)
-        kb = hb.orderBy("h").limit(k).localCheckpoint(eager=False)
-        ku = (
-            ka.unionByName(kb)
-            .distinct()
+    def ksample_stats(cond, th_name, n_name):
+        return (
+            hm.filter(cond)
             .orderBy("h")
             .limit(k)
-            .localCheckpoint(eager=False)
+            .agg(
+                F.max("h").alias(th_name),
+                F.count(F.lit(1)).cast("bigint").alias(n_name),
+            )
         )
+
+    outs = []
+    for a, b in _KMV_PAIRS:
+        in_a, in_b = F.col(f"in_{a}"), F.col(f"in_{b}")
         stats = (
-            ku.agg(
+            hm.filter(in_a | in_b)
+            .orderBy("h")
+            .limit(k)
+            .agg(
                 F.max("h").alias("theta"),
                 F.count(F.lit(1)).cast("bigint").alias("nu"),
+                F.count(F.when(in_a & in_b, F.lit(1)))
+                .cast("bigint")
+                .alias("n_int_sample"),
             )
+            .crossJoin(ksample_stats(in_a, "tha", "na"))
+            .crossJoin(ksample_stats(in_b, "thb", "nb"))
             .crossJoin(
-                ka.agg(
-                    F.max("h").alias("tha"),
-                    F.count(F.lit(1)).cast("bigint").alias("na"),
-                )
-            )
-            .crossJoin(
-                kb.agg(
-                    F.max("h").alias("thb"),
-                    F.count(F.lit(1)).cast("bigint").alias("nb"),
-                )
-            )
-            .crossJoin(
-                ku.join(ka, "h", "left_semi")
-                .join(kb, "h", "left_semi")
-                .agg(F.count(F.lit(1)).cast("bigint").alias("n_int_sample"))
-            )
-            .crossJoin(
-                ha.agg(F.count(F.lit(1)).cast("bigint").alias("exact_a"))
-            )
-            .crossJoin(
-                hb.agg(F.count(F.lit(1)).cast("bigint").alias("exact_b"))
-            )
-            .crossJoin(
-                ha.join(hb, "h", "left_semi").agg(
-                    F.count(F.lit(1)).cast("bigint").alias("exact_int")
+                hm.agg(
+                    F.count(F.when(in_a, F.lit(1)))
+                    .cast("bigint")
+                    .alias("exact_a"),
+                    F.count(F.when(in_b, F.lit(1)))
+                    .cast("bigint")
+                    .alias("exact_b"),
+                    F.count(F.when(in_a & in_b, F.lit(1)))
+                    .cast("bigint")
+                    .alias("exact_int"),
                 )
             )
         )
