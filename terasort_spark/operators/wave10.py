@@ -344,9 +344,15 @@ def dedup_stream_lsh(spark, sf_dir):
     # data through many small jobs; 32-way exchanges are pure task
     # overhead at that volume. Scope a smaller width to this operator
     # and restore the session dial after (results are order-free, so
-    # the width never affects the hash).
+    # the width never affects the hash). A production stream sizes
+    # this to its executor count via the explicit conf — the same dial
+    # the rest of the streaming family honors (_util.stream_shuffle_width);
+    # 8 is the measured local sweet spot for these ~batch-row jobs.
+    from terasort_spark.operators._util import STREAM_SHUFFLE_CONF
+
+    _width = spark.conf.get(STREAM_SHUFFLE_CONF, None) or "8"
     _prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", _width)
     try:
         return _stream_lsh_run(
             spark, sf_dir, replay, ckpt, st_b, st_t, dec, staged

@@ -399,3 +399,35 @@ def test_stream_lsh_compaction_preserves_hash_and_bounds_files(
     assert all(len(v) == 1 for v in leaf_files.values()), {
         k: len(v) for k, v in leaf_files.items() if len(v) != 1
     }
+
+
+def test_stream_lsh_honors_explicit_width_conf(spark, monkeypatch):
+    """dedup_stream_lsh scopes its micro-batch shuffle width the same
+    way the rest of the streaming family does: the explicit
+    streamShufflePartitions conf wins (a production stream sizes it to
+    executor count); absent that, the measured local default of 8.
+    Captured from inside the run body, and the session dial must be
+    restored afterwards."""
+    import terasort_spark.operators.wave10 as w10
+    from terasort_spark.operators._util import STREAM_SHUFFLE_CONF
+
+    seen = {}
+
+    def fake_run(sp, sf_dir, *paths):
+        seen["width"] = sp.conf.get("spark.sql.shuffle.partitions")
+        return sp.range(1)
+
+    monkeypatch.setattr(w10, "_stream_lsh_run", fake_run)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+
+    w10.dedup_stream_lsh(spark, "/unused")
+    assert seen["width"] == "8"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+    spark.conf.set(STREAM_SHUFFLE_CONF, "12")
+    try:
+        w10.dedup_stream_lsh(spark, "/unused")
+    finally:
+        spark.conf.unset(STREAM_SHUFFLE_CONF)
+    assert seen["width"] == "12"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
