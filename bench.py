@@ -175,15 +175,35 @@ def _gate(medians: dict[str, float], adjudicate: bool = True) -> dict:
             print(f"# gate: solo re-adjudicating {name} "
                   f"(sweep {row['median_s']} s vs baseline "
                   f"{row['baseline_s']} s)", file=sys.stderr)
+            row["load_1m"] = round(os.getloadavg()[0], 2)
             solo = _spawn_chunk([name]).get(name)
             row["solo_median_s"] = solo
             if solo is None:
                 row["confirmed_solo"] = True  # crashed solo: real problem
-            else:
-                row["solo_ratio"] = round(solo / row["baseline_s"], 2)
-                row["confirmed_solo"] = bool(
-                    solo > 2 * row["baseline_s"] and solo > 1.0
-                )
+                n_confirmed += 1
+                continue
+            confirmed = bool(solo > 2 * row["baseline_s"] and solo > 1.0)
+            if confirmed:
+                # The host carries bursty EXTERNAL load that decays in
+                # ~minutes (documented in BASELINE.md): a burst inflates
+                # the sweep AND an immediately-following solo run the
+                # same way, so one hot solo is not evidence. Wait out
+                # the burst, re-run, and judge on the MIN of the two
+                # solo medians — a genuine regression stays over 2x in
+                # both; a burst artifact clears on the retry.
+                delay = float(os.environ.get("BENCH_GATE_RETRY_S", "90"))
+                print(f"# gate: {name} still over solo ({solo} s); "
+                      f"retrying once after {delay:.0f}s "
+                      f"(load_1m={os.getloadavg()[0]:.2f})", file=sys.stderr)
+                time.sleep(delay)
+                solo2 = _spawn_chunk([name]).get(name)
+                row["solo_retry_s"] = solo2
+                row["load_1m_retry"] = round(os.getloadavg()[0], 2)
+                if solo2 is not None:
+                    solo = min(solo, solo2)
+                confirmed = bool(solo > 2 * row["baseline_s"] and solo > 1.0)
+            row["solo_ratio"] = round(solo / row["baseline_s"], 2)
+            row["confirmed_solo"] = confirmed
             n_confirmed += bool(row["confirmed_solo"])
     return {
         "metric": "gate_over_2x",
