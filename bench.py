@@ -31,7 +31,30 @@ Gate (round-10 verdict task 7): after the sweep, every query is checked
 against OPERATIVE_BASELINE.json (per-query frozen best median +
 provenance; regenerate with scripts/make_operative_baseline.py). A
 query fails the gate when median > 2x its operative baseline AND > 1 s
-absolute. The gate line prints before the final summary.
+absolute.
+
+Budget discipline (r12 verdict task 1 — the r12 sweep timed out at both
+core counts before printing the line the driver grades):
+- The final suite_median_total_s line prints BEFORE the gate report, so
+  a timeout during adjudication can never eat the driver's line.
+- Gate adjudication is bounded: at most $BENCH_GATE_MAX_SOLO (default 5)
+  solo re-runs, worst ratio first; the burst-retry pause
+  $BENCH_GATE_RETRY_S defaults to 0 (the r12 default of 90 s per row was
+  unbounded on a loaded box). Rows past the cap are recorded
+  unadjudicated, not confirmed.
+- Sub-second-tail queries (previous median < $BENCH_LIGHT_S, default
+  1.5 s) run 2 timed reps instead of 3 (median of 2 = their mean; at
+  0.2-1.5 s the rep spread is scheduling noise, not plan cost).
+- Heavy queries (>= $BENCH_HEAVY_S) run in PAIRS of fresh JVMs instead
+  of singles (halves the untimed JVM-startup overhead; a single
+  same-weight neighbor is within the measured chunk-aging tolerance).
+- The chunk warm-up pre-pass runs the first query ONCE (plus its own
+  discarded rep-0 warm-up = 2 discarded executions, matching the
+  documented stabilize-by-third-execution probe; the old 2+1 discipline
+  spent one extra heavy execution per chunk).
+- A full sweep writes BENCH_QUERIES.latest.json; the committed
+  BENCH_QUERIES.json snapshot is only replaced deliberately
+  (`make bench-promote`), so a driver run leaves the tree clean.
 """
 
 from __future__ import annotations
@@ -50,6 +73,11 @@ if REPO not in sys.path:
 
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 CHUNK = int(os.environ.get("BENCH_CHUNK", "25"))
+# Queries whose previously committed median sits under this threshold
+# run REPS_LIGHT timed reps (r12 verdict task 1: 2 reps for the
+# sub-second tail buys the same median confidence at 2/3 the cost).
+LIGHT_S = float(os.environ.get("BENCH_LIGHT_S", "1.5"))
+REPS_LIGHT = int(os.environ.get("BENCH_REPS_LIGHT", "2"))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # Timed action (r12 measurement fix, guide §1.4): "noop" writes the
 # result to the built-in no-op sink — every column of every row is
@@ -83,6 +111,15 @@ def _sf_from_dir(d: str) -> float:
         return -1.0
 
 
+def _prev_medians() -> dict[str, float]:
+    """Last committed full-sweep per-query medians (read-only)."""
+    try:
+        with open(os.path.join(REPO, "BENCH_QUERIES.json")) as f:
+            return json.load(f).get("queries", {})
+    except (OSError, ValueError):
+        return {}
+
+
 def _run_chunk(names: list[str]) -> dict[str, float]:
     """Child-process body: time the given queries in one fresh session."""
     from terasort_spark.registry import queries
@@ -91,21 +128,26 @@ def _run_chunk(names: list[str]) -> dict[str, float]:
     spark = get_spark(app_name="terasort-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = queries()
-    # JVM warm-up pre-pass: the chunk's first query runs twice, discarded,
+    prev = _prev_medians()
+    # JVM warm-up pre-pass: the chunk's first query runs ONCE, discarded,
     # so global one-time costs (codegen compiler JIT, parquet reader and
-    # shuffle init) land outside ANY timed rep. Without this the chunk's
-    # first 1-2 queries read ~1.5-2x their warmed medians (probe: rep
-    # times 8.1 -> 1.8 s by the third execution).
-    for _ in range(2):
-        try:
-            _run_df(qs[names[0]](spark, SF_DIR))
-        except Exception:  # pragma: no cover
-            break
+    # shuffle init) land outside ANY timed rep. Together with the
+    # per-query rep-0 warm-up the first timed rep is the third execution
+    # — the point the r10 probe measured rep times stabilizing
+    # (8.1 -> 1.8 s by the third execution). The old 2-run pre-pass
+    # spent one extra (heavy) execution per chunk for nothing.
+    try:
+        _run_df(qs[names[0]](spark, SF_DIR))
+    except Exception:  # pragma: no cover
+        pass
     medians: dict[str, float] = {}
     for name in names:
         fn = qs[name]
         times = []
-        for rep in range(REPS + 1):  # rep 0 = warm-up, discarded
+        # Sub-second-tail queries get REPS_LIGHT timed reps; anything
+        # previously >= LIGHT_S (or never benched) keeps the full REPS.
+        n_reps = REPS_LIGHT if 0.0 < prev.get(name, -1.0) < LIGHT_S else REPS
+        for rep in range(n_reps + 1):  # rep 0 = warm-up, discarded
             t0 = time.perf_counter()
             try:
                 _run_df(fn(spark, SF_DIR))
@@ -169,9 +211,28 @@ def _gate(medians: dict[str, float], adjudicate: bool = True) -> dict:
         if b and med > 2 * b and med > 1.0:
             over[name] = {"median_s": med, "baseline_s": b,
                           "ratio": round(med / b, 2)}
-    n_confirmed = 0
+    # Bounded adjudication (r12 verdict task 1: the r12 gate ran
+    # unbounded-many 2-solo + 90 s cycles on a loaded box and timed out
+    # the whole bench at both core counts). At most BENCH_GATE_MAX_SOLO
+    # flagged rows are solo re-run, worst ratio first; the rest are
+    # recorded unadjudicated (visible, not silently confirmed).
+    try:
+        max_solo = int(os.environ.get("BENCH_GATE_MAX_SOLO", "5"))
+    except ValueError:
+        max_solo = 5
+    try:
+        delay = float(os.environ.get("BENCH_GATE_RETRY_S", "0"))
+    except ValueError:  # malformed env must not abort a finished sweep
+        print("# gate: bad BENCH_GATE_RETRY_S, using 0", file=sys.stderr)
+        delay = 0.0
+    ranked = sorted(over, key=lambda n: over[n]["ratio"], reverse=True)
+    n_confirmed = n_unadjudicated = 0
     if adjudicate and over:
-        for name, row in over.items():
+        for name in ranked[max_solo:]:
+            over[name]["adjudication_skipped"] = True
+            n_unadjudicated += 1
+        for name in ranked[:max_solo]:
+            row = over[name]
             print(f"# gate: solo re-adjudicating {name} "
                   f"(sweep {row['median_s']} s vs baseline "
                   f"{row['baseline_s']} s)", file=sys.stderr)
@@ -187,19 +248,24 @@ def _gate(medians: dict[str, float], adjudicate: bool = True) -> dict:
                 # The host carries bursty EXTERNAL load that decays in
                 # ~minutes (documented in BASELINE.md): a burst inflates
                 # the sweep AND an immediately-following solo run the
-                # same way, so one hot solo is not evidence. Wait out
-                # the burst, re-run, and judge on the MIN of the two
-                # solo medians — a genuine regression stays over 2x in
-                # both; a burst artifact clears on the retry.
-                delay = float(os.environ.get("BENCH_GATE_RETRY_S", "90"))
-                print(f"# gate: {name} still over solo ({solo} s); "
-                      f"retrying once after {delay:.0f}s "
-                      f"(load_1m={os.getloadavg()[0]:.2f})", file=sys.stderr)
-                time.sleep(delay)
+                # same way, so one hot solo is not evidence. Re-run
+                # (after an optional pause — default 0 so an unattended
+                # run stays bounded) and judge on the MIN of the two
+                # solo medians; rows where the two solos disagree >2x
+                # are additionally flagged flaky (r12 ADVICE) so an
+                # intermittent regression stays visible.
+                if delay > 0:
+                    print(f"# gate: {name} still over solo ({solo} s); "
+                          f"retrying once after {delay:.0f}s "
+                          f"(load_1m={os.getloadavg()[0]:.2f})",
+                          file=sys.stderr)
+                    time.sleep(delay)
                 solo2 = _spawn_chunk([name]).get(name)
                 row["solo_retry_s"] = solo2
                 row["load_1m_retry"] = round(os.getloadavg()[0], 2)
                 if solo2 is not None:
+                    if max(solo, solo2) > 2 * min(solo, solo2):
+                        row["flaky"] = True
                     solo = min(solo, solo2)
                 confirmed = bool(solo > 2 * row["baseline_s"] and solo > 1.0)
             row["solo_ratio"] = round(solo / row["baseline_s"], 2)
@@ -211,6 +277,7 @@ def _gate(medians: dict[str, float], adjudicate: bool = True) -> dict:
         "n_checked": sum(1 for n in medians if n in base),
         "n_over": len(over),
         "n_confirmed_solo": n_confirmed,
+        "n_unadjudicated": n_unadjudicated,
         "over": over,
     }
 
@@ -229,22 +296,19 @@ def main() -> None:
         keep = {n.strip() for n in only.split(",")}
         names = [n for n in names if n in keep]
     # HEAVY queries (>= BENCH_HEAVY_S in the previous committed snapshot)
-    # run in their OWN fresh JVM: 4 back-to-back 10-20 s runs of a
+    # run in their own fresh JVMs: 4 back-to-back 10-20 s runs of a
     # streaming/LSH workload measurably age every later chunk-mate
     # (r11 calibration: emb_pca_power 1.6 s solo -> 8.9 s when scheduled
-    # after dedup_stream_lsh in one chunk). ~12 solo chunks cost ~2.5 min
-    # of untimed JVM startup and make the sweep reproducible.
+    # after dedup_stream_lsh in one chunk). r12 verdict task 1: PAIRS
+    # instead of singles — one same-weight neighbor is within the
+    # measured aging tolerance and halves the untimed JVM-startup bill
+    # (the r12 sweep's 28 solo chunks were part of why it timed out).
     heavy_cut = float(os.environ.get("BENCH_HEAVY_S", "3.0"))
-    prev_meds: dict[str, float] = {}
-    try:
-        with open(os.path.join(REPO, "BENCH_QUERIES.json")) as f:
-            prev_meds = json.load(f).get("queries", {})
-    except (OSError, ValueError):
-        pass
+    prev_meds = _prev_medians()
     light = [n for n in names if prev_meds.get(n, 0.0) < heavy_cut]
     heavy = [n for n in names if n not in set(light)]
     chunks = [light[i : i + CHUNK] for i in range(0, len(light), CHUNK)]
-    chunks += [[n] for n in heavy]
+    chunks += [heavy[i : i + 2] for i in range(0, len(heavy), 2)]
     medians: dict[str, float] = {}
     for ci, chunk in enumerate(chunks):
         medians.update(_spawn_chunk(chunk))
@@ -268,18 +332,13 @@ def main() -> None:
     # regression moves individual queries. >1.15 here means "re-run
     # solo before trusting absolute numbers", documented in BASELINE.md.
     ambient = None
-    try:
-        with open(os.path.join(REPO, "BENCH_QUERIES.json")) as f:
-            prev = json.load(f).get("queries", {})
-        ratios = sorted(
-            medians[n] / prev[n]
-            for n in medians
-            if n in prev and prev[n] > 0
-        )
-        if ratios:
-            ambient = round(ratios[len(ratios) // 2], 3)
-    except (OSError, ValueError):
-        pass
+    ratios = sorted(
+        medians[n] / prev_meds[n]
+        for n in medians
+        if n in prev_meds and prev_meds[n] > 0
+    )
+    if ratios:
+        ambient = round(ratios[len(ratios) // 2], 3)
     # Full per-query map: separate stdout line + file. The FINAL stdout
     # line must stay compact (a few hundred bytes) — the driver keeps
     # only a short tail of output, and r1's single 186-entry line was
@@ -296,14 +355,22 @@ def main() -> None:
     }
     print(json.dumps(full))
     # A BENCH_ONLY-filtered run is a local iteration aid; only a full
-    # sweep may replace the committed per-query snapshot.
+    # sweep may be promoted to the committed per-query snapshot. The
+    # sweep itself writes a SIDECAR (r12 verdict task 8: the driver's
+    # own loaded runs used to clobber the committed min-of-sweeps
+    # snapshot in the working tree); `make bench-promote` copies it to
+    # BENCH_QUERIES.json deliberately.
     if not only:
         try:
-            with open(os.path.join(REPO, "BENCH_QUERIES.json"), "w") as f:
+            with open(os.path.join(REPO, "BENCH_QUERIES.latest.json"), "w") as f:
                 json.dump(full, f, indent=1, sort_keys=True)
         except OSError as exc:  # pragma: no cover
-            print(f"# could not write BENCH_QUERIES.json: {exc}", file=sys.stderr)
-    print(json.dumps(_gate(medians)))
+            print(f"# could not write BENCH_QUERIES.latest.json: {exc}",
+                  file=sys.stderr)
+    # The line the driver grades prints BEFORE the gate (r12 verdict
+    # task 1: the r12 gate phase outlived the driver budget at both core
+    # counts and the suite line never appeared — 15 queries registered
+    # as dropped_from_bench on a 100%-complete sweep).
     slowest = dict(
         sorted(medians.items(), key=lambda kv: kv[1], reverse=True)[:15]
     )
@@ -321,6 +388,7 @@ def main() -> None:
             }
         )
     )
+    print(json.dumps(_gate(medians)))
 
 
 if __name__ == "__main__":
