@@ -311,7 +311,20 @@ def main() -> None:
     chunks += [heavy[i : i + 2] for i in range(0, len(heavy), 2)]
     medians: dict[str, float] = {}
     for ci, chunk in enumerate(chunks):
-        medians.update(_spawn_chunk(chunk))
+        got = _spawn_chunk(chunk)
+        # A crashed child (JVM death under a co-tenant burst — observed
+        # once in the r13 sweep: ConnectionRefusedError mid-chunk) loses
+        # its WHOLE chunk, and a hole in the per-query map reads as
+        # dropped_from_bench to the driver. Retry each lost query once in
+        # its own fresh JVM; a query that fails twice is a real failure
+        # and stays in `missing` below.
+        lost = [n for n in chunk if n not in got]
+        if lost:
+            print(f"# retrying {len(lost)} lost queries solo: {lost}",
+                  file=sys.stderr)
+            for name in lost:
+                got.update(_spawn_chunk([name]))
+        medians.update(got)
         print(
             f"# chunk {ci + 1}/{len(chunks)} done "
             f"({len(medians)}/{len(names)} queries)",
