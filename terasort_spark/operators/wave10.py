@@ -344,13 +344,15 @@ def dedup_stream_lsh(spark, sf_dir):
     # data through many small jobs; 32-way exchanges are pure task
     # overhead at that volume. Scope a smaller width to this operator
     # and restore the session dial after (results are order-free, so
-    # the width never affects the hash). A production stream sizes
-    # this to its executor count via the explicit conf — the same dial
-    # the rest of the streaming family honors (_util.stream_shuffle_width);
-    # 8 is the measured local sweet spot for these ~batch-row jobs.
+    # the width never affects the hash). Only the EXPLICIT conf is
+    # shared with the rest of the streaming family (a production
+    # stream sizes it to executor count); the default here deliberately
+    # diverges from _util.stream_shuffle_width's adaptive clamp — 8 is
+    # the measured local sweet spot for these ~batch-row jobs.
     from terasort_spark.operators._util import STREAM_SHUFFLE_CONF
 
-    _width = spark.conf.get(STREAM_SHUFFLE_CONF, None) or "8"
+    _explicit = spark.conf.get(STREAM_SHUFFLE_CONF, None)
+    _width = _explicit if _explicit and _explicit.strip() else "8"
     _prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", _width)
     try:

@@ -40,7 +40,7 @@ from __future__ import annotations
 
 import shutil
 
-from pyspark.sql import Window
+from pyspark.sql import Observation, Window
 from pyspark.sql import functions as F
 
 from terasort_spark.catalog import table
@@ -109,11 +109,10 @@ def graph_cc_star(spark, sf_dir):
 
     The fixpoint is a collection of stars whose centers are the
     component minima; the label read-off is one groupBy over the final
-    edges. The per-node minima sides are broadcast here (they are
-    node-cardinality-sized and this graph's nodes fit comfortably); on
-    a corpus-scale graph that dial flips to a co-partitioned
-    shuffle join on the node key — the plan shape is otherwise
-    identical. Rounds needed are O(log n) REGARDLESS of component diameter
+    edges. The per-node minima are window aggregates over the same node
+    key each star phase is keyed by (one exchange per phase, no
+    broadcast builds) — the co-partitioned shape that also holds on a
+    corpus-scale graph. Rounds needed are O(log n) REGARDLESS of component diameter
     — the property that matters on web-crawl duplicate graphs whose
     chain-shaped components defeat O(diameter) label propagation
     (dedup_cluster) at 100 TB. Each round shuffles on a single node
@@ -148,42 +147,50 @@ def star_components(spark, e, max_rounds: int = 16):
     # fixpoint oracle both bound it.
     prev_sig = None
     rounds = 0
+    w_u = Window.partitionBy("u")
     for _ in range(max_rounds):  # >> log2(n) for any shipped SF
         sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
             e.select(F.col("b").alias("u"), F.col("a").alias("v"))
         )
-        # per-node minima are node-cardinality-sized: broadcast them so
-        # each star phase is one shuffle (the groupBy), not two
-        mins_l = F.broadcast(
-            sym.groupBy("u")
-            .agg(F.min("v").alias("mv"))
-            .select("u", F.least("mv", F.col("u")).alias("m"))
-        )
+        # Per-node minima as window aggregates over the same key the
+        # star phase groups on: one shuffle per phase and ZERO broadcast
+        # builds. The r12 shape broadcast each phase's groupBy(u).min —
+        # two BroadcastExchange sub-jobs per round whose driver collect +
+        # scheduling dominated the round at local scale, and the mins_s
+        # branch re-executed the whole e_large subtree a second time.
+        # The window min is computed inside the one checkpoint job.
+        syml = sym.withColumn("m", F.least(F.min("v").over(w_u), F.col("u")))
         e_large = (
-            sym.join(mins_l, "u")
-            .where(F.col("v") > F.col("u"))
+            syml.where(F.col("v") > F.col("u"))
             .select(
                 F.least("v", "m").alias("a"), F.greatest("v", "m").alias("b")
             )
             .where(F.col("a") != F.col("b"))
         )
         # small-star input: orient high -> low (b is the high end);
-        # duplicate edges are harmless under min, so no distinct here
+        # duplicate edges are harmless under min, so no distinct here.
+        # m < u always holds on this side (every v < u), so filtering
+        # a != b after the union touches only the (m, v) rows — the
+        # same set the r12 join shape produced.
         d = e_large.select(F.col("b").alias("u"), F.col("a").alias("v"))
-        mins_s = F.broadcast(d.groupBy("u").agg(F.min("v").alias("m")))
+        ds = d.withColumn("m", F.min("v").over(w_u))
         e_small = (
-            d.join(mins_s, "u")
-            .select(F.col("m").alias("a"), F.col("v").alias("b"))
+            ds.select(F.col("m").alias("a"), F.col("v").alias("b"))
+            .union(ds.select(F.col("m").alias("a"), F.col("u").alias("b")))
             .where(F.col("a") != F.col("b"))
-            .union(mins_s.select(F.col("m").alias("a"), F.col("u").alias("b")))
             .distinct()
-            .localCheckpoint(eager=True)
         )
-        sig_row = e_small.agg(
+        # Convergence signature rides the checkpoint job via observe():
+        # the r12 shape ran a SEPARATE agg+collect action per round
+        # (guide §5 — the driver should block once per round, not twice).
+        obs = Observation()
+        e_small = e_small.observe(
+            obs,
             F.count(F.lit(1)).alias("n"),
             F.expr("bit_xor(xxhash64(a, b))").alias("h"),
-        ).collect()[0]  # one convergence scalar pair, not a data collect
-        sig = (sig_row["n"], sig_row["h"])
+        ).localCheckpoint(eager=True)
+        m = obs.get  # blocks on the checkpoint action just executed
+        sig = (m["n"], m["h"])
         e = e_small
         rounds += 1
         if sig == prev_sig:
@@ -240,8 +247,14 @@ def graph_bfs_levels(spark, sf_dir):
     list against the current frontier, minus the visited set
     (left_anti) — rounds = eccentricity of the seed set (4 at sf0.01),
     per-round cost = frontier-adjacent edges only, never the whole
-    graph. Visited/frontier localCheckpoint per round to keep lineage
-    constant. The driver sees one frontier-size scalar per round.
+    graph. Each round is ONE blocking action: the new frontier's
+    checkpoint, with its size riding along as an observe() metric
+    (r13 — the r12 shape ran 3 driver-blocking jobs per round:
+    frontier.count(), the nxt checkpoint, and a visited checkpoint;
+    guide §5). visited stays a lazy union of the per-round
+    CHECKPOINTED frontiers — each piece is materialized, so the
+    per-round left_anti re-scans tiny cached blocks and lineage depth
+    stays constant.
     This is the hop-distance primitive under crawl-frontier scheduling
     and "within k hops of a seed set" contamination sweeps."""
     e = _lsh_edges(spark, sf_dir, tau=0.8, cap=8)
@@ -251,25 +264,31 @@ def graph_bfs_levels(spark, sf_dir):
         .localCheckpoint(eager=True)
     )
     nodes = sym.select("src").distinct()
+    obs0 = Observation()
     frontier = (
         nodes.where(F.col("src") % 17 == 0)
         .select(F.col("src").alias("node"))
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
+    n_frontier = obs0.get["n"]
     visited = frontier.select("node", F.lit(0).cast("long").alias("hops"))
     level = 0
-    while frontier.count() > 0 and level < 64:
+    while n_frontier > 0 and level < 64:
         level += 1
+        obs = Observation()
         nxt = (
             sym.join(F.broadcast(frontier), sym.src == frontier.node)
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
+        n_frontier = obs.get["n"]
         visited = visited.union(
             nxt.select("node", F.lit(level).cast("long").alias("hops"))
-        ).localCheckpoint(eager=True)
+        )
         frontier = nxt
     return visited.select(F.col("node").alias("doc_id"), "hops")
 
