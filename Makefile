@@ -11,7 +11,7 @@
 # Each stage fails fast with a nonzero exit; "FAILS: 0" per stage is the
 # green state every round must re-establish mechanically.
 
-.PHONY: verify test bench bench-promote
+.PHONY: verify test test-all bench bench-promote
 
 verify:
 	python scripts/drive_driver.py
@@ -20,6 +20,13 @@ verify:
 
 test:
 	python -m pytest tests/ -q
+
+# The full suite including the slow tier (degenerate-corpus sweeps,
+# streaming recovery e2e, rocksdb provider duplicates) — ~37 min. The
+# default `make test` tier deselects those via pytest.ini addopts so it
+# fits the grading driver's verify budget (r12 VERDICT task 3).
+test-all:
+	python -m pytest tests/ -q -m "" -p no:cacheprovider
 
 bench:
 	python bench.py
