@@ -32,6 +32,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # First commit whose BENCH_QUERIES.json was produced by the fresh-JVM
 # chunked protocol (bench.py rework, round 11).
 PROTOCOL_CUTOVER = "eeedcef"
+# First commit whose snapshot was timed through the noop sink instead of
+# collect() (bench.py timed-action fix, round 12, guide §1.4). The GATE
+# basis only folds noop-protocol snapshots so the baseline and the sweep
+# measure the same thing — collect-era medians carry a rows-returned
+# serial term that noop timings structurally undercut (r13, VERDICT
+# task 7). Collect-era fresh-JVM mins remain in historical_min_s.
+NOOP_CUTOVER = "37ca95d"
 
 # Queries whose IMPLEMENTATION was deliberately replaced: medians from
 # snapshots predating the rework time a DIFFERENT program, so both the
@@ -115,7 +122,7 @@ def main() -> None:
         if not qs:
             continue
         n_versions += 1
-        fresh = _is_fresh_jvm(sha)
+        fresh = _is_fresh_jvm(sha) and _contains(sha, NOOP_CUTOVER)
         n_fresh += 1 if fresh else 0
         for name, med in qs.items():
             # Drop renamed/retired queries (e.g. sink_zorder) so the file
@@ -145,13 +152,16 @@ def main() -> None:
         "unit": "sec",
         "sf": 0.1,
         "protocol": (
-            "min per-query 3-rep median across committed fresh-JVM-chunk "
-            "BENCH_QUERIES.json versions (r11+ protocol); historical_min_s "
-            "= all-history min incl. r1-r10 long-session runs, context "
-            "only. gate = current median > 2x median_s AND > 1s absolute"
+            "min per-query median across committed fresh-JVM-chunk, "
+            "NOOP-timed BENCH_QUERIES.json versions (r12+ protocol: "
+            "df.write.format('noop'), guide §1.4); historical_min_s = "
+            "all-history min incl. r1-r10 long-session and r11 "
+            "collect-timed runs, context only. gate = current median "
+            "> 2x median_s AND > 1s absolute"
         ),
+        "timed_action": "noop",
         "n_snapshot_versions": n_versions,
-        "n_fresh_jvm_versions": n_fresh,
+        "n_noop_fresh_jvm_versions": n_fresh,
         "queries": dict(sorted(best.items())),
     }
     path = os.path.join(REPO, "OPERATIVE_BASELINE.json")
