@@ -58,6 +58,30 @@ def test_cc_star_labels_are_component_minima(spark, sf_dir):
         assert comp == min(members)
 
 
+def test_star_components_observe_loop_on_tiny_and_empty_inputs(spark):
+    """Focused r13 internals test: star_components' convergence
+    signature now rides the per-round checkpoint job as an observe()
+    metric and the per-node minima are window aggregates (no broadcast
+    builds). Pin the degenerate paths that used to live only in the
+    (now slow-tier) empty-corpus sweep: an EMPTY edge set must return
+    an empty label table without hanging on Observation.get, and a
+    two-clique graph must label every node with its component minimum
+    in <= the round cap."""
+    from terasort_spark.operators.wave17 import star_components
+
+    empty = spark.createDataFrame([], "a long, b long")
+    labels, rounds = star_components(spark, empty)
+    assert labels.count() == 0 and rounds >= 1
+
+    e2 = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "a long, b long"
+    )
+    labels2, rounds2 = star_components(spark, e2)
+    got = {r["doc_id"]: r["component"] for r in labels2.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    assert rounds2 <= 16
+
+
 # ---------------------------------------------------------------------------
 # graph_bfs_levels
 
